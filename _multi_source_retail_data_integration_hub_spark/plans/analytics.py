@@ -1,0 +1,460 @@
+"""The reference's analytical query surface, re-expressed Spark-first
+over the testdata star schema (orders/lineitem/customer/part/nation/
+region stand in for the retail fact + dims).
+
+Each query mirrors a numbered query in
+/root/reference/sql/analytical_queries.sql or a dashboard computation in
+/root/reference/streamlit_app.py (cited per function), exercising the
+operator inventory of SURVEY.md §2: hash aggregation, countDistinct,
+broadcast equi-joins, LAG windows, share-of-total windows, pivot,
+binning, top-k, calendar derivation.
+
+Determinism: see plans/registry.py — float sums go through
+DECIMAL(18,2) so Spark and the DuckDB oracle agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.testdata import load_table
+from .registry import query
+
+# Money aggregation helpers (keep Spark + oracle in lockstep).
+DEC = "decimal(18,2)"
+
+
+def _dsum(col):
+    """Exact, order-independent money sum -> double."""
+    return F.sum(F.col(col).cast(DEC)).cast("double")
+
+
+# ---------------------------------------------------------------------------
+# Query 1 — monthly sales trend with MoM growth
+# Reference: sql/analytical_queries.sql:8-26 (GROUP BY year/month + LAG(1)
+# + NULLIF growth guard); pandas twin etl/transform.py:412-428 (W1, A2).
+# ---------------------------------------------------------------------------
+@query(
+    "q01_monthly_sales_trend",
+    oracle="""
+    WITH monthly AS (
+      SELECT CAST(year(o_orderdate) AS BIGINT)  AS year,
+             CAST(month(o_orderdate) AS BIGINT) AS month,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue,
+             COUNT(DISTINCT o_orderkey) AS total_orders,
+             COUNT(DISTINCT o_custkey)  AS unique_customers
+      FROM orders
+      GROUP BY 1, 2
+    )
+    SELECT year, month, total_revenue, total_orders, unique_customers,
+           total_revenue / total_orders AS avg_order_value,
+           LAG(total_revenue) OVER (ORDER BY year, month) AS prev_month_revenue,
+           (total_revenue - LAG(total_revenue) OVER (ORDER BY year, month))
+             / NULLIF(LAG(total_revenue) OVER (ORDER BY year, month), 0) * 100
+             AS mom_growth_pct
+    FROM monthly
+    ORDER BY year, month
+    """,
+)
+def q01_monthly_sales_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.year("o_orderdate").cast("long").alias("year"),
+        F.month("o_orderdate").cast("long").alias("month"),
+    ).agg(
+        _dsum("o_totalprice").alias("total_revenue"),
+        F.countDistinct("o_orderkey").alias("total_orders"),
+        F.countDistinct("o_custkey").alias("unique_customers"),
+    )
+    # Post-aggregation cardinality is tiny (#months), so the
+    # unpartitioned window is a single-task no-op at any input scale.
+    w = Window.orderBy("year", "month")
+    prev = F.lag("total_revenue").over(w)
+    return monthly.select(
+        "year",
+        "month",
+        "total_revenue",
+        "total_orders",
+        "unique_customers",
+        (F.col("total_revenue") / F.col("total_orders")).alias("avg_order_value"),
+        prev.alias("prev_month_revenue"),
+        ((F.col("total_revenue") - prev) / F.nullif(prev, F.lit(0)) * 100).alias(
+            "mom_growth_pct"
+        ),
+    ).orderBy("year", "month")
+
+
+# ---------------------------------------------------------------------------
+# Query 2 — category performance with revenue share of total
+# Reference: sql/analytical_queries.sql:29-45 (LEFT JOIN dim_category +
+# SUM(SUM(x)) OVER () share, J6 + A4/W3); pandas twin etl/transform.py:448-462.
+# ---------------------------------------------------------------------------
+@query(
+    "q02_category_share",
+    oracle="""
+    WITH by_type AS (
+      SELECT p.p_type AS category,
+             COUNT(*) AS n_items,
+             SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l.l_discount AS DECIMAL(12,2)))) AS rev_dec,
+             SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS gross_dec
+      FROM lineitem l
+      JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1
+    )
+    SELECT category, n_items,
+           CAST(rev_dec AS DOUBLE) AS total_revenue,
+           CAST(rev_dec AS DOUBLE) / NULLIF(CAST(SUM(rev_dec) OVER () AS DOUBLE), 0) * 100
+             AS revenue_share_pct,
+           CAST(gross_dec AS DOUBLE) / n_items AS avg_item_price
+    FROM by_type
+    ORDER BY total_revenue DESC, category
+    """,
+)
+def q02_category_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    # part is the dimension side: broadcast it so the big fact never
+    # shuffles (reference hand-rolls this with a dict-map at
+    # etl/transform.py:364-369; here it is a real broadcast hash join).
+    joined = lineitem.join(
+        F.broadcast(part.select("p_partkey", "p_type")),
+        lineitem.l_partkey == part.p_partkey,
+    )
+    by_type = joined.groupBy(F.col("p_type").alias("category")).agg(
+        F.count("*").alias("n_items"),
+        # Cast the raw 2-decimal columns to DECIMAL *before* multiplying:
+        # rounding a computed double to decimal is engine-dependent near
+        # half-cents; rounding a stored 2-decimal double is not.
+        F.sum(
+            F.col("l_extendedprice").cast(DEC)
+            * (F.lit(1).cast("decimal(12,2)") - F.col("l_discount").cast("decimal(12,2)"))
+        ).alias("rev_dec"),
+        F.sum(F.col("l_extendedprice").cast(DEC)).alias("gross_dec"),
+    )
+    total = F.sum("rev_dec").over(Window.partitionBy())  # exact decimal total
+    return by_type.select(
+        "category",
+        "n_items",
+        F.col("rev_dec").cast("double").alias("total_revenue"),
+        (
+            F.col("rev_dec").cast("double")
+            / F.nullif(total.cast("double"), F.lit(0))
+            * 100
+        ).alias("revenue_share_pct"),
+        (F.col("gross_dec").cast("double") / F.col("n_items")).alias("avg_item_price"),
+    ).orderBy(F.desc("total_revenue"), "category")
+
+
+# ---------------------------------------------------------------------------
+# Query 3 — customer value segmentation (binning)
+# Reference: customer_segment pd.cut bins at etl/transform.py:214-218 (D7,
+# right-closed: 1=New, 2-3=Occasional, 4-5=Regular, 6+=Loyal) feeding
+# sql/analytical_queries.sql:50-62 (A1 + group-by-segment rollup).
+# ---------------------------------------------------------------------------
+@query(
+    "q03_customer_segments",
+    oracle="""
+    WITH per_customer AS (
+      SELECT o_custkey,
+             COUNT(*) AS n_orders,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend_dec
+      FROM orders
+      GROUP BY 1
+    ), labeled AS (
+      SELECT CASE WHEN n_orders <= 1 THEN 'New'
+                  WHEN n_orders <= 3 THEN 'Occasional'
+                  WHEN n_orders <= 5 THEN 'Regular'
+                  ELSE 'Loyal' END AS customer_segment,
+             n_orders, spend_dec
+      FROM per_customer
+    )
+    SELECT customer_segment,
+           COUNT(*) AS n_customers,
+           SUM(n_orders) AS total_orders,
+           CAST(SUM(spend_dec) AS DOUBLE) AS total_revenue,
+           CAST(SUM(n_orders) AS DOUBLE) / NULLIF(COUNT(*), 0) AS avg_orders_per_customer,
+           CAST(SUM(spend_dec) AS DOUBLE) / NULLIF(COUNT(*), 0) AS avg_revenue_per_customer
+    FROM labeled
+    GROUP BY 1
+    ORDER BY total_revenue DESC
+    """,
+)
+def q03_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    per_customer = orders.groupBy("o_custkey").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast(DEC)).alias("spend_dec"),
+    )
+    # pd.cut right-closed bins [0,1,3,5,inf] -> <= chains (SURVEY §7.4.2).
+    seg = (
+        F.when(F.col("n_orders") <= 1, "New")
+        .when(F.col("n_orders") <= 3, "Occasional")
+        .when(F.col("n_orders") <= 5, "Regular")
+        .otherwise("Loyal")
+    )
+    labeled = per_customer.withColumn("customer_segment", seg)
+    n_cust = F.count("*")
+    return (
+        labeled.groupBy("customer_segment")
+        .agg(
+            n_cust.alias("n_customers"),
+            F.sum("n_orders").alias("total_orders"),
+            F.sum("spend_dec").cast("double").alias("total_revenue"),
+            (F.sum("n_orders").cast("double") / F.nullif(n_cust, F.lit(0))).alias(
+                "avg_orders_per_customer"
+            ),
+            (F.sum("spend_dec").cast("double") / F.nullif(n_cust, F.lit(0))).alias(
+                "avg_revenue_per_customer"
+            ),
+        )
+        .orderBy(F.desc("total_revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Query 4 — market-segment x order-status pivot with share columns
+# Reference: the gender pivot mart at etl/transform.py:465-491 (A5:
+# two-level agg -> pivot with FIXED column list -> fillna(0) -> pct columns).
+# ---------------------------------------------------------------------------
+@query(
+    "q04_segment_status_pivot",
+    oracle="""
+    WITH base AS (
+      SELECT c.c_mktsegment AS mktsegment,
+             COALESCE(SUM(CASE WHEN o.o_orderstatus = 'F' THEN CAST(o.o_totalprice AS DECIMAL(18,2)) END), 0) AS f_dec,
+             COALESCE(SUM(CASE WHEN o.o_orderstatus = 'O' THEN CAST(o.o_totalprice AS DECIMAL(18,2)) END), 0) AS o_dec,
+             COALESCE(SUM(CASE WHEN o.o_orderstatus = 'P' THEN CAST(o.o_totalprice AS DECIMAL(18,2)) END), 0) AS p_dec
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1
+    )
+    SELECT mktsegment,
+           CAST(f_dec AS DOUBLE) AS revenue_f,
+           CAST(o_dec AS DOUBLE) AS revenue_o,
+           CAST(p_dec AS DOUBLE) AS revenue_p,
+           CAST(f_dec AS DOUBLE) / NULLIF(CAST(f_dec + o_dec + p_dec AS DOUBLE), 0) * 100 AS f_pct,
+           CAST(o_dec AS DOUBLE) / NULLIF(CAST(f_dec + o_dec + p_dec AS DOUBLE), 0) * 100 AS o_pct
+    FROM base
+    ORDER BY mktsegment
+    """,
+)
+def q04_segment_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    joined = orders.join(
+        customer.select("c_custkey", "c_mktsegment"),
+        orders.o_custkey == customer.c_custkey,
+    )
+    # Fixed pivot value list => stable output schema even when a status is
+    # absent from the data (SURVEY §7.4.9).
+    pivoted = (
+        joined.groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.sum(F.col("o_totalprice").cast(DEC)))
+        .na.fill(0)
+    )
+    f_dec, o_dec, p_dec = F.col("F"), F.col("O"), F.col("P")
+    total = (f_dec + o_dec + p_dec).cast("double")
+    return pivoted.select(
+        "mktsegment",
+        f_dec.cast("double").alias("revenue_f"),
+        o_dec.cast("double").alias("revenue_o"),
+        p_dec.cast("double").alias("revenue_p"),
+        (f_dec.cast("double") / F.nullif(total, F.lit(0)) * 100).alias("f_pct"),
+        (o_dec.cast("double") / F.nullif(total, F.lit(0)) * 100).alias("o_pct"),
+    ).orderBy("mktsegment")
+
+
+# ---------------------------------------------------------------------------
+# Query 5 — day-of-week sales pattern
+# Reference: sql/analytical_queries.sql:66-75 (query 4: weekday rollup) +
+# the calendar derivations D3/D4 at etl/transform.py:152-160 (Mon=0
+# day_of_week, weekend flag).
+# ---------------------------------------------------------------------------
+@query(
+    "q05_weekday_analysis",
+    oracle="""
+    SELECT CAST(isodow(o_orderdate) - 1 AS BIGINT) AS day_of_week,
+           dayname(o_orderdate) AS day_name,
+           isodow(o_orderdate) - 1 >= 5 AS is_weekend,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / NULLIF(COUNT(*), 0)
+             AS avg_order_value
+    FROM orders
+    GROUP BY 1, 2, 3
+    ORDER BY day_of_week
+    """,
+)
+def q05_weekday_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    # Spark dayofweek is Sun=1..Sat=7; reference uses pandas Mon=0
+    # (etl/transform.py:156) => (dayofweek+5) % 7.
+    dow = ((F.dayofweek("o_orderdate") + 5) % 7).cast("long")
+    return (
+        orders.groupBy(
+            dow.alias("day_of_week"),
+            F.date_format("o_orderdate", "EEEE").alias("day_name"),
+            (dow >= 5).alias("is_weekend"),
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            _dsum("o_totalprice").alias("total_revenue"),
+            (_dsum("o_totalprice") / F.nullif(F.count("*"), F.lit(0))).alias(
+                "avg_order_value"
+            ),
+        )
+        .orderBy("day_of_week")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Query 6 — top-20 customers by lifetime value (top-k with dim joins)
+# Reference: sql/analytical_queries.sql:92-108 (query 6: ORDER BY revenue
+# DESC LIMIT 20, O3) + dashboard nlargest at streamlit_app.py:1787 (O4).
+# ---------------------------------------------------------------------------
+@query(
+    "q06_top_customers",
+    oracle="""
+    SELECT c.c_custkey AS custkey, c.c_name AS name, c.c_mktsegment AS mktsegment,
+           n.n_name AS nation, r.r_name AS region,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / NULLIF(COUNT(*), 0)
+             AS avg_order_value,
+           MIN(o.o_orderdate) AS first_order,
+           MAX(o.o_orderdate) AS last_order
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY 1, 2, 3, 4, 5
+    ORDER BY total_revenue DESC, custkey
+    LIMIT 20
+    """,
+)
+def q06_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    # Aggregate the fact FIRST (map-side partial agg shrinks it to one row
+    # per customer) and only then join the dims — at 100 TB the pre-agg
+    # then broadcast-join plan avoids shuffling the wide fact.
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast(DEC)).alias("spend_dec"),
+        F.min("o_orderdate").alias("first_order"),
+        F.max("o_orderdate").alias("last_order"),
+    )
+    dims = customer.join(
+        F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+    ).join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    joined = per_cust.join(dims, per_cust.o_custkey == dims.c_custkey)
+    return (
+        joined.select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("name"),
+            F.col("c_mktsegment").alias("mktsegment"),
+            F.col("n_name").alias("nation"),
+            F.col("r_name").alias("region"),
+            "n_orders",
+            F.col("spend_dec").cast("double").alias("total_revenue"),
+            (F.col("spend_dec").cast("double") / F.nullif(F.col("n_orders"), F.lit(0))).alias(
+                "avg_order_value"
+            ),
+            "first_order",
+            "last_order",
+        )
+        # Deterministic tiebreak so top-k is stable across engines/runs.
+        .orderBy(F.desc("total_revenue"), "custkey")
+        .limit(20)  # Spark plans TakeOrderedAndProject — no global sort.
+    )
+
+
+# ---------------------------------------------------------------------------
+# Query 7 — catalog profile by brand
+# Reference: sql/analytical_queries.sql:112-123 (query 7: COUNT/AVG/MIN/
+# MAX/SUM catalog rollup, A7) on stg_api_products.
+# ---------------------------------------------------------------------------
+@query(
+    "q07_catalog_stats",
+    oracle="""
+    SELECT p_brand AS brand,
+           COUNT(*) AS n_products,
+           COUNT(DISTINCT p_type) AS n_types,
+           CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / NULLIF(COUNT(*), 0)
+             AS avg_price,
+           MIN(p_retailprice) AS min_price,
+           MAX(p_retailprice) AS max_price,
+           CAST(SUM(p_size) AS DOUBLE) / NULLIF(COUNT(*), 0) AS avg_size
+    FROM part
+    GROUP BY 1
+    ORDER BY brand
+    """,
+)
+def q07_catalog_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count("*").alias("n_products"),
+            F.countDistinct("p_type").alias("n_types"),
+            (_dsum("p_retailprice") / F.nullif(F.count("*"), F.lit(0))).alias("avg_price"),
+            F.min("p_retailprice").alias("min_price"),
+            F.max("p_retailprice").alias("max_price"),
+            (F.sum("p_size").cast("double") / F.nullif(F.count("*"), F.lit(0))).alias(
+                "avg_size"
+            ),
+        )
+        .orderBy("brand")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Query 8 — quarterly revenue with YoY growth (LAG 4)
+# Reference: sql/analytical_queries.sql:127-142 (query 8: LAG(4) over
+# quarter order + NULLIF YoY pct, W2).
+# ---------------------------------------------------------------------------
+@query(
+    "q08_quarterly_yoy",
+    oracle="""
+    WITH quarterly AS (
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS year,
+             CAST(quarter(o_orderdate) AS BIGINT) AS quarter,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue,
+             COUNT(*) AS n_orders
+      FROM orders
+      GROUP BY 1, 2
+    )
+    SELECT year, quarter, total_revenue, n_orders,
+           LAG(total_revenue, 4) OVER (ORDER BY year, quarter) AS prev_year_revenue,
+           (total_revenue - LAG(total_revenue, 4) OVER (ORDER BY year, quarter))
+             / NULLIF(LAG(total_revenue, 4) OVER (ORDER BY year, quarter), 0) * 100
+             AS yoy_growth_pct
+    FROM quarterly
+    ORDER BY year, quarter
+    """,
+)
+def q08_quarterly_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    quarterly = orders.groupBy(
+        F.year("o_orderdate").cast("long").alias("year"),
+        F.quarter("o_orderdate").cast("long").alias("quarter"),
+    ).agg(
+        _dsum("o_totalprice").alias("total_revenue"),
+        F.count("*").alias("n_orders"),
+    )
+    w = Window.orderBy("year", "quarter")
+    prev = F.lag("total_revenue", 4).over(w)
+    return quarterly.select(
+        "year",
+        "quarter",
+        "total_revenue",
+        "n_orders",
+        prev.alias("prev_year_revenue"),
+        ((F.col("total_revenue") - prev) / F.nullif(prev, F.lit(0)) * 100).alias(
+            "yoy_growth_pct"
+        ),
+    ).orderBy("year", "quarter")
