@@ -28,6 +28,7 @@ from _multi_source_retail_data_integration_hub_spark.plans import (  # noqa: E40
 )
 from _multi_source_retail_data_integration_hub_spark.plans import (  # noqa: E402,F401
     analytics,  # registers q01..q08
+    dashboard,  # registers q09..q16
 )
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"

@@ -1,0 +1,336 @@
+"""Dashboard-derived query surface (reference streamlit_app.py) plus the
+calendar-dimension and row-hash derivations: operators A8-A13, D1-D5,
+O6, U1/U2, W3-cumulative of SURVEY.md §2, over the testdata tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import derived
+from ..sources.testdata import load_table
+from .registry import query
+
+DEC = "decimal(18,2)"
+
+
+# ---------------------------------------------------------------------------
+# Calendar dimension derivation (D2-D5)
+# Reference: dim_date generator etl/transform.py:134-172. Here derived for
+# every distinct order date; the warehouse build in plans/retail.py generates
+# the contiguous range instead.
+# ---------------------------------------------------------------------------
+@query(
+    "q09_calendar_dim",
+    oracle="""
+    SELECT DISTINCT
+      CAST(o_orderdate AS DATE) AS full_date,
+      CAST(strftime(o_orderdate, '%Y%m%d') AS BIGINT) AS date_key,
+      CAST(year(o_orderdate) AS BIGINT) AS year,
+      CAST(quarter(o_orderdate) AS BIGINT) AS quarter,
+      CAST(month(o_orderdate) AS BIGINT) AS month,
+      monthname(o_orderdate) AS month_name,
+      CAST(weekofyear(o_orderdate) AS BIGINT) AS week_of_year,
+      CAST(day(o_orderdate) AS BIGINT) AS day_of_month,
+      CAST(isodow(o_orderdate) - 1 AS BIGINT) AS day_of_week,
+      dayname(o_orderdate) AS day_name,
+      isodow(o_orderdate) - 1 >= 5 AS is_weekend,
+      CAST(CASE WHEN month(o_orderdate) >= 10 THEN year(o_orderdate) + 1
+                ELSE year(o_orderdate) END AS BIGINT) AS fiscal_year,
+      CAST(floor(((month(o_orderdate) + 2) % 12) / 3) + 1 AS BIGINT) AS fiscal_quarter
+    FROM orders
+    ORDER BY full_date
+    """,
+)
+def q09_calendar_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cal = derived.calendar_columns("o_orderdate")
+    cols = [F.to_date("o_orderdate").alias("full_date")] + [
+        (expr.cast("long") if name not in ("month_name", "day_name", "is_weekend") else expr).alias(name)
+        for name, expr in cal.items()
+    ]
+    return orders.select(*cols).distinct().orderBy("full_date")
+
+
+# ---------------------------------------------------------------------------
+# MD5 row hash for change detection (D1)
+# Reference: etl/transform.py:88-93,199-204,270-275 — md5(f"{k}_{k}_{k}"),
+# including the pandas str(Timestamp) rendering trap (SURVEY §7.4.3).
+# ---------------------------------------------------------------------------
+@query(
+    "q10_row_hash",
+    oracle="""
+    SELECT o_orderkey AS orderkey,
+           md5(concat_ws('_', CAST(o_orderkey AS VARCHAR), o_orderstatus,
+                         strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'))) AS row_hash
+    FROM orders
+    ORDER BY orderkey
+    """,
+)
+def q10_row_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        F.col("o_orderkey").alias("orderkey"),
+        derived.row_hash(
+            F.col("o_orderkey").cast("string"),
+            F.col("o_orderstatus"),
+            derived.ts_str("o_orderdate"),
+        ).alias("row_hash"),
+    ).orderBy("orderkey")
+
+
+# ---------------------------------------------------------------------------
+# Global KPI sheet in ONE pass (A8) + argmax best month (A9)
+# Reference: streamlit_app.py:559-594 computes ~18 KPIs as separate pandas
+# expressions over one frame; here a single agg row (one job, one scan)
+# cross-joined with the argmax month — the plan the reference should have had.
+# ---------------------------------------------------------------------------
+@query(
+    "q11_kpi_summary",
+    oracle="""
+    WITH kpis AS (
+      SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue,
+             COUNT(*) AS total_orders,
+             COUNT(DISTINCT o_custkey) AS unique_customers,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / NULLIF(COUNT(*), 0)
+               AS avg_order_value,
+             MIN(o_totalprice) AS min_order,
+             MAX(o_totalprice) AS max_order,
+             MIN(o_orderdate) AS first_order,
+             MAX(o_orderdate) AS last_order
+      FROM orders
+    ), monthly AS (
+      SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS ym,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY 1
+    ), best AS (
+      SELECT ym AS best_month, CAST(rev AS DOUBLE) AS best_month_revenue
+      FROM monthly ORDER BY rev DESC, ym LIMIT 1
+    )
+    SELECT * FROM kpis CROSS JOIN best
+    """,
+)
+def q11_kpi_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    kpis = orders.agg(
+        F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("total_revenue"),
+        F.count("*").alias("total_orders"),
+        F.countDistinct("o_custkey").alias("unique_customers"),
+        (
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double")
+            / F.nullif(F.count("*"), F.lit(0))
+        ).alias("avg_order_value"),
+        F.min("o_totalprice").alias("min_order"),
+        F.max("o_totalprice").alias("max_order"),
+        F.min("o_orderdate").alias("first_order"),
+        F.max("o_orderdate").alias("last_order"),
+    )
+    best = (
+        orders.groupBy(
+            (F.year("o_orderdate") * 100 + F.month("o_orderdate")).cast("long").alias("ym")
+        )
+        .agg(F.sum(F.col("o_totalprice").cast(DEC)).alias("rev"))
+        .orderBy(F.desc("rev"), "ym")
+        .limit(1)
+        .select(F.col("ym").alias("best_month"), F.col("rev").cast("double").alias("best_month_revenue"))
+    )
+    return kpis.crossJoin(best)
+
+
+# ---------------------------------------------------------------------------
+# Day x month revenue heatmap (A10, O6)
+# Reference: streamlit_app.py:902-913 — groupby(day,month) -> pivot ->
+# fillna(0) -> weekday reorder.
+# ---------------------------------------------------------------------------
+_HEATMAP_MONTHS = list(range(1, 13))
+
+
+@query(
+    "q12_heatmap",
+    oracle="""
+    SELECT CAST(isodow(o_orderdate) - 1 AS BIGINT) AS day_of_week,
+           dayname(o_orderdate) AS day_name,
+           {cols}
+    FROM orders
+    GROUP BY 1, 2
+    ORDER BY day_of_week
+    """.format(
+        cols=",\n           ".join(
+            "CAST(COALESCE(SUM(CASE WHEN month(o_orderdate) = {m} THEN "
+            "CAST(o_totalprice AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS m{m:02d}".format(m=m)
+            for m in _HEATMAP_MONTHS
+        )
+    ),
+)
+def q12_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    dow = ((F.dayofweek("o_orderdate") + 5) % 7).cast("long")
+    base = orders.select(
+        dow.alias("day_of_week"),
+        F.date_format("o_orderdate", "EEEE").alias("day_name"),
+        F.month("o_orderdate").alias("month"),
+        F.col("o_totalprice").cast(DEC).alias("price_dec"),
+    )
+    pivoted = (
+        base.groupBy("day_of_week", "day_name")
+        .pivot("month", _HEATMAP_MONTHS)
+        .agg(F.sum("price_dec"))
+        .na.fill(0)
+    )
+    renamed = pivoted.select(
+        "day_of_week",
+        "day_name",
+        *[F.col(str(m)).cast("double").alias(f"m{m:02d}") for m in _HEATMAP_MONTHS],
+    )
+    return renamed.orderBy("day_of_week")
+
+
+# ---------------------------------------------------------------------------
+# Histogram bucketing (A11)
+# Reference: streamlit_app.py:888-898 px.histogram(nbins=N) — fixed-width
+# bucketing as floor(x / width).
+# ---------------------------------------------------------------------------
+@query(
+    "q13_histogram",
+    oracle="""
+    SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bucket,
+           CAST(floor(o_totalprice / 25000.0) * 25000.0 AS DOUBLE) AS bucket_lo,
+           COUNT(*) AS n_orders,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price
+    FROM orders
+    GROUP BY 1, 2
+    ORDER BY bucket
+    """,
+)
+def q13_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / 25000.0)
+    return (
+        orders.groupBy(
+            bucket.alias("bucket"),
+            (bucket * 25000.0).cast("double").alias("bucket_lo"),
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Box-plot quartiles per group (A12)
+# Reference: streamlit_app.py:1769-1783 — quartile stats per gender; here
+# exact linear-interpolation percentiles (Spark `percentile` == DuckDB
+# `quantile_cont`) per market segment.
+# ---------------------------------------------------------------------------
+@query(
+    "q14_quantiles",
+    oracle="""
+    SELECT c.c_mktsegment AS mktsegment,
+           COUNT(*) AS n_orders,
+           quantile_cont(o.o_totalprice, 0.25) AS q1,
+           quantile_cont(o.o_totalprice, 0.50) AS median,
+           quantile_cont(o.o_totalprice, 0.75) AS q3
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+    ORDER BY mktsegment
+    """,
+)
+def q14_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    joined = orders.join(
+        customer.select("c_custkey", "c_mktsegment"),
+        orders.o_custkey == customer.c_custkey,
+    )
+    return (
+        joined.groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.percentile("o_totalprice", F.lit(0.25)).alias("q1"),
+            F.percentile("o_totalprice", F.lit(0.50)).alias("median"),
+            F.percentile("o_totalprice", F.lit(0.75)).alias("q3"),
+        )
+        .orderBy("mktsegment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distinct union with membership tagging (U1, U2, D11)
+# Reference: category merge etl/transform.py:294-313 — union of retail +
+# API category names, distinct, sorted, tagged 'both'/'retail'/'api'.
+# Here: customer market segments vs order priorities as the two name sets.
+# ---------------------------------------------------------------------------
+@query(
+    "q15_name_union",
+    oracle="""
+    WITH a AS (SELECT DISTINCT c_mktsegment AS name FROM customer),
+         b AS (SELECT DISTINCT o_orderpriority AS name FROM orders)
+    SELECT COALESCE(a.name, b.name) AS name,
+           CASE WHEN a.name IS NOT NULL AND b.name IS NOT NULL THEN 'both'
+                WHEN a.name IS NOT NULL THEN 'customer'
+                ELSE 'orders' END AS name_source
+    FROM a FULL OUTER JOIN b ON a.name = b.name
+    ORDER BY name
+    """,
+)
+def q15_name_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    a = customer.select(F.col("c_mktsegment").alias("name")).distinct().withColumn("in_a", F.lit(True))
+    b = orders.select(F.col("o_orderpriority").alias("name")).distinct().withColumn("in_b", F.lit(True))
+    merged = a.join(b, "name", "full_outer")
+    return merged.select(
+        "name",
+        F.when(F.col("in_a") & F.col("in_b"), "both")
+        .when(F.col("in_a"), "customer")
+        .otherwise("orders")
+        .alias("name_source"),
+    ).orderBy("name")
+
+
+# ---------------------------------------------------------------------------
+# Pareto / cumulative revenue share (W3 + running-total frame)
+# Reference: revenue-share window sql/analytical_queries.sql:35 extended to
+# the cumulative form every dashboard "top customers drive X%" card implies.
+# ---------------------------------------------------------------------------
+@query(
+    "q16_pareto",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey AS custkey,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec
+      FROM orders GROUP BY 1
+    )
+    SELECT custkey,
+           CAST(rev_dec AS DOUBLE) AS revenue,
+           CAST(SUM(rev_dec) OVER (ORDER BY rev_dec DESC, custkey
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / NULLIF(CAST(SUM(rev_dec) OVER () AS DOUBLE), 0) * 100 AS cum_revenue_pct,
+           ROW_NUMBER() OVER (ORDER BY rev_dec DESC, custkey) AS revenue_rank
+    FROM per_cust
+    ORDER BY revenue_rank
+    """,
+)
+def q16_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.sum(F.col("o_totalprice").cast(DEC)).alias("rev_dec")
+    )
+    w_order = Window.orderBy(F.desc("rev_dec"), "custkey")
+    running = w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    total = F.sum("rev_dec").over(Window.partitionBy())
+    return per_cust.select(
+        "custkey",
+        F.col("rev_dec").cast("double").alias("revenue"),
+        (
+            F.sum("rev_dec").over(running).cast("double")
+            / F.nullif(total.cast("double"), F.lit(0))
+            * 100
+        ).alias("cum_revenue_pct"),
+        F.row_number().over(w_order).alias("revenue_rank"),
+    ).orderBy("revenue_rank")
