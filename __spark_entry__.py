@@ -29,6 +29,9 @@ from _multi_source_retail_data_integration_hub_spark.plans import (  # noqa: E40
 from _multi_source_retail_data_integration_hub_spark.plans import (  # noqa: E402,F401
     analytics,  # registers q01..q08
     dashboard,  # registers q09..q16
+    events_ts,  # registers q29..q31 (windows + sessionization)
+    similarity,  # registers q26..q28 (embedding ANN)
+    training_data,  # registers q17..q25 (dedup + text analysis)
 )
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"

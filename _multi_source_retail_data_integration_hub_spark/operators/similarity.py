@@ -1,0 +1,231 @@
+"""Embedding similarity search: brute-force cosine top-k (baseline) and
+random-hyperplane LSH bucketing (the 100 TB scale path).
+
+Numeric determinism: float embeddings are quantized to integers
+(``floor(x * 1000)`` — floor, not round, so there are no tie-break
+semantics to match across engines). Dot products and squared norms are
+then *exact* 64-bit integer arithmetic (|q| <= ~3000, 64 dims =>
+dot <= ~5.9e8, norm product <= ~3.5e14 < 2^53, so even a DOUBLE carries
+them exactly). Cosine = dot / sqrt(na*nb) is one deterministic IEEE
+division — Spark, numpy, and the DuckDB oracle agree bit-for-bit.
+
+Physical strategy (Spark's higher-order array functions are interpreted,
+not codegen'd, so they are NOT the hot path):
+- norms/dots on bounded row counts: Arrow-vectorized pandas UDF
+  (numpy int64 batch math, exact).
+- brute-force top-k: ``mapInPandas`` over corpus partitions with the
+  small query matrix shipped to executors; each partition computes an
+  int64 matmul and keeps only its local top-k per query, so the global
+  shuffle carries k rows per (query, partition) instead of the full
+  |corpus| x |queries| similarity matrix. This is exactly the shape
+  that survives a 1000-executor scale-up.
+- LSH: bucket assignment via the same vectorized projections; candidate
+  generation is an equi-join on (band, bucket) — never all-pairs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+QUANT = 1000
+N_PLANES = 8
+
+
+def quantized(emb: Column) -> Column:
+    """float array -> exact bigint array (floor(x*1000))."""
+    return F.transform(emb, lambda x: F.floor(x.cast("double") * QUANT).cast("bigint"))
+
+
+def dot_long(a: Column, b: Column) -> Column:
+    """Exact integer dot product via higher-order functions.
+
+    Interpreted (no codegen) — fine for tests and small frames; hot
+    paths use ``dot_long_vec`` / ``brute_force_topk`` instead.
+    """
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _dot_impl(a: pd.Series, b: pd.Series) -> pd.Series:
+    if len(a) == 0:
+        return pd.Series([], dtype="int64")
+    A = np.stack(a.to_numpy()).astype(np.int64, copy=False)
+    B = np.stack(b.to_numpy()).astype(np.int64, copy=False)
+    if A.shape[1] != B.shape[1]:  # dim mismatch -> dot over the common prefix
+        d = min(A.shape[1], B.shape[1])
+        A, B = A[:, :d], B[:, :d]
+    return pd.Series((A * B).sum(axis=1))
+
+
+_DOT_UDF = None
+
+
+def dot_long_vec(a: Column, b: Column) -> Column:
+    """Arrow-vectorized exact int64 dot product of two bigint arrays.
+
+    The pandas_udf wrapper is built lazily — decorating at import time
+    requires an active SparkSession.
+    """
+    global _DOT_UDF
+    if _DOT_UDF is None:
+        _DOT_UDF = pandas_udf(_dot_impl, "bigint")
+    return _DOT_UDF(a, b)
+
+
+def cosine_from_ints(dot: Column, na: Column, nb: Column) -> Column:
+    """cosine given exact int dot + squared norms; one IEEE division."""
+    return dot.cast("double") / F.sqrt((na * nb).cast("double"))
+
+
+def with_quantized(df: DataFrame, emb_col: str, id_col: str) -> DataFrame:
+    """id, qe (quantized embedding), nsq (exact squared norm)."""
+    q = quantized(F.col(emb_col))
+    return df.select(F.col(id_col), q.alias("qe")).withColumn(
+        "nsq", dot_long_vec(F.col("qe"), F.col("qe"))
+    )
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k neighbors for each query vector.
+
+    The query set is collected to the driver (it is the small side by
+    contract — "embed the incoming batch, search the corpus") and
+    shipped inside the ``mapInPandas`` closure; the corpus streams
+    through map tasks with NO shuffle of embeddings. Each partition
+    emits only its local top-k per query (selected by the same
+    (cos desc, id asc) order as the final ranking), then a tiny global
+    window takes the true top-k of <= k * n_partitions candidates.
+    """
+    q = with_quantized(queries, emb_col, id_col).collect()
+    if not q:
+        raise ValueError("empty query set")
+    q_ids = np.array([r[0] for r in q], dtype=np.int64)
+    Qm = np.stack([np.asarray(r["qe"], dtype=np.int64) for r in q])  # (nq, dim)
+    q_norms = np.array([r["nsq"] for r in q], dtype=np.int64)
+
+    out_schema = "query_id long, neighbor_id long, dot long, cn long, qn long"
+
+    def local_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            C = np.stack(pdf["qe"].to_numpy()).astype(np.int64, copy=False)  # (nc, dim)
+            c_ids = pdf.iloc[:, 0].to_numpy(dtype=np.int64)
+            c_norms = (C * C).sum(axis=1)
+            dots = C @ Qm.T  # (nc, nq) exact int64
+            cos = dots / np.sqrt((c_norms[:, None] * q_norms[None, :]).astype(np.float64))
+            rows = []
+            for j in range(len(q_ids)):
+                mask = c_ids != q_ids[j]
+                idx = np.nonzero(mask)[0]
+                if idx.size == 0:
+                    continue
+                # order by (cos desc, neighbor_id asc); lexsort last key primary
+                order = np.lexsort((c_ids[idx], -cos[idx, j]))[:k]
+                sel = idx[order]
+                rows.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": q_ids[j],
+                            "neighbor_id": c_ids[sel],
+                            "dot": dots[sel, j],
+                            "cn": c_norms[sel],
+                            "qn": q_norms[j],
+                        }
+                    )
+                )
+            if rows:
+                yield pd.concat(rows, ignore_index=True)
+
+    candidates = with_quantized(corpus, emb_col, id_col).mapInPandas(local_topk, out_schema)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        candidates.withColumn(
+            "cos_sim", cosine_from_ints(F.col("dot"), F.col("qn"), F.col("cn"))
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cos_sim")
+    )
+
+
+def hyperplane_weights(n_planes: int = N_PLANES, dim: int = 64) -> list[list[int]]:
+    """Deterministic pseudo-random integer hyperplanes in [-8, 7].
+
+    Weight (p, i) = first hex digit of md5("p:i") - 8. Pure data —
+    identical constants are inlined into the SQL oracle.
+    """
+    return [
+        [int(hashlib.md5(f"{p}:{i}".encode()).hexdigest()[0], 16) - 8 for i in range(dim)]
+        for p in range(n_planes)
+    ]
+
+
+def lsh_bucket(qe: Column, planes: list[list[int]]) -> Column:
+    """Signed-projection bucket id in [0, 2^n_planes)."""
+    bucket = F.lit(0)
+    for p, w in enumerate(planes):
+        wlit = F.array(*[F.lit(v).cast("bigint") for v in w])
+        bit = F.when(dot_long_vec(qe, wlit) >= 0, F.lit(2**p)).otherwise(F.lit(0))
+        bucket = bucket + bit
+    return bucket
+
+
+def lsh_buckets(
+    df: DataFrame, emb_col: str, id_col: str, planes: list[list[int]] | None = None
+) -> DataFrame:
+    planes = planes or hyperplane_weights()
+    q = with_quantized(df, emb_col, id_col)
+    return q.select(
+        F.col(id_col), F.col("qe"), F.col("nsq"), lsh_bucket(F.col("qe"), planes).alias("bucket")
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k: candidates = same LSH bucket, exact re-rank within.
+
+    Recall < 1 by design (the scale/accuracy trade); the equi-join on
+    bucket replaces the all-pairs comparison, so cost is
+    sum(bucket_size * queries_in_bucket). The re-rank dot products run
+    through the Arrow-vectorized UDF on candidate pairs only.
+    """
+    c = lsh_buckets(corpus, emb_col, id_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("qe").alias("ce"), F.col("nsq").alias("cn"), "bucket"
+    )
+    q = lsh_buckets(queries, emb_col, id_col).select(
+        F.col(id_col).alias("query_id"), F.col("qe"), F.col("nsq").alias("qn"), "bucket"
+    )
+    sims = (
+        c.join(q, "bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("dot", dot_long_vec(F.col("qe"), F.col("ce")))
+        .withColumn("cos_sim", cosine_from_ints(F.col("dot"), F.col("qn"), F.col("cn")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "bucket", "cos_sim")
+    )

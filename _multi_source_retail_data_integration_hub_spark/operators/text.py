@@ -1,0 +1,351 @@
+"""Text-analysis + deduplication operator library (training-data ops).
+
+Everything here is native Column expressions / DataFrame transforms —
+no Python UDFs — so shingling, hashing, and signature computation stay
+inside whole-stage codegen and scale linearly with input partitions.
+
+Determinism/oracle notes (these ops are differentially tested against
+DuckDB, so every primitive is chosen to have an exact SQL twin):
+- tokenization: ``split(text, '\\s+')`` == DuckDB ``string_split_regex``
+- hashing: ``md5`` (lowercase hex in both engines). MinHash uses the
+  *lexicographic min of seeded md5 strings*, a valid permutation-min.
+- hex digit -> int via ``locate(ch, '0123456789abcdef') - 1`` ==
+  DuckDB ``strpos``.
+
+Scale design: shingle explosion is the only row-multiplying step
+(docs x shingles). MinHash aggregates it straight back down with one
+partial-agg shuffle (16 ``min`` aggregates computed map-side). The
+Jaccard self-join uses an inverted index on shingle — never a cross
+join — and drops "stop shingles" whose document frequency exceeds
+``max_shingle_df`` so a hot shingle cannot quadratically blow up the
+join at 100 TB scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HEX = "0123456789abcdef"
+
+# ---------------------------------------------------------------------------
+# Tokenization / shingling
+# ---------------------------------------------------------------------------
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization (== DuckDB string_split_regex(text,'\\s+'))."""
+    return F.split(text if isinstance(text, Column) else F.col(text), r"\s+")
+
+
+def shingles(toks: Column, k: int = 3) -> Column:
+    """k-token shingles as space-joined strings; [] when len(toks) < k."""
+    n = F.size(toks)
+    return F.when(n >= k, F.transform(
+        F.sequence(F.lit(1), n - k + 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    )).otherwise(F.expr("CAST(array() AS array<string>)"))
+
+
+def normalized_text(text: Column) -> Column:
+    """Canonical form for fingerprinting: lowercase, collapsed whitespace."""
+    return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+
+
+# ---------------------------------------------------------------------------
+# Hashing primitives
+# ---------------------------------------------------------------------------
+
+
+def seeded_md5(col: Column, seed: int) -> Column:
+    """One member of the md5 hash family: md5('<seed>:' || value)."""
+    return F.md5(F.concat(F.lit(f"{seed}:"), col))
+
+
+def hex_digit(hash_col: Column, pos: Column | int) -> Column:
+    """Value 0..15 of the 1-indexed hex digit at ``pos`` of an md5 string.
+
+    conv(ch, 16, 10) == DuckDB strpos('0123456789abcdef', ch) - 1.
+    """
+    p = pos if isinstance(pos, Column) else F.lit(pos)
+    return _locate(hash_col.substr(p, F.lit(1)))
+
+
+def _locate(ch: Column) -> Column:
+    return F.conv(ch, 16, 10).cast("int")
+
+
+# ---------------------------------------------------------------------------
+# Exact / canonical dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dup_clusters(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Group identical texts by md5; one row per cluster.
+
+    Columns: text_hash, n_docs, canonical_id (min id), n_sources.
+    One hash-aggregate; at scale this is the cheapest dedup pass and is
+    run before any near-dup machinery to shrink the corpus.
+    """
+    return (
+        df.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min(id_col).alias("canonical_id"),
+        )
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Canonicalized (case/whitespace-insensitive) md5 fingerprint per doc."""
+    return df.select(
+        F.col(id_col),
+        F.md5(normalized_text(F.col(text_col))).alias("fingerprint"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures + LSH bands
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    shingle_k: int = 3,
+    band_size: int = 4,
+) -> DataFrame:
+    """MinHash signature matrix + LSH band hashes, one row per doc.
+
+    The min over a seeded md5 *string* ordering is a valid minhash
+    (each seed induces an independent pseudo-random permutation of the
+    shingle universe). All ``num_hashes`` mins are computed in a single
+    partial-aggregating shuffle — the exploded shingle rows never move
+    untouched across the network.
+    """
+    sh = (
+        df.select(F.col(id_col), F.explode(shingles(tokens(F.col(text_col)), shingle_k)).alias("shingle"))
+        .distinct()
+    )
+    aggs = [
+        F.min(seeded_md5(F.col("shingle"), s)).alias(f"mh{s:02d}")
+        for s in range(num_hashes)
+    ]
+    sig = sh.groupBy(id_col).agg(*aggs)
+    n_bands = num_hashes // band_size
+    band_cols = [
+        F.md5(
+            F.concat_ws("|", *[F.col(f"mh{b * band_size + j:02d}") for j in range(band_size)])
+        ).alias(f"band{b}")
+        for b in range(n_bands)
+    ]
+    return sig.select(F.col(id_col), *[F.col(f"mh{s:02d}") for s in range(num_hashes)], *band_cols)
+
+
+def lsh_candidate_pairs(sig: DataFrame, id_col: str, n_bands: int = 4) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing any LSH band bucket.
+
+    Bands are melted to (band_id, bucket) rows so ONE self-equi-join on
+    (band_id, bucket) covers all bands — the signature pipeline feeding
+    ``sig`` is evaluated twice (join sides), not 2x per band. Never
+    compares all pairs — cost is Σ bucket_size², which LSH keeps small
+    for non-pathological corpora.
+    """
+    melted = sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band_id"), F.col(f"band{b}").alias("bucket"))
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, F.col("bb.band_id").alias("band_id"), F.col("bb.bucket").alias("bucket"))
+    a = melted.select(F.col(id_col).alias("id_a"), "band_id", "bucket")
+    b = melted.select(F.col(id_col).alias("id_b"), "band_id", "bucket")
+    return (
+        a.join(b, ["band_id", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# N-gram Jaccard similarity (inverted-index, no cross join)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_k: int = 3,
+    max_shingle_df: int = 1000,
+) -> DataFrame:
+    """Exact Jaccard over distinct k-shingle sets for all co-shingling pairs.
+
+    Plan: explode distinct shingles -> filter stop-shingles with
+    document frequency > ``max_shingle_df`` (quadratic-blowup guard for
+    100 TB corpora; dropped shingles only *lower* estimated similarity
+    of unrelated docs) -> self-equi-join on shingle (inverted index)
+    -> per-pair intersection count -> join per-doc set sizes ->
+    jaccard = |I| / (|A| + |B| - |I|).
+    """
+    sh = (
+        df.select(F.col(id_col), F.explode(shingles(tokens(F.col(text_col)), shingle_k)).alias("shingle"))
+        .distinct()
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("set_size"))
+    df_counts = sh.groupBy("shingle").agg(F.count("*").alias("doc_freq"))
+    filtered = sh.join(df_counts.where(F.col("doc_freq") <= max_shingle_df), "shingle").select(
+        id_col, "shingle"
+    )
+    a = filtered.select(F.col(id_col).alias("id_a"), "shingle")
+    b = filtered.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_intersect"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("set_size", "size_a"), "id_a")
+        .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("set_size", "size_b"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_intersect",
+            "size_a",
+            "size_b",
+            (
+                F.col("n_intersect")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_intersect"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (16-dimensional, md5-hex-digit projections)
+# ---------------------------------------------------------------------------
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFrame:
+    """Per-doc ``bits``-bit SimHash over whitespace tokens.
+
+    Each token votes +1/-1 on bit i according to whether hex digit i of
+    md5(token) is >= 8 (an unbiased projection). The doc's bit i is the
+    sign of the vote sum; bits pack little-endian into one BIGINT.
+    Two explodes (tokens x bit positions) then two partial-agg
+    groupBys — fully distributed, no UDFs.
+    """
+    toks = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+    toks = toks.withColumn("h", F.md5(F.col("tok")))
+    pos = toks.select(
+        id_col,
+        F.explode(F.sequence(F.lit(1), F.lit(bits))).alias("i"),
+        F.col("h"),
+    )
+    votes = pos.select(
+        id_col,
+        "i",
+        F.when(_locate(F.col("h").substr(F.col("i"), F.lit(1))) >= 8, F.lit(1))
+        .otherwise(F.lit(-1))
+        .alias("vote"),
+    )
+    bit_sums = votes.groupBy(id_col, "i").agg(F.sum("vote").alias("vote_sum"))
+    return (
+        bit_sums.select(
+            id_col,
+            F.when(F.col("vote_sum") >= 0, F.expr("shiftleft(CAST(1 AS BIGINT), CAST(i - 1 AS INT))"))
+            .otherwise(F.lit(0).cast("bigint"))
+            .alias("bit_val"),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("bit_val").alias("simhash"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality / language heuristics
+# ---------------------------------------------------------------------------
+
+STOPWORDS = {
+    "en": ("the", "a", "of", "and", "to"),
+    "es": ("el", "la", "de", "y", "que"),
+    "fr": ("le", "la", "de", "et", "les"),
+    "de": ("der", "die", "und", "das", "ein"),
+    "zh": ("de5", "shi4", "le5", "zai4", "he2"),  # pinyin-ish placeholder forms
+}
+
+
+def _count_in(toks: Column, words: tuple[str, ...]) -> Column:
+    return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+
+def token_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-doc token statistics (all single-pass column expressions)."""
+    t = tokens(F.col(text_col))
+    n = F.size(t)
+    return df.select(
+        F.col(id_col),
+        n.cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(t)).cast("bigint").alias("n_distinct_tokens"),
+        F.length(text_col).cast("bigint").alias("n_chars"),
+        # BPE-ish budget estimate: ~4 chars/token on English-like text.
+        F.ceil(F.length(text_col) / F.lit(4.0)).cast("bigint").alias("n_tokens_bpe_est"),
+        (F.size(F.array_distinct(t)) / n).alias("type_token_ratio"),
+        ((F.length(text_col) - (n - 1)) / n).alias("avg_token_len"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Heuristic quality score in [0,1] + band, per doc.
+
+    Components (each bounded to [0,1], integer counts -> one division,
+    so Spark and any SQL twin agree bit-for-bit): length credit
+    (chars/500 capped), lexical diversity (distinct/total tokens),
+    stopword presence (en stopword ratio scaled by 5, capped).
+    """
+    t = tokens(F.col(text_col))
+    n = F.size(t)
+    len_credit = F.least(F.length(text_col) / F.lit(500.0), F.lit(1.0))
+    diversity = F.size(F.array_distinct(t)) / n
+    stop_ratio = _count_in(t, STOPWORDS["en"]) / n
+    stop_credit = F.least(stop_ratio * 5, F.lit(1.0))
+    score = (len_credit + diversity + stop_credit) / 3
+    return df.select(
+        F.col(id_col),
+        score.alias("quality_score"),
+        F.when(score >= 0.75, "high")
+        .when(score >= 0.5, "medium")
+        .otherwise("low")
+        .alias("quality_band"),
+    )
+
+
+def language_votes(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Stopword-profile language ID: argmax of per-language stopword hits.
+
+    Deterministic tie-break: language order en > es > fr > de > zh,
+    encoded as a greatest-of-structs comparison both here and in the
+    SQL oracle. ``unknown`` when no profile matches at all.
+    """
+    t = tokens(F.col(text_col))
+    langs = list(STOPWORDS)
+    scored = df.select(
+        F.col(id_col),
+        *[_count_in(t, STOPWORDS[lang]).alias(f"hits_{lang}") for lang in langs],
+    )
+    # predicted = first language (in fixed order) achieving the max hits
+    max_hits = F.greatest(*[F.col(f"hits_{lang}") for lang in langs])
+    pred = F.lit("unknown")
+    for lang in reversed(langs):
+        pred = F.when(F.col(f"hits_{lang}") == max_hits, F.lit(lang)).otherwise(pred)
+    pred = F.when(max_hits > 0, pred).otherwise(F.lit("unknown"))
+    return scored.select(F.col(id_col), pred.alias("predicted_lang"))

@@ -1,0 +1,161 @@
+"""Event/time-series query surface over the ``events`` table
+(event_id, ts TIMESTAMP, user_id, event_type, value DOUBLE, props JSON):
+
+- q29: tumbling daily windows (batch twin of the streaming job in
+  streaming/jobs.py — identical results by construction)
+- q30: sessionization (gaps-and-islands, 12 h inactivity gap)
+- q31: sliding 7-day windows advancing 1 day
+
+Determinism: window boundaries are epoch-aligned day boundaries in both
+engines; session ordering ties break on (ts, event_id); money-style
+sums go through DECIMAL(18,2); time arithmetic uses exact integer
+microseconds (Spark ``unix_micros`` == DuckDB ``epoch_us``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.testdata import load_table
+from .registry import query
+
+SESSION_GAP_US = 12 * 3600 * 1_000_000  # 12 hours of inactivity ends a session
+
+DEC = "decimal(18,2)"
+
+
+def _dsum(col: str):
+    return F.sum(F.col(col).cast(DEC)).cast("double")
+
+
+# ---------------------------------------------------------------------------
+# q29 — tumbling 1-day windows by event_type
+# ---------------------------------------------------------------------------
+@query(
+    "q29_tumbling_daily",
+    oracle="""
+    SELECT date_trunc('day', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q29_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            _dsum("value").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "n_users",
+            "total_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q30 — sessionization: 12 h-gap islands per user
+# At scale this is one shuffle on user_id (the window partition key);
+# the streaming twin (streaming/jobs.py) keeps the same semantics with
+# session_window + watermark instead of a LAG scan.
+# ---------------------------------------------------------------------------
+@query(
+    "q30_sessionization",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, value,
+             epoch_us(ts) AS ts_us,
+             LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+      FROM events
+    ),
+    flagged AS (
+      SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > {SESSION_GAP_US}
+                     THEN 1 ELSE 0 END AS is_new
+      FROM ordered
+    ),
+    sessions AS (
+      SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM flagged
+    )
+    SELECT user_id, session_seq,
+           MIN(ts) AS session_start,
+           COUNT(*) AS n_events,
+           (MAX(ts_us) - MIN(ts_us)) / 1000000.0 AS duration_secs,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM sessions
+    GROUP BY 1, 2
+    """,
+)
+def q30_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.unix_micros("ts").alias("ts_us"),
+        F.lag(F.unix_micros("ts")).over(order).alias("prev_us"),
+    ).withColumn(
+        "is_new",
+        F.when(
+            F.col("prev_us").isNull() | (F.col("ts_us") - F.col("prev_us") > SESSION_GAP_US),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sessions = flagged.withColumn("session_seq", F.sum("is_new").over(cum))
+    return sessions.groupBy("user_id", "session_seq").agg(
+        F.min("ts").alias("session_start"),
+        F.count("*").alias("n_events"),
+        ((F.max("ts_us") - F.min("ts_us")) / 1_000_000.0).alias("duration_secs"),
+        _dsum("value").alias("total_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q31 — sliding windows: 7-day span advancing 1 day, by event_type
+# ---------------------------------------------------------------------------
+@query(
+    "q31_sliding_weekly",
+    oracle="""
+    WITH expanded AS (
+      SELECT date_trunc('day', ts) - to_days(CAST(k AS INT)) AS window_start,
+             event_type, user_id, value
+      FROM events, unnest(range(0, 7)) AS t(k)
+    )
+    SELECT window_start, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM expanded
+    GROUP BY 1, 2
+    """,
+)
+def q31_sliding_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "7 days", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            _dsum("value").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )

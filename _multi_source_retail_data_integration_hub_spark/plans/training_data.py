@@ -1,0 +1,357 @@
+"""Training-data pipeline query surface over the ``documents`` table:
+deduplication (exact, fingerprint, MinHash+LSH, n-gram Jaccard,
+SimHash) and text analysis (token stats, quality scoring, language ID).
+
+The sf corpus contains no duplicate texts, so dedup queries build
+augmented corpora *inside the query* (a second "crawl snapshot", a
+truncated mutation, a case/whitespace-noised variant) to guarantee the
+operators have real clusters to find; the construction is mirrored
+exactly in each DuckDB oracle.
+
+Scale notes: every operator here is explode -> partial-agg shuffle or
+inverted-index equi-join (never a cross join); see
+operators/text.py docstrings for the 100 TB rationale of each.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import text as T
+from ..sources.testdata import load_table
+from .registry import query
+
+OFFSET = 100_000  # id offset for synthetic second-snapshot docs
+
+# Token-list SQL fragments shared by the oracles (DuckDB dialect).
+_TOKS = r"string_split_regex(text, '\s+')"
+_SHINGLES = (
+    rf"list_transform(range(1, len({_TOKS}) - 1), "
+    rf"i -> array_to_string(list_slice({_TOKS}, i, i + 2), ' '))"
+)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _doubled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two identical crawl snapshots: every text appears twice."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return d.unionByName(d.select((F.col("doc_id") + OFFSET).alias("doc_id"), "text"))
+
+
+def _mutated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Originals plus a near-duplicate mutation (last 5 tokens dropped)
+    of every doc longer than 15 tokens — guaranteed high-Jaccard pairs."""
+    d = _docs(spark, sf_dir).select(F.col("doc_id").alias("id"), "text")
+    toks = T.tokens(F.col("text"))
+    n = F.size(toks)
+    mut = (
+        d.where(n > 15)
+        .select(
+            (F.col("id") + OFFSET).alias("id"),
+            F.concat_ws(" ", F.slice(toks, 1, n - 5)).alias("text"),
+        )
+    )
+    return d.unionByName(mut)
+
+
+_MUTATED_SQL = f"""
+  SELECT doc_id AS id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {OFFSET} AS id,
+         array_to_string(list_slice({_TOKS}, 1, len({_TOKS}) - 5), ' ') AS text
+  FROM documents
+  WHERE len({_TOKS}) > 15
+"""
+
+
+# ---------------------------------------------------------------------------
+# q17 — exact deduplication (hash-groupBy over a doubled corpus)
+# Capability class: exact dedup for training corpora; the cheapest pass,
+# always run before near-dup machinery.
+# ---------------------------------------------------------------------------
+@query(
+    "q17_exact_dedup",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + {OFFSET} AS doc_id, text FROM documents
+    )
+    SELECT md5(text) AS text_hash,
+           COUNT(*) AS n_docs,
+           MIN(doc_id) AS canonical_id
+    FROM corpus GROUP BY 1
+    """,
+)
+def q17_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.exact_dup_clusters(_doubled(spark, sf_dir), "text", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q18 — per-document token statistics (whitespace + BPE-estimate counting)
+# ---------------------------------------------------------------------------
+@query(
+    "q18_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct({_TOKS})) AS BIGINT) AS n_distinct_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_tokens_bpe_est,
+           len(list_distinct({_TOKS})) / len({_TOKS}) AS type_token_ratio,
+           (length(text) - (len({_TOKS}) - 1)) / len({_TOKS}) AS avg_token_len
+    FROM documents
+    """,
+)
+def q18_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.token_stats(_docs(spark, sf_dir), "text", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q19 — heuristic quality scoring per document
+# ---------------------------------------------------------------------------
+@query(
+    "q19_quality_score",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id,
+             least(length(text) / 500.0, 1.0) AS len_credit,
+             len(list_distinct({_TOKS})) / len({_TOKS}) AS diversity,
+             least(len(list_filter({_TOKS},
+                     t -> t IN ('the','a','of','and','to'))) / len({_TOKS}) * 5,
+                   1.0) AS stop_credit
+      FROM documents
+    )
+    SELECT doc_id,
+           (len_credit + diversity + stop_credit) / 3 AS quality_score,
+           CASE WHEN (len_credit + diversity + stop_credit) / 3 >= 0.75 THEN 'high'
+                WHEN (len_credit + diversity + stop_credit) / 3 >= 0.5 THEN 'medium'
+                ELSE 'low' END AS quality_band
+    FROM m
+    """,
+)
+def q19_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.quality_score(_docs(spark, sf_dir), "text", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q20 — stopword-profile language ID, reported as a confusion matrix
+# against the labeled ``lang`` column.
+# ---------------------------------------------------------------------------
+def _hits_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in T.STOPWORDS[lang])
+    return f"len(list_filter({_TOKS}, t -> t IN ({words})))"
+
+
+@query(
+    "q20_lang_id_confusion",
+    oracle=f"""
+    WITH scored AS (
+      SELECT lang,
+             {_hits_sql('en')} AS hits_en,
+             {_hits_sql('es')} AS hits_es,
+             {_hits_sql('fr')} AS hits_fr,
+             {_hits_sql('de')} AS hits_de,
+             {_hits_sql('zh')} AS hits_zh
+      FROM documents
+    ), pred AS (
+      SELECT lang,
+             CASE WHEN greatest(hits_en, hits_es, hits_fr, hits_de, hits_zh) = 0
+                    THEN 'unknown'
+                  WHEN hits_en = greatest(hits_en, hits_es, hits_fr, hits_de, hits_zh) THEN 'en'
+                  WHEN hits_es = greatest(hits_en, hits_es, hits_fr, hits_de, hits_zh) THEN 'es'
+                  WHEN hits_fr = greatest(hits_en, hits_es, hits_fr, hits_de, hits_zh) THEN 'fr'
+                  WHEN hits_de = greatest(hits_en, hits_es, hits_fr, hits_de, hits_zh) THEN 'de'
+                  ELSE 'zh' END AS predicted_lang
+      FROM scored
+    )
+    SELECT lang AS actual_lang, predicted_lang, COUNT(*) AS n_docs
+    FROM pred GROUP BY 1, 2
+    """,
+)
+def q20_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    pred = T.language_votes(docs, "text", "doc_id")
+    return (
+        docs.select("doc_id", F.col("lang").alias("actual_lang"))
+        .join(pred, "doc_id")
+        .groupBy("actual_lang", "predicted_lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q21 — canonical-fingerprint dedup (case/whitespace-insensitive), over a
+# corpus noised with uppercased, double-spaced variants.
+# ---------------------------------------------------------------------------
+@query(
+    "q21_fingerprint_dedup",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + {OFFSET} AS doc_id, replace(upper(text), ' ', '  ') AS text
+      FROM documents
+    )
+    SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+           COUNT(*) AS n_docs,
+           MIN(doc_id) AS canonical_id
+    FROM corpus GROUP BY 1
+    """,
+)
+def q21_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    noised = d.select(
+        (F.col("doc_id") + OFFSET).alias("doc_id"),
+        F.replace(F.upper(F.col("text")), F.lit(" "), F.lit("  ")).alias("text"),
+    )
+    corpus = d.unionByName(noised)
+    return (
+        T.fingerprint(corpus, "text", "doc_id")
+        .groupBy("fingerprint")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("canonical_id"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q22 — n-gram (3-token shingle) Jaccard near-dup pairs via inverted-index
+# self-join; threshold 0.5 keeps only true near-dups.
+# Exact all-pairs Jaccard is inherently ~quadratic in co-shingling docs,
+# so this exact variant runs on a deterministic 1-in-5 sample (the id
+# offset is a multiple of 5, so original/mutation pairs survive); the
+# full-corpus scale path is q24 (LSH candidates) -> exact verify.
+# ---------------------------------------------------------------------------
+@query(
+    "q22_ngram_jaccard",
+    oracle=f"""
+    WITH corpus0 AS ({_MUTATED_SQL}),
+    corpus AS (SELECT * FROM corpus0 WHERE id % 5 = 0),
+    sh AS (
+      SELECT DISTINCT id, unnest({_SHINGLES}) AS shingle FROM corpus
+    ),
+    sizes AS (SELECT id, COUNT(*) AS set_size FROM sh GROUP BY 1),
+    freq AS (SELECT shingle, COUNT(*) AS doc_freq FROM sh GROUP BY 1),
+    filtered AS (
+      SELECT s.id, s.shingle FROM sh s
+      JOIN freq f USING (shingle) WHERE f.doc_freq <= 1000
+    ),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_intersect
+      FROM filtered a JOIN filtered b USING (shingle)
+      WHERE a.id < b.id GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, n_intersect,
+           sa.set_size AS size_a, sb.set_size AS size_b,
+           n_intersect / (sa.set_size + sb.set_size - n_intersect) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.id = id_a
+    JOIN sizes sb ON sb.id = id_b
+    WHERE n_intersect / (sa.set_size + sb.set_size - n_intersect) >= 0.5
+    """,
+)
+def q22_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _mutated(spark, sf_dir).where(F.col("id") % 5 == 0)
+    pairs = T.ngram_jaccard_pairs(corpus, "text", "id")
+    return pairs.where(F.col("jaccard") >= 0.5)
+
+
+# ---------------------------------------------------------------------------
+# q23 — MinHash signature matrix + LSH band hashes (16 hashes, 4 bands)
+# ---------------------------------------------------------------------------
+def _minhash_sql() -> str:
+    mins = ",\n             ".join(
+        f"MIN(md5('{s}:' || shingle)) AS mh{s:02d}" for s in range(16)
+    )
+    bands = ",\n           ".join(
+        "md5(" + " || '|' || ".join(f"mh{b * 4 + j:02d}" for j in range(4)) + f") AS band{b}"
+        for b in range(4)
+    )
+    cols = ", ".join(f"mh{s:02d}" for s in range(16))
+    return f"""
+    WITH corpus AS ({_MUTATED_SQL}),
+    sh AS (SELECT DISTINCT id, unnest({_SHINGLES}) AS shingle FROM corpus),
+    sig AS (
+      SELECT id,
+             {mins}
+      FROM sh GROUP BY id
+    )
+    SELECT id, {cols},
+           {bands}
+    FROM sig
+    """
+
+
+@query("q23_minhash_signatures", oracle=_minhash_sql())
+def q23_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.minhash_signatures(_mutated(spark, sf_dir), "text", "id")
+
+
+# ---------------------------------------------------------------------------
+# q24 — LSH candidate pairs (docs sharing >= 1 of 4 minhash bands)
+# ---------------------------------------------------------------------------
+def _lsh_sql() -> str:
+    mins = ",\n             ".join(
+        f"MIN(md5('{s}:' || shingle)) AS mh{s:02d}" for s in range(16)
+    )
+    bands = ",\n           ".join(
+        "md5(" + " || '|' || ".join(f"mh{b * 4 + j:02d}" for j in range(4)) + f") AS band{b}"
+        for b in range(4)
+    )
+    per_band = "\n      UNION\n".join(
+        f"""      SELECT a.id AS id_a, b.id AS id_b
+      FROM sig a JOIN sig b ON a.band{b} = b.band{b} AND a.id < b.id"""
+        for b in range(4)
+    )
+    return f"""
+    WITH corpus AS ({_MUTATED_SQL}),
+    sh AS (SELECT DISTINCT id, unnest({_SHINGLES}) AS shingle FROM corpus),
+    sig0 AS (
+      SELECT id,
+             {mins}
+      FROM sh GROUP BY id
+    ),
+    sig AS (
+      SELECT id,
+           {bands}
+      FROM sig0
+    )
+{per_band}
+    """
+
+
+@query("q24_lsh_candidates", oracle=_lsh_sql())
+def q24_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = T.minhash_signatures(_mutated(spark, sf_dir), "text", "id")
+    return T.lsh_candidate_pairs(sig, "id")
+
+
+# ---------------------------------------------------------------------------
+# q25 — 16-bit SimHash per document (md5-hex-digit projections)
+# ---------------------------------------------------------------------------
+@query(
+    "q25_simhash",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+    ),
+    h AS (SELECT doc_id, md5(tok) AS h FROM toks),
+    pos AS (SELECT doc_id, h, unnest(range(1, 17)) AS i FROM h),
+    votes AS (
+      SELECT doc_id, i,
+             CASE WHEN strpos('0123456789abcdef', substr(h, CAST(i AS INT), 1)) - 1 >= 8
+                  THEN 1 ELSE -1 END AS vote
+      FROM pos
+    ),
+    bitsums AS (SELECT doc_id, i, SUM(vote) AS vs FROM votes GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN vs >= 0 THEN CAST(1 AS BIGINT) << CAST(i - 1 AS INT)
+                         ELSE 0 END) AS BIGINT) AS simhash
+    FROM bitsums GROUP BY 1
+    """,
+)
+def q25_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.simhash(_docs(spark, sf_dir), "text", "doc_id")

@@ -1,0 +1,166 @@
+"""Unit tests for the training-data operator libraries
+(operators/text.py, operators/similarity.py) on tiny in-memory frames.
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from _multi_source_retail_data_integration_hub_spark.operators import similarity as S
+from _multi_source_retail_data_integration_hub_spark.operators import text as T
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the sleepy dog"),  # near dup
+        (4, "completely different tokens here entirely unrelated words now"),
+        (5, "a b"),  # shorter than shingle width
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_shingles_and_tokens(spark):
+    df = spark.createDataFrame([("a b c d",)], "text string")
+    out = df.select(
+        T.tokens("text").alias("t"), T.shingles(T.tokens("text"), 3).alias("s")
+    ).first()
+    assert out.t == ["a", "b", "c", "d"]
+    assert out.s == ["a b c", "b c d"]
+
+
+def test_shingles_short_doc_empty(docs):
+    out = (
+        docs.where(F.col("doc_id") == 5)
+        .select(T.shingles(T.tokens(F.col("text")), 3).alias("s"))
+        .first()
+    )
+    assert out.s == []
+
+
+def test_exact_dup_clusters(docs):
+    clusters = {r.canonical_id: r.n_docs for r in T.exact_dup_clusters(docs, "text", "doc_id").collect()}
+    assert clusters[1] == 2  # docs 1 and 2 collapse
+    assert clusters[3] == 1
+    assert sum(clusters.values()) == 5
+
+
+def test_fingerprint_normalizes_case_and_whitespace(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "other")],
+        "doc_id long, text string",
+    )
+    fps = {r.doc_id: r.fingerprint for r in T.fingerprint(df, "text", "doc_id").collect()}
+    assert fps[1] == fps[2] != fps[3]
+
+
+def test_minhash_identical_docs_share_signature(docs):
+    sig = T.minhash_signatures(docs.where(F.col("doc_id") <= 3), "text", "doc_id")
+    rows = {r.doc_id: r for r in sig.collect()}
+    for s in range(16):
+        assert rows[1][f"mh{s:02d}"] == rows[2][f"mh{s:02d}"]
+    # near-dup docs share at least one of the 4 LSH bands w.h.p. — but
+    # assert only the deterministic part: exact dups share all bands.
+    assert all(rows[1][f"band{b}"] == rows[2][f"band{b}"] for b in range(4))
+
+
+def test_lsh_candidates_contain_exact_dup_pair(docs):
+    sig = T.minhash_signatures(docs.where(F.col("doc_id") <= 4), "text", "doc_id")
+    pairs = {(r.id_a, r.id_b) for r in T.lsh_candidate_pairs(sig, "doc_id").collect()}
+    assert (1, 2) in pairs
+
+
+def test_ngram_jaccard_values(docs):
+    pairs = {
+        (r.id_a, r.id_b): r
+        for r in T.ngram_jaccard_pairs(docs.where(F.col("doc_id") <= 4), "text", "doc_id").collect()
+    }
+    exact = pairs[(1, 2)]
+    assert exact.jaccard == 1.0 and exact.size_a == exact.size_b == exact.n_intersect
+    near = pairs[(1, 3)]
+    assert 0.0 < near.jaccard < 1.0
+    assert (1, 4) not in pairs  # no shared shingles -> no pair emitted
+
+
+def test_simhash_deterministic_and_bounded(docs):
+    out = {r.doc_id: r.simhash for r in T.simhash(docs, "text", "doc_id").collect()}
+    assert out[1] == out[2]
+    assert all(0 <= v < 2**16 for v in out.values())
+
+
+def test_token_stats(spark):
+    df = spark.createDataFrame([(1, "aa bb aa")], "doc_id long, text string")
+    r = T.token_stats(df, "text", "doc_id").first()
+    assert r.n_tokens == 3 and r.n_distinct_tokens == 2
+    assert r.n_chars == 8 and r.n_tokens_bpe_est == 2
+    assert r.avg_token_len == 2.0
+
+
+def test_quality_and_lang(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the mat and the dog ran to a tree"),
+         (2, "el la de y que el la de y que")],
+        "doc_id long, text string",
+    )
+    q = {r.doc_id: r for r in T.quality_score(df, "text", "doc_id").collect()}
+    assert 0.0 <= q[1].quality_score <= 1.0
+    langs = {r.doc_id: r.predicted_lang for r in T.language_votes(df, "text", "doc_id").collect()}
+    assert langs[1] == "en" and langs[2] == "es"
+
+
+# ---------------------------------------------------------------------------
+# similarity operators
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0, 0.0]),   # close to 1
+        (3, [0.0, 1.0, 0.0, 0.0]),   # orthogonal to 1
+        (4, [-1.0, 0.0, 0.0, 0.0]),  # opposite of 1
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_quantize_and_dot(spark):
+    df = spark.createDataFrame([([0.5, -0.25],)], "e array<float>")
+    r = df.select(
+        S.quantized(F.col("e")).alias("q"),
+        S.dot_long(S.quantized(F.col("e")), S.quantized(F.col("e"))).alias("d"),
+    ).first()
+    assert r.q == [500, -250]
+    assert r.d == 500 * 500 + 250 * 250
+
+
+def test_brute_force_topk_ordering(vecs):
+    out = S.brute_force_topk(vecs, vecs.where(F.col("vec_id") == 1), k=3)
+    rows = sorted(out.collect(), key=lambda r: r.rank)
+    assert [r.neighbor_id for r in rows] == [2, 3, 4]
+    assert rows[0].cos_sim == pytest.approx(0.9 / math.sqrt(0.81 + 0.01), abs=1e-3)
+    assert rows[2].cos_sim == pytest.approx(-1.0, abs=1e-6)
+
+
+def test_lsh_bucket_range_and_self_consistency(vecs):
+    out = {r.vec_id: r.bucket for r in S.lsh_buckets(vecs, "embedding", "vec_id").collect()}
+    assert all(0 <= b < 2**S.N_PLANES for b in out.values())
+    # identical vectors must land in the same bucket
+    dup = S.lsh_buckets(
+        vecs.union(vecs.withColumn("vec_id", F.col("vec_id") + 10)), "embedding", "vec_id"
+    )
+    pairs = {r.vec_id: r.bucket for r in dup.collect()}
+    for vid in (1, 2, 3, 4):
+        assert pairs[vid] == pairs[vid + 10]
+
+
+def test_lsh_topk_subset_of_exact(vecs):
+    # every ANN result must also be a brute-force result when k == corpus
+    ann = S.lsh_topk(vecs, vecs.where(F.col("vec_id") == 1), k=4)
+    exact = S.brute_force_topk(vecs, vecs.where(F.col("vec_id") == 1), k=4)
+    ann_ids = {r.neighbor_id for r in ann.collect()}
+    exact_ids = {r.neighbor_id for r in exact.collect()}
+    assert ann_ids <= exact_ids
