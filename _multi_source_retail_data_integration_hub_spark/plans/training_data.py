@@ -325,7 +325,10 @@ def _lsh_sql() -> str:
 
 @query("q24_lsh_candidates", oracle=_lsh_sql())
 def q24_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sig = T.minhash_signatures(_mutated(spark, sf_dir), "text", "id")
+    # Persist the signature matrix: both sides of the candidate
+    # self-join read it, and it is tiny relative to the shingle
+    # explosion that produces it (at cluster scale you'd checkpoint it).
+    sig = T.minhash_signatures(_mutated(spark, sf_dir), "text", "id").persist()
     return T.lsh_candidate_pairs(sig, "id")
 
 

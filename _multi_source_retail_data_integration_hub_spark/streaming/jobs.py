@@ -1,0 +1,170 @@
+"""Structured Streaming jobs over the ``events`` stream table.
+
+The reference has no streaming surface (SURVEY §2.10) — its closest
+analogue is the daily Airflow batch. This module is the scale
+extension SURVEY §7.2.7 calls for: the same event-window semantics as
+the batch queries in plans/events_ts.py, expressed as incremental
+streaming plans with watermarks, so a cluster can keep the marts hot
+instead of recomputing them nightly.
+
+Each job is (stream_df) -> stream_df so callers choose source + sink;
+``read_events_stream`` wires the testdata parquet as a file-stream
+source and ``run_available_now`` drains it to an in-memory table for
+tests / local verification (trigger=availableNow processes the full
+backlog then stops — the streaming plan, batch-equivalent results).
+
+Batch equivalence: tumbling/sliding windows match q29/q31 exactly.
+Sessionization uses ``session_window`` whose gap boundary is
+closed-open (an event at exactly gap seconds starts a NEW session)
+while the batch LAG-islands twin (q30) uses strict ``>`` — identical
+results unless two events are exactly the gap apart (sub-microsecond
+improbable on real timestamps; documented deviation).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+DEC = "decimal(18,2)"
+
+# events.parquet stores ts as TIMESTAMP(NANOS); with
+# spark.sql.legacy.parquet.nanosAsLong the file reads as bigint nanos
+# (same convention as sources/testdata.py).
+EVENTS_FILE_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-stream source over the events parquet (nanos -> micros)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_FILE_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _dsum(col: str):
+    return F.sum(F.col(col).cast(DEC)).cast("double")
+
+
+def tumbling_daily(events: DataFrame, watermark: str = "1 day") -> DataFrame:
+    """Streaming twin of q29_tumbling_daily (plans/events_ts.py)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.approx_count_distinct("user_id").alias("n_users_approx"),
+            _dsum("value").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "n_users_approx",
+            "total_value",
+        )
+    )
+
+
+def sliding_weekly(events: DataFrame, watermark: str = "1 day") -> DataFrame:
+    """Streaming twin of q31_sliding_weekly."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "7 days", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), _dsum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sessionized(events: DataFrame, gap: str = "12 hours", watermark: str = "1 day") -> DataFrame:
+    """Streaming sessionization via native session_window state.
+
+    State per (user, open session); watermark bounds state retention —
+    the two knobs that make this run forever on an unbounded stream.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            _dsum("value").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            "user_id",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def deduped_events(events: DataFrame, watermark: str = "1 day") -> DataFrame:
+    """Streaming exact dedup on event_id with watermark-bounded state.
+
+    The streaming counterpart of q17's batch hash-dedup: late duplicate
+    events beyond the watermark are expired from state (at-least-once
+    upstream -> effectively-once downstream within the watermark).
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
+def run_available_now(
+    stream_df: DataFrame, table_name: str, output_mode: str = "complete", timeout: int = 300
+) -> None:
+    """Drain the full backlog into an in-memory table, then stop.
+
+    ``complete`` mode emits every window (including still-open ones) so
+    results are directly comparable to the batch twins; production
+    sinks would use append mode + checkpointLocation instead.
+    """
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout)
+
+
+def write_stream_parquet(
+    stream_df: DataFrame, path: str, checkpoint_dir: str, partition_by: tuple[str, ...] = ()
+) -> "object":
+    """Production-shaped sink: append-mode partitioned parquet with
+    exactly-once checkpointing. Returns the StreamingQuery handle."""
+    writer = (
+        stream_df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", os.path.join(checkpoint_dir, "cp"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+    )
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    return writer.start()

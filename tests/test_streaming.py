@@ -1,0 +1,78 @@
+"""Structured Streaming jobs: drain the events backlog with
+trigger=availableNow and assert batch equivalence against the
+plans/events_ts.py twins (SURVEY §2.10 — streaming is our scale
+extension; the reference has none).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from _multi_source_retail_data_integration_hub_spark.plans.events_ts import (
+    q29_tumbling_daily,
+    q30_sessionization,
+    q31_sliding_weekly,
+)
+from _multi_source_retail_data_integration_hub_spark.sources.testdata import load_table
+from _multi_source_retail_data_integration_hub_spark.streaming import jobs
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_stream(spark):
+    return jobs.read_events_stream(spark, SF_DIR)
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_tumbling_daily_matches_batch(spark, events_stream):
+    jobs.run_available_now(jobs.tumbling_daily(events_stream), "t_tumbling")
+    got = spark.table("t_tumbling")
+    want = q29_tumbling_daily(spark, SF_DIR)
+    cols = ["window_start", "event_type", "n_events", "total_value"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_sliding_weekly_matches_batch(spark, events_stream):
+    jobs.run_available_now(jobs.sliding_weekly(events_stream), "t_sliding")
+    got = spark.table("t_sliding")
+    want = q31_sliding_weekly(spark, SF_DIR)
+    cols = ["window_start", "event_type", "n_events", "total_value"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_sessionized_matches_batch_islands(spark, events_stream):
+    jobs.run_available_now(jobs.sessionized(events_stream), "t_sessions")
+    got = spark.table("t_sessions")
+    want = q30_sessionization(spark, SF_DIR)
+    cols_got = ["session_start", "user_id", "n_events", "total_value"]
+    cols_want = ["session_start", "user_id", "n_events", "total_value"]
+    assert _rows(got, cols_got) == _rows(
+        want.select(
+            F.col("session_start"), "user_id", "n_events", "total_value"
+        ),
+        cols_want,
+    )
+
+
+def test_dedup_stream_drops_duplicates(spark, events_stream):
+    jobs.run_available_now(jobs.deduped_events(events_stream), "t_dedup", output_mode="append")
+    got = spark.table("t_dedup")
+    n_events = load_table(spark, SF_DIR, "events").count()
+    assert got.count() == n_events  # source has unique event_ids
+    assert got.select("event_id").distinct().count() == n_events
+
+
+def test_parquet_sink_partitioned(spark, events_stream, tmp_path):
+    out = str(tmp_path / "out")
+    q = jobs.write_stream_parquet(
+        jobs.deduped_events(events_stream), out, str(tmp_path), partition_by=("event_type",)
+    )
+    q.awaitTermination(300)
+    written = spark.read.parquet(out)
+    assert written.count() == load_table(spark, SF_DIR, "events").count()
+    import os
+
+    assert any(d.startswith("event_type=") for d in os.listdir(out))
