@@ -1,0 +1,124 @@
+"""Lazy E->T->L pipeline driver with the reference's validation gates.
+
+Mirror of etl/pipeline.py:48-157 (stage orchestration + stats) and the
+Airflow DAG's quality gates (dags/retail_etl_dag.py:251-437), with one
+structural upgrade: stages hand each other *unevaluated DataFrames*
+(Catalyst plans), so nothing is computed twice — the reference's DAG
+re-runs extract+transform inside every task because pandas frames can't
+cross task boundaries (dags/retail_etl_dag.py:290-297,369-377).
+
+Gate thresholds are the DAG's own (dags/retail_etl_dag.py:327-332):
+stg_retail_sales >= 100, dim_customer >= 10, dim_date >= 365,
+fact_sales >= 100 — configurable for test fixtures. Counts for the
+gates come from ONE pass: the tables are persisted before counting so
+the subsequent writes reuse the gate computation instead of rebuilding
+the lineage.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources import sinks
+from . import retail
+
+
+class PipelineGateError(RuntimeError):
+    """A validation gate failed (AirflowFailException analogue)."""
+
+
+DEFAULT_THRESHOLDS = {
+    "stg_retail_sales": 100,
+    "dim_customer": 10,
+    "dim_date": 365,
+    "fact_sales": 100,
+}
+
+
+@dataclass
+class PipelineResult:
+    counts: dict[str, int] = field(default_factory=dict)
+    durations: dict[str, float] = field(default_factory=dict)
+    status: str = "success"
+    run_id: str = ""
+
+
+def validate_extract(raw_sales: DataFrame) -> int:
+    """Extract gate: retail rows > 0 hard-fails (retail_etl_dag.py:271-274)."""
+    n = raw_sales.count()
+    if n == 0:
+        raise PipelineGateError("extract gate: retail source returned 0 rows")
+    return n
+
+
+def validate_transform(tables: dict[str, DataFrame], thresholds: dict[str, int]) -> dict[str, int]:
+    """Transform gate: minimum row counts (retail_etl_dag.py:327-332)."""
+    counts = {name: df.count() for name, df in tables.items()}
+    failures = [
+        f"{name}: {counts.get(name, 0)} < {min_rows}"
+        for name, min_rows in thresholds.items()
+        if counts.get(name, 0) < min_rows
+    ]
+    if failures:
+        raise PipelineGateError("transform gate failed: " + "; ".join(failures))
+    return counts
+
+
+def validate_load(spark: SparkSession, database: str, tables: list[str]) -> None:
+    """Load gate: every table non-empty post-write (retail_etl_dag.py:428-432)."""
+    empty = [t for t in tables if spark.table(f"{database}.{t}").limit(1).count() == 0]
+    if empty:
+        raise PipelineGateError(f"load gate failed: empty tables {empty}")
+
+
+def run_pipeline(
+    spark: SparkSession,
+    raw_sales: DataFrame,
+    raw_products: DataFrame,
+    api_categories: DataFrame,
+    database: str = "retail_dw",
+    run_ts: str = "2024-01-01 00:00:00",
+    thresholds: dict[str, int] | None = None,
+    skip_load: bool = False,
+) -> PipelineResult:
+    """Extract -> transform -> gate -> load -> gate -> audit log."""
+    thresholds = DEFAULT_THRESHOLDS if thresholds is None else thresholds
+    result = PipelineResult(run_id=sinks.current_run_id())
+    t0 = time.perf_counter()
+
+    rows_extracted = validate_extract(raw_sales)
+    result.durations["extract"] = time.perf_counter() - t0
+
+    t1 = time.perf_counter()
+    tables = retail.build_warehouse(raw_sales, raw_products, api_categories, run_ts=run_ts)
+    # Persist before the gate counts so the writes below reuse the same
+    # computed partitions instead of rebuilding each table's lineage.
+    for df in tables.values():
+        df.persist()
+    result.counts = validate_transform(tables, thresholds)
+    result.durations["transform"] = time.perf_counter() - t1
+
+    if not skip_load:
+        t2 = time.perf_counter()
+        sinks.bootstrap_warehouse(spark, database)
+        for name, df in tables.items():
+            sinks.write_warehouse_table(df, name, database=database)
+        validate_load(spark, database, list(tables))
+        sinks.append_run_log(
+            spark,
+            run_id=result.run_id,
+            status="success",
+            rows_extracted=rows_extracted,
+            rows_loaded=sum(result.counts.values()),
+            duration_seconds=time.perf_counter() - t0,
+            database=database,
+        )
+        result.durations["load"] = time.perf_counter() - t2
+
+    for df in tables.values():
+        df.unpersist()
+    result.durations["total"] = time.perf_counter() - t0
+    return result

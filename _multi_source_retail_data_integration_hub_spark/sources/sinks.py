@@ -1,0 +1,153 @@
+"""Warehouse sinks (SURVEY §2.1 S5-S10).
+
+The reference loads pandas frames into BigQuery with explicit schemas
+and WRITE_TRUNCATE/WRITE_APPEND dispositions (etl/load.py:195-239),
+optionally staging through MySQL with row-by-row INSERTs
+(etl/mysql_staging.py:139-173). Here every sink is a Spark writer:
+schema enforcement travels WITH the DataFrame, dispositions map to save
+modes, and the JDBC path batches inserts natively instead of looping.
+
+Scale notes: the fact table writes partitioned by date_key (daily
+pruning at 100 TB — the Spark analogue of the reference's MySQL
+secondary indexes, etl/mysql_staging.py:74-76); marts/dims are small
+and write unpartitioned. ``overwrite`` on a partitioned table with
+``partitionOverwriteMode=dynamic`` replaces only touched partitions —
+the incremental daily-batch story of the Airflow DAG.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# table -> partition columns (fact partitioned for date pruning)
+PARTITIONED_TABLES = {"fact_sales": ("date_key",)}
+
+
+def bootstrap_warehouse(spark: SparkSession, database: str = "retail_dw") -> None:
+    """S6: namespace bootstrap (etl/load.py:42-52's dataset create)."""
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}")
+
+
+def write_warehouse_table(
+    df: DataFrame,
+    name: str,
+    database: str = "retail_dw",
+    mode: str = "overwrite",
+    partition_by: tuple[str, ...] | None = None,
+) -> None:
+    """S5: truncate/append load (etl/load.py:195-239).
+
+    WRITE_TRUNCATE -> mode="overwrite", WRITE_APPEND -> mode="append";
+    the reference's tz-strip (etl/load.py:223-225) is unnecessary here —
+    the session runs with spark.sql.session.timeZone=UTC throughout.
+    """
+    parts = partition_by if partition_by is not None else PARTITIONED_TABLES.get(name, ())
+    writer = df.write.mode(mode)
+    if parts:
+        writer = writer.option("partitionOverwriteMode", "dynamic").partitionBy(*parts)
+    writer.saveAsTable(f"{database}.{name}")
+
+
+def write_parquet(
+    df: DataFrame, path: str, mode: str = "overwrite", partition_by: tuple[str, ...] = ()
+) -> None:
+    """File-based variant of S5 for catalogless deployments."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def jdbc_write(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "overwrite",
+    batch_size: int = 10_000,
+    options: dict[str, str] | None = None,
+) -> None:
+    """S7: RDBMS staging sink (etl/mysql_staging.py:46-186).
+
+    Spark's JDBC writer batches inserts (``batchsize``) and parallelizes
+    by input partition — replacing the reference's 200-line DDL +
+    per-row INSERT loop. Requires the JDBC driver jar on the classpath;
+    callers without one get the standard ClassNotFound analysis error.
+    """
+    writer = (
+        df.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", str(batch_size))
+        .mode(mode)
+    )
+    for k, v in (options or {}).items():
+        writer = writer.option(k, v)
+    writer.save()
+
+
+def jdbc_read(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    partition_column: str | None = None,
+    num_partitions: int = 8,
+    options: dict[str, str] | None = None,
+) -> DataFrame:
+    """S8: RDBMS staging scan (etl/mysql_staging.py:189-200).
+
+    With ``partition_column`` the scan issues ``num_partitions`` range
+    queries in parallel instead of one giant SELECT *.
+    """
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    if partition_column:
+        bounds = (
+            spark.read.format("jdbc")
+            .option("url", url)
+            .option(
+                "dbtable",
+                f"(SELECT MIN({partition_column}) lo, MAX({partition_column}) hi FROM {table}) b",
+            )
+            .load()
+            .first()
+        )
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(bounds["lo"]))
+            .option("upperBound", str(bounds["hi"]))
+            .option("numPartitions", str(num_partitions))
+        )
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+RUN_LOG_SCHEMA = (
+    "run_id string, status string, rows_extracted long, rows_loaded long, "
+    "duration_seconds double, completed_at timestamp"
+)
+
+
+def append_run_log(
+    spark: SparkSession,
+    run_id: str,
+    status: str,
+    rows_extracted: int,
+    rows_loaded: int,
+    duration_seconds: float,
+    database: str = "retail_dw",
+    table: str = "etl_run_log",
+) -> None:
+    """S10: audit-log append (etl/mysql_staging.py:98-109 +
+    dags/retail_etl_dag.py:480-485's JSON run report)."""
+    row = spark.createDataFrame(
+        [(run_id, status, rows_extracted, rows_loaded, float(duration_seconds), None)],
+        RUN_LOG_SCHEMA,
+    ).withColumn("completed_at", F.current_timestamp())
+    row.write.mode("append").saveAsTable(f"{database}.{table}")
+
+
+def current_run_id() -> str:
+    return f"run_{int(time.time() * 1000)}"
