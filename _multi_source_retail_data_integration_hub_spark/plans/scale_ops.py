@@ -1,0 +1,108 @@
+"""Scale-pattern query surface: semi-structured JSON extraction,
+salted (skew-proof) aggregation, and sketch-based approximate
+aggregates over the ``events`` table.
+
+- q33: JSON path extraction from the ``props`` column (the engine's
+  generalization of the reference's nested ``rating`` struct flatten,
+  etl/extract.py:80-83) — native get_json_object, no UDF.
+- q34: two-stage salted aggregation; result-identical to the plain
+  GROUP BY, which IS its oracle — demonstrating that the skew
+  mitigation is semantics-preserving.
+- q35: HLL approx_count_distinct next to the exact count (rows-only
+  check: sketch estimates are engine-specific by design).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import skew
+from ..sources.testdata import load_table
+from .registry import query
+
+DEC = "decimal(18,2)"
+
+
+# ---------------------------------------------------------------------------
+# q33 — JSON property extraction + aggregation
+# ---------------------------------------------------------------------------
+@query(
+    "q33_json_extract",
+    oracle="""
+    SELECT event_type,
+           CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q33_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.withColumn(
+            "k_bucket", F.get_json_object("props", "$.k").cast("bigint") % 10
+        )
+        .groupBy("event_type", "k_bucket")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q34 — salted two-stage aggregation over skewed keys
+# event_type has ~5 values over the whole table: the canonical
+# heavy-hitter shape. The oracle is the PLAIN group-by — proving the
+# salted plan is result-identical.
+# ---------------------------------------------------------------------------
+@query(
+    "q34_salted_agg",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q34_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    out = skew.salted_agg(
+        events,
+        key_cols=["event_type"],
+        aggs={
+            "n_events": F.count("*"),
+            "total_value_dec": F.sum(F.col("value").cast(DEC)),
+        },
+        salt_source="event_id",
+    )
+    return out.select(
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("total_value_dec").cast("double").alias("total_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q35 — sketch vs exact distinct counting (rows-only: HLL estimates are
+# engine-specific; the exact column is the anchor)
+# ---------------------------------------------------------------------------
+@query("q35_approx_distinct")
+def q35_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    agg = events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    return agg.select(
+        "event_type",
+        "approx_users",
+        "exact_users",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            / F.col("exact_users")
+        ).alias("rel_error"),
+    )
