@@ -126,3 +126,67 @@ def q28_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = load_table(spark, sf_dir, "embeddings")
     out = S.lsh_topk(corpus, _queries_df(spark, sf_dir), k=3)
     return out.withColumnRenamed("rank", "knn_rank")
+
+
+# ---------------------------------------------------------------------------
+# q37 — embedding-cosine near-duplicate detection (dedup family)
+# The sf corpus has no near-identical vectors, so the query augments it
+# with deterministic perturbations (last 8 dims zeroed, id + 100000):
+# cos(orig, mutant) = ||e[:56]|| / ||e|| ~= 0.94. Candidates come from
+# the LSH bucket equi-join (small perturbations mostly preserve
+# hyperplane signs); pairs with exact cosine >= 0.9 are near-dups.
+# At 100 TB this is the standard embedding-dedup shape: bucket ->
+# within-bucket exact verify -> keep min-id canonical.
+# ---------------------------------------------------------------------------
+NEARDUP_OFFSET = 100_000
+NEARDUP_THRESHOLD = 0.9
+
+
+def _augmented_sql() -> str:
+    zeros = ", ".join(["CAST(0.0 AS FLOAT)"] * 8)
+    return f"""
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + {NEARDUP_OFFSET} AS vec_id,
+             list_concat(list_slice(embedding, 1, 56), [{zeros}]) AS embedding
+      FROM embeddings
+    """
+
+
+@query(
+    "q37_cosine_neardup",
+    oracle=f"""
+    WITH aug AS ({_augmented_sql()}),
+    e AS (SELECT vec_id, {_QUANT_LIST} AS qe FROM aug),
+    n AS (SELECT vec_id, qe, CAST(list_dot_product(qe, qe) AS BIGINT) AS nsq FROM e),
+    b AS (SELECT vec_id, qe, nsq, {_bucket_sql()} AS bucket FROM n),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+             CAST(list_dot_product(a.qe, b2.qe) AS BIGINT) AS dot,
+             a.nsq AS na, b2.nsq AS nb
+      FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+    )
+    SELECT id_a, id_b,
+           CAST(dot AS DOUBLE) / sqrt(CAST(na * nb AS DOUBLE)) AS cos_sim
+    FROM pairs
+    WHERE CAST(dot AS DOUBLE) / sqrt(CAST(na * nb AS DOUBLE)) >= {NEARDUP_THRESHOLD}
+    """,
+)
+def q37_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    zeros = F.array(*[F.lit(0.0).cast("float")] * 8)
+    mutants = emb.select(
+        (F.col("vec_id") + NEARDUP_OFFSET).alias("vec_id"),
+        F.concat(F.slice("embedding", 1, 56), zeros).alias("embedding"),
+    )
+    aug = emb.select("vec_id", "embedding").unionByName(mutants)
+    b = S.lsh_buckets(aug, "embedding", "vec_id")
+    a_side = b.select(F.col("vec_id").alias("id_a"), F.col("qe").alias("qa"), F.col("nsq").alias("na"), "bucket")
+    b_side = b.select(F.col("vec_id").alias("id_b"), F.col("qe").alias("qb"), F.col("nsq").alias("nb"), "bucket")
+    pairs = (
+        a_side.join(b_side, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("dot", S.dot_long_vec(F.col("qa"), F.col("qb")))
+        .withColumn("cos_sim", S.cosine_from_ints(F.col("dot"), F.col("na"), F.col("nb")))
+    )
+    return pairs.where(F.col("cos_sim") >= NEARDUP_THRESHOLD).select("id_a", "id_b", "cos_sim")

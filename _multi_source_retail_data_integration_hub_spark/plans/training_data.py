@@ -325,10 +325,12 @@ def _lsh_sql() -> str:
 
 @query("q24_lsh_candidates", oracle=_lsh_sql())
 def q24_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Persist the signature matrix: both sides of the candidate
-    # self-join read it, and it is tiny relative to the shingle
-    # explosion that produces it (at cluster scale you'd checkpoint it).
+    # Persist the signature matrix AND materialize it before the self-
+    # join fans out: otherwise both join sides race to compute the
+    # shingle pipeline concurrently before the cache is populated.
+    # (At cluster scale you'd checkpoint the signature table instead.)
     sig = T.minhash_signatures(_mutated(spark, sf_dir), "text", "id").persist()
+    sig.count()
     return T.lsh_candidate_pairs(sig, "id")
 
 

@@ -134,6 +134,40 @@ def deduped_events(events: DataFrame, watermark: str = "1 day") -> DataFrame:
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
 
 
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running totals maintained in explicit keyed state across
+    microbatches (the escape hatch for stateful logic session_window /
+    dropDuplicates can't express — counters, ML feature state,
+    fraud-score accumulators...).
+
+    State schema is (n, v) per user; each microbatch folds its Arrow
+    batches into state and emits the updated row (output mode
+    ``update``). Watermark-less NoTimeout: state lives forever, as a
+    true running total requires; production variants with bounded keys
+    would use event-time timeouts.
+    """
+    import pandas as pd  # local import: workers pickle this closure
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = "user_id long, n_events long, total_value double"
+    state_schema = "n long, v double"
+
+    def fold(key, pdfs, state):
+        n, v = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            v += float(pdf["value"].sum())
+        state.update((n, v))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [v]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fold, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def run_available_now(
     stream_df: DataFrame, table_name: str, output_mode: str = "complete", timeout: int = 300
 ) -> None:

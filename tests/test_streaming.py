@@ -76,3 +76,21 @@ def test_parquet_sink_partitioned(spark, events_stream, tmp_path):
     import os
 
     assert any(d.startswith("event_type=") for d in os.listdir(out))
+
+
+def test_stateful_running_totals(spark, events_stream):
+    jobs.run_available_now(
+        jobs.running_user_totals(events_stream), "t_totals", output_mode="update"
+    )
+    got = {r.user_id: r for r in spark.table("t_totals").collect()}
+    want = {
+        r.user_id: r
+        for r in load_table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+        .collect()
+    }
+    assert set(got) == set(want)
+    for uid, w in want.items():
+        assert got[uid].n_events == w.n_events
+        assert got[uid].total_value == pytest.approx(w.total_value, rel=1e-9)
