@@ -34,8 +34,11 @@ HEX = "0123456789abcdef"
 
 
 def tokens(text: Column | str) -> Column:
-    """Whitespace tokenization (== DuckDB string_split_regex(text,'\\s+'))."""
-    return F.split(text if isinstance(text, Column) else F.col(text), r"\s+")
+    """Whitespace tokenization (== DuckDB
+    string_split_regex(trim(text),'\\s+')). Trimmed first: leading or
+    trailing whitespace would otherwise yield phantom empty tokens."""
+    c = text if isinstance(text, Column) else F.col(text)
+    return F.split(F.trim(c), r"\s+")
 
 
 def shingles(toks: Column, k: int = 3) -> Column:

@@ -25,7 +25,7 @@ from .registry import query
 OFFSET = 100_000  # id offset for synthetic second-snapshot docs
 
 # Token-list SQL fragments shared by the oracles (DuckDB dialect).
-_TOKS = r"string_split_regex(text, '\s+')"
+_TOKS = r"string_split_regex(trim(text), '\s+')"
 _SHINGLES = (
     rf"list_transform(range(1, len({_TOKS}) - 1), "
     rf"i -> array_to_string(list_slice({_TOKS}, i, i + 2), ' '))"

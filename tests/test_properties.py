@@ -1,0 +1,132 @@
+"""Property-based tests (hypothesis): the distributed as-of join vs
+pandas merge_asof, derived-column functions vs Python reference
+implementations, and dedup invariants on random corpora.
+
+Hypothesis drives the INPUT GENERATION; each example runs a real
+(local) Spark job, so examples are capped low and deadlines disabled.
+"""
+
+import math
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from _multi_source_retail_data_integration_hub_spark.operators import text as T
+from _multi_source_retail_data_integration_hub_spark.operators.asof import asof_join
+
+SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+
+# ---------------------------------------------------------------------------
+# as-of join == pandas merge_asof on random event tables
+# ---------------------------------------------------------------------------
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),  # by-key
+        st.integers(min_value=0, max_value=10_000),  # ts (seconds)
+        st.floats(min_value=-100, max_value=100, allow_nan=False),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(left_rows=events_strategy, right_rows=events_strategy)
+@settings(**SETTINGS)
+def test_asof_matches_pandas_merge_asof(spark, left_rows, right_rows):
+    # dedupe right to one row per (key, ts): defined tie-break (max v)
+    rdict = {}
+    for k, ts, v in right_rows:
+        rdict[(k, ts)] = max(v, rdict.get((k, ts), -math.inf))
+    right_rows = [(k, ts, v) for (k, ts), v in rdict.items()]
+    left_rows = [(i, k, ts) for i, (k, ts, _) in enumerate(left_rows)]
+
+    left = spark.createDataFrame(left_rows, "lid long, k long, ts long")
+    right = spark.createDataFrame(right_rows, "k long, ts long, v double")
+    got = {
+        r.lid: (r.ts_right, r.v_right)
+        for r in asof_join(left, right, on="ts", by="k", value_cols=["v"]).collect()
+    }
+
+    lp = pd.DataFrame(left_rows, columns=["lid", "k", "ts"]).sort_values("ts", kind="mergesort")
+    rp = pd.DataFrame(right_rows, columns=["k", "ts", "v"]).sort_values("ts", kind="mergesort")
+    merged = pd.merge_asof(lp, rp, on="ts", by="k", direction="backward", suffixes=("", "_r"))
+    for row in merged.itertuples():
+        want_ts = None if pd.isna(row.v) else int(rp[(rp.k == row.k) & (rp.ts <= row.ts)].ts.max())
+        want_v = None if pd.isna(row.v) else float(row.v)
+        assert got[row.lid] == (want_ts, want_v)
+
+
+# ---------------------------------------------------------------------------
+# dedup invariants on random corpora
+# ---------------------------------------------------------------------------
+corpus_strategy = st.lists(
+    st.text(alphabet="ab ", min_size=1, max_size=40).filter(lambda s: s.strip()),
+    min_size=1,
+    max_size=15,
+)
+
+
+@given(texts=corpus_strategy)
+@settings(**SETTINGS)
+def test_exact_dedup_partitions_the_corpus(spark, texts):
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    clusters = T.exact_dup_clusters(df, "text", "doc_id").collect()
+    # clusters partition the corpus: sizes sum to n, canonicals distinct
+    assert sum(r.n_docs for r in clusters) == len(texts)
+    assert len({r.canonical_id for r in clusters}) == len(clusters)
+    assert len(clusters) == len(set(texts))
+
+
+@given(texts=corpus_strategy)
+@settings(**SETTINGS)
+def test_simhash_in_range_and_dup_invariant(spark, texts):
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    out = {r.doc_id: r.simhash for r in T.simhash(df, "text", "doc_id").collect()}
+    assert all(0 <= v < 2**16 for v in out.values())
+    by_text = {}
+    for i, t in enumerate(texts):
+        by_text.setdefault(" ".join(t.split()), set()).add(out[i])
+    # identical token sequences must have identical simhash
+    for sims in by_text.values():
+        assert len(sims) == 1
+
+
+# ---------------------------------------------------------------------------
+# derived functions vs Python reference semantics (SURVEY §7.4.2/8)
+# ---------------------------------------------------------------------------
+# domain is the post-clip range [18, 100] (P7 runs before binning);
+# outside it pd.cut yields NaN while the engine's total CASE chain
+# saturates — by design (SURVEY §7.4.2).
+@given(ages=st.lists(st.integers(min_value=18, max_value=100), min_size=1, max_size=20))
+@settings(**SETTINGS)
+def test_age_group_matches_pandas_cut_semantics(spark, ages):
+    from _multi_source_retail_data_integration_hub_spark.functions.derived import age_group
+
+    def ref(age):  # pd.cut(bins=[0,25,35,45,55,65,100], right=True)
+        for hi, label in [(25, "18-25"), (35, "26-35"), (45, "36-45"),
+                          (55, "46-55"), (65, "56-65"), (100, "65+")]:
+            if age <= hi:
+                return label
+        return None
+
+    df = spark.createDataFrame([(a,) for a in ages], "age int")
+    got = [r[0] for r in df.select(age_group("age")).collect()]
+    assert got == [ref(a) for a in ages]
+
+
+@given(months=st.lists(st.integers(min_value=1, max_value=12), min_size=1, max_size=12))
+@settings(**SETTINGS)
+def test_fiscal_quarter_matches_python_floor_mod(spark, months):
+    from _multi_source_retail_data_integration_hub_spark.functions.derived import fiscal_quarter
+
+    df = spark.createDataFrame([(f"2023-{m:02d}-15",) for m in months], "d string")
+    got = [r[0] for r in df.select(fiscal_quarter(F.col("d").cast("date"))).collect()]
+    assert got == [((m - 10) % 12) // 3 + 1 for m in months]
