@@ -30,6 +30,7 @@ from _multi_source_retail_data_integration_hub_spark.plans import (  # noqa: E40
     analytics,  # registers q01..q08
     dashboard,  # registers q09..q16
     events_ts,  # registers q29..q31 (windows + sessionization)
+    grouped_map,  # registers q39..q40 (applyInPandas, frame windows)
     multimodal_plan,  # registers q32 (binary payload feature extraction)
     rollups,  # registers q38 (grouping-sets rollup)
     scale_ops,  # registers q33..q35 (JSON, salted agg, sketches)
