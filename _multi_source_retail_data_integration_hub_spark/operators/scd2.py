@@ -52,12 +52,18 @@ def scd2_merge(
     business_key: str,
     effective_ts,
     hash_col: str = "row_hash",
+    surrogate_key: str | None = None,
 ) -> DataFrame:
     """Merge a staging snapshot into an SCD2 dimension.
 
     ``current`` must carry SCD2_COLS + ``hash_col``; ``incoming`` carries
     the business columns + ``hash_col`` (one row per business key).
     Returns the full new dimension contents.
+
+    With ``surrogate_key``, existing rows keep their key and inserted
+    versions get max(existing)+row_number — new keys per version, unlike
+    the reference, whose regenerated range(1,n+1) keys collide across
+    versions (etl/transform.py:192 + etl/load.py:291-298).
     """
     eff = F.lit(effective_ts).cast("timestamp")
     attr_cols = [c for c in incoming.columns]
@@ -104,9 +110,28 @@ def scd2_merge(
     )
 
     ordered = [*attr_cols, *SCD2_COLS]
+    if surrogate_key is None:
+        return (
+            history.select(*ordered)
+            .unionByName(still_active.select(*ordered))
+            .unionByName(expired.select(*ordered))
+            .unionByName(inserts.select(*ordered))
+        )
+
+    from pyspark.sql import Window
+
+    ordered_sk = [surrogate_key, *ordered]
+    base = current.agg(F.coalesce(F.max(surrogate_key), F.lit(0)).alias("_base"))
+    inserts_sk = inserts.crossJoin(F.broadcast(base)).withColumn(
+        surrogate_key,
+        (
+            F.col("_base")
+            + F.row_number().over(Window.partitionBy(F.lit(1)).orderBy(business_key))
+        ).cast(dict(current.dtypes)[surrogate_key]),
+    ).drop("_base")
     return (
-        history.select(*ordered)
-        .unionByName(still_active.select(*ordered))
-        .unionByName(expired.select(*ordered))
-        .unionByName(inserts.select(*ordered))
+        history.select(*ordered_sk)
+        .unionByName(still_active.select(*ordered_sk))
+        .unionByName(expired.select(*ordered_sk))
+        .unionByName(inserts_sk.select(*ordered_sk))
     )

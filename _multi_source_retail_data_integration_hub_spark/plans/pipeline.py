@@ -22,8 +22,15 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..operators.scd2 import SCD2_COLS, scd2_merge
 from ..sources import sinks
 from . import retail
+
+# dimension -> (business key, surrogate key) for incremental SCD2 loads
+SCD2_DIMS = {
+    "dim_customer": ("customer_id", "customer_key"),
+    "dim_product": ("api_product_id", "product_key"),
+}
 
 
 class PipelineGateError(RuntimeError):
@@ -74,6 +81,27 @@ def validate_load(spark: SparkSession, database: str, tables: list[str]) -> None
         raise PipelineGateError(f"load gate failed: empty tables {empty}")
 
 
+def _scd2_merged_dim(
+    spark: SparkSession, snapshot: DataFrame, name: str, database: str, run_ts: str
+) -> DataFrame:
+    """Merge a freshly-built dim snapshot into the stored SCD2 table.
+
+    The snapshot arrives fully stamped (scd2_initial + surrogate keys
+    from the build); the merge wants bare attributes, so bookkeeping and
+    surrogate columns are stripped and reassigned by the operator.
+    ``localCheckpoint`` materializes the merge before the overwrite —
+    Spark refuses to overwrite a table that is still being read (at
+    cluster scale: Delta MERGE or a temp-table swap instead).
+    """
+    business_key, surrogate_key = SCD2_DIMS[name]
+    current = spark.table(f"{database}.{name}")
+    incoming = snapshot.drop(*SCD2_COLS).drop(surrogate_key)
+    merged = scd2_merge(
+        current, incoming, business_key, run_ts, surrogate_key=surrogate_key
+    )
+    return merged.localCheckpoint(eager=True)
+
+
 def run_pipeline(
     spark: SparkSession,
     raw_sales: DataFrame,
@@ -83,8 +111,17 @@ def run_pipeline(
     run_ts: str = "2024-01-01 00:00:00",
     thresholds: dict[str, int] | None = None,
     skip_load: bool = False,
+    incremental: bool = False,
 ) -> PipelineResult:
-    """Extract -> transform -> gate -> load -> gate -> audit log."""
+    """Extract -> transform -> gate -> load -> gate -> audit log.
+
+    With ``incremental=True``, SCD2 dimensions that already exist in the
+    warehouse are merged (expire/carry/insert, versions increment,
+    surrogate keys preserved) instead of truncate-loaded — covering BOTH
+    dim_customer and dim_product, where the reference only merges
+    customer and silently truncates product (etl/load.py:376-379,
+    SURVEY §2.9's flagged gap).
+    """
     thresholds = DEFAULT_THRESHOLDS if thresholds is None else thresholds
     result = PipelineResult(run_id=sinks.current_run_id())
     t0 = time.perf_counter()
@@ -105,6 +142,8 @@ def run_pipeline(
         t2 = time.perf_counter()
         sinks.bootstrap_warehouse(spark, database)
         for name, df in tables.items():
+            if incremental and name in SCD2_DIMS and spark.catalog.tableExists(f"{database}.{name}"):
+                df = _scd2_merged_dim(spark, df, name, database, run_ts)
             sinks.write_warehouse_table(df, name, database=database)
         validate_load(spark, database, list(tables))
         sinks.append_run_log(

@@ -78,3 +78,48 @@ def test_skip_load_writes_nothing(spark, raw):
     )
     assert "load" not in res.durations
     assert not spark.catalog.tableExists("test_dw.etl_run_log")
+
+
+def test_incremental_scd2_dim_merge(spark, raw, tmp_path_factory):
+    raw_sales, raw_products, cats = raw
+    spark.sql("DROP DATABASE IF EXISTS inc_dw CASCADE")
+    # a crashed prior run can leave the warehouse dir without the catalog
+    # entry; DROP DATABASE alone won't clear it
+    import shutil
+    shutil.rmtree("spark-warehouse/inc_dw.db", ignore_errors=True)
+    pipeline.run_pipeline(
+        spark, raw_sales, raw_products, cats, database="inc_dw",
+        run_ts=RUN_TS, thresholds=THRESHOLDS, incremental=True,
+    )
+    dim1 = spark.table("inc_dw.dim_customer")
+    keys1 = {r.customer_id: r.customer_key for r in dim1.collect()}
+    assert dim1.count() == 5  # CUST001..CUST007 minus dropped rows (003, 005)
+
+    # run 2: CUST001 ages a year -> new SCD2 version; everyone else unchanged
+    run2_ts = "2024-07-01 00:00:00"
+    mutated = raw_sales.withColumn(
+        "Age",
+        F.when(F.col("Customer ID") == "CUST001", F.lit(35)).otherwise(F.col("Age")),
+    )
+    pipeline.run_pipeline(
+        spark, mutated, raw_products, cats, database="inc_dw",
+        run_ts=run2_ts, thresholds=THRESHOLDS, incremental=True,
+    )
+    dim2 = spark.table("inc_dw.dim_customer")
+    rows = {(r.customer_id, r.version): r for r in dim2.collect()}
+    assert dim2.count() == 6  # 5 originals + 1 new version
+
+    old = rows[("CUST001", 1)]
+    new = rows[("CUST001", 2)]
+    assert not old.is_current and str(old.effective_end_date) == run2_ts
+    assert new.is_current and new.age == 35 and str(new.effective_start_date) == run2_ts
+    # untouched rows keep their surrogate keys; the new version extends
+    assert old.customer_key == keys1["CUST001"]
+    assert new.customer_key == max(keys1.values()) + 1
+    for cid, key in keys1.items():
+        assert rows[(cid, 1)].customer_key == key
+        assert rows[(cid, 1)].is_current == (cid != "CUST001")
+
+    # dim_product merged with identical snapshot -> no new versions
+    assert spark.table("inc_dw.dim_product").count() == 3
+    spark.sql("DROP DATABASE IF EXISTS inc_dw CASCADE")
