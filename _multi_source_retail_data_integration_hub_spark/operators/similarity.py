@@ -165,6 +165,128 @@ def brute_force_topk(
     )
 
 
+# --------------------------------------------------------------------------
+# IVF (inverted-file) coarse quantization — the other classic ANN scale
+# path next to LSH. Coarse centroids are a deterministic corpus sample
+# (vec_id % C_STRIDE == CENTROID_RESIDUE, ~n/31 lists ≈ sqrt-ish nlist at
+# test scales); every vector is assigned to its nearest centroid by
+# cosine (exact int dot + one IEEE division, so Spark and the DuckDB
+# oracle agree bit-for-bit); a query probes its ``nprobe`` nearest lists
+# and exact-re-ranks only those lists' members. At 100 TB the members
+# table is written bucketed by list_id, so probe joins touch only the
+# probed buckets — cost scales with nprobe/nlist of the corpus, not all
+# of it.
+# --------------------------------------------------------------------------
+C_STRIDE = 31
+CENTROID_RESIDUE = 3
+
+
+def ivf_centroid_matrix(corpus_qn: DataFrame, id_col: str):
+    """Collect the deterministic centroid sample as numpy matrices.
+
+    ``corpus_qn`` is ``with_quantized`` output (id, qe, nsq). The
+    centroid set is tiny (n / C_STRIDE) and ships to executors inside
+    the mapInPandas closure — the IVF analogue of a broadcast dim.
+    """
+    rows = corpus_qn.where((F.col(id_col) % C_STRIDE) == CENTROID_RESIDUE).collect()
+    if not rows:
+        raise ValueError("no IVF centroids (corpus too small for C_STRIDE)")
+    cids = np.array([r[0] for r in rows], dtype=np.int64)
+    Cm = np.stack([np.asarray(r["qe"], dtype=np.int64) for r in rows])
+    cn = np.array([r["nsq"] for r in rows], dtype=np.int64)
+    return cids, Cm, cn
+
+
+def ivf_probes(
+    qn_df: DataFrame, cents, nprobe: int, id_col: str = "vec_id"
+) -> DataFrame:
+    """(id, qe, nsq, list_id, probe_rank<=nprobe): nearest coarse lists.
+
+    One local matmul per Arrow batch against the in-closure centroid
+    matrix; no shuffle, no per-pair row explosion. Ordering is
+    (cos desc, centroid_id asc) — the same ranking the SQL oracle's
+    ROW_NUMBER expresses.
+    """
+    cids, Cm, cn = cents
+    n_take = min(nprobe, len(cids))
+    out_schema = f"{id_col} long, qe array<bigint>, nsq long, list_id long, probe_rank int"
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf["qe"].to_numpy()).astype(np.int64, copy=False)
+            vids = pdf[id_col].to_numpy(dtype=np.int64)
+            vn = pdf["nsq"].to_numpy(dtype=np.int64)
+            dots = V @ Cm.T  # (nv, nlist) exact int64
+            cos = dots / np.sqrt((vn[:, None] * cn[None, :]).astype(np.float64))
+            take = np.empty((len(vids), n_take), dtype=np.int64)
+            for i in range(len(vids)):
+                take[i] = cids[np.lexsort((cids, -cos[i]))[:n_take]]
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(vids, n_take),
+                    "qe": [e for e in pdf["qe"].to_numpy() for _ in range(n_take)],
+                    "nsq": np.repeat(vn, n_take),
+                    "list_id": take.ravel(),
+                    "probe_rank": np.tile(np.arange(1, n_take + 1, dtype=np.int32), len(vids)),
+                }
+            )
+
+    return qn_df.mapInPandas(assign, out_schema)
+
+
+def ivf_assign(
+    corpus: DataFrame, id_col: str = "vec_id", emb_col: str = "embedding"
+) -> DataFrame:
+    """Assign every corpus vector to its IVF list: (id, list_id)."""
+    cq = with_quantized(corpus, emb_col, id_col)
+    cents = ivf_centroid_matrix(cq, id_col)
+    return ivf_probes(cq, cents, 1, id_col).select(id_col, "list_id")
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k via IVF: probe ``nprobe`` lists, exact re-rank members.
+
+    Each (query, member) candidate pair occurs at most once — members
+    belong to exactly one list and a query's probed lists are distinct —
+    so no dedup step is needed before ranking. Recall < 1 by design;
+    nprobe = nlist recovers exact brute force.
+    """
+    cq = with_quantized(corpus, emb_col, id_col)
+    cents = ivf_centroid_matrix(cq, id_col)
+    members = ivf_probes(cq, cents, 1, id_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("qe").alias("ce"),
+        F.col("nsq").alias("cn"),
+        "list_id",
+    )
+    probes = ivf_probes(
+        with_quantized(queries, emb_col, id_col), cents, nprobe, id_col
+    ).select(
+        F.col(id_col).alias("query_id"), "qe", F.col("nsq").alias("qn"), "list_id"
+    )
+    sims = (
+        probes.join(members, "list_id")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("dot", dot_long_vec(F.col("qe"), F.col("ce")))
+        .withColumn("cos_sim", cosine_from_ints(F.col("dot"), F.col("qn"), F.col("cn")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "list_id", "cos_sim")
+    )
+
+
 def hyperplane_weights(n_planes: int = N_PLANES, dim: int = 64) -> list[list[int]]:
     """Deterministic pseudo-random integer hyperplanes in [-8, 7].
 

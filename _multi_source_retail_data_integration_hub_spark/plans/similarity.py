@@ -129,6 +129,76 @@ def q28_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q41/q42 — IVF coarse quantization: the second classic ANN scale path.
+# Centroids = deterministic corpus sample (vec_id % 31 == 3); assignment
+# and probing rank centroids by (cosine desc, centroid id asc), all in
+# the same exact-integer scheme, so DuckDB replays them bit-for-bit.
+# ---------------------------------------------------------------------------
+_IVF_RANKED_ASSIGN = f"""
+    cents AS (SELECT vec_id AS cid, qe AS cqe, nsq AS ccn FROM n
+              WHERE vec_id % {S.C_STRIDE} = {S.CENTROID_RESIDUE}),
+    ranked_assign AS (
+      SELECT n.vec_id, c.cid,
+             ROW_NUMBER() OVER (
+               PARTITION BY n.vec_id
+               ORDER BY CAST(CAST(list_dot_product(n.qe, c.cqe) AS BIGINT) AS DOUBLE)
+                        / sqrt(CAST(n.nsq * c.ccn AS DOUBLE)) DESC, c.cid
+             ) AS crank
+      FROM n CROSS JOIN cents c
+    )
+"""
+
+
+@query(
+    "q41_ivf_assign",
+    oracle=f"""
+    WITH {_BASE_SQL},
+    {_IVF_RANKED_ASSIGN}
+    SELECT vec_id, cid AS list_id FROM ranked_assign WHERE crank = 1
+    """,
+)
+def q41_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.ivf_assign(emb, "vec_id", "embedding")
+
+
+@query(
+    "q42_ann_ivf_topk",
+    oracle=f"""
+    WITH {_BASE_SQL},
+    {_IVF_RANKED_ASSIGN},
+    members AS (SELECT vec_id, cid AS list_id FROM ranked_assign WHERE crank = 1),
+    probes AS (SELECT vec_id AS query_id, cid AS list_id FROM ranked_assign
+               WHERE crank <= 2 AND vec_id % {QUERY_STRIDE} = 0),
+    sims AS (
+      SELECT p.query_id, m.vec_id AS neighbor_id, p.list_id,
+             CAST(list_dot_product(qv.qe, mv.qe) AS BIGINT) AS dot,
+             qv.nsq AS qn, mv.nsq AS cn
+      FROM probes p
+      JOIN members m ON m.list_id = p.list_id AND m.vec_id != p.query_id
+      JOIN n qv ON qv.vec_id = p.query_id
+      JOIN n mv ON mv.vec_id = m.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, list_id,
+             CAST(dot AS DOUBLE) / sqrt(CAST(qn * cn AS DOUBLE)) AS cos_sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY CAST(dot AS DOUBLE) / sqrt(CAST(qn * cn AS DOUBLE)) DESC, neighbor_id
+             ) AS knn_rank
+      FROM sims
+    )
+    SELECT query_id, knn_rank, neighbor_id, list_id, cos_sim
+    FROM ranked WHERE knn_rank <= 3
+    """,
+)
+def q42_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = load_table(spark, sf_dir, "embeddings")
+    out = S.ivf_topk(corpus, _queries_df(spark, sf_dir), k=3, nprobe=2)
+    return out.withColumnRenamed("rank", "knn_rank")
+
+
+# ---------------------------------------------------------------------------
 # q37 — embedding-cosine near-duplicate detection (dedup family)
 # The sf corpus has no near-identical vectors, so the query augments it
 # with deterministic perturbations (last 8 dims zeroed, id + 100000):

@@ -1,0 +1,77 @@
+"""ANN operator invariants (operators/similarity.py).
+
+The oracle gate (tools/check_oracle.py) proves value-level parity with
+DuckDB; these tests prove the *algebraic* contracts: IVF with full
+probing degenerates to exact brute force, and assignments are total.
+"""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from _multi_source_retail_data_integration_hub_spark.operators import similarity as S
+
+DIM = 16
+N_VECS = 80
+
+
+def _emb(i: int, d: int) -> float:
+    # deterministic pseudo-random floats in [-1, 1)
+    h = int(hashlib.md5(f"{i}:{d}".encode()).hexdigest()[:8], 16)
+    return (h / 2**31) - 1.0
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    rows = [(i, [_emb(i, d) for d in range(DIM)]) for i in range(N_VECS)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
+
+
+def test_ivf_assignment_is_total_and_valid(embeddings):
+    assigned = S.ivf_assign(embeddings)
+    rows = assigned.collect()
+    assert len(rows) == N_VECS  # every vector lands in exactly one list
+    centroid_ids = {
+        r.vec_id for r in embeddings.where(F.col("vec_id") % S.C_STRIDE == S.CENTROID_RESIDUE).collect()
+    }
+    assert {r.list_id for r in rows} <= centroid_ids
+    # a centroid is its own nearest centroid (cos = 1 with itself)
+    by_id = {r.vec_id: r.list_id for r in rows}
+    for cid in centroid_ids:
+        assert by_id[cid] == cid
+
+
+def test_ivf_full_probe_equals_brute_force(embeddings):
+    queries = embeddings.where(F.col("vec_id") % 20 == 0)
+    n_lists = embeddings.where(
+        F.col("vec_id") % S.C_STRIDE == S.CENTROID_RESIDUE
+    ).count()
+    exact = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in S.brute_force_topk(embeddings, queries, k=4).collect()
+    }
+    ivf = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in S.ivf_topk(embeddings, queries, k=4, nprobe=n_lists).collect()
+    }
+    assert ivf == exact
+
+
+def test_ivf_partial_probe_is_subset_ranking(embeddings):
+    """nprobe=1 results are valid candidates ranked consistently."""
+    queries = embeddings.where(F.col("vec_id") % 20 == 0)
+    out = S.ivf_topk(embeddings, queries, k=3, nprobe=1).collect()
+    assigned = {r.vec_id: r.list_id for r in S.ivf_assign(embeddings).collect()}
+    for r in out:
+        assert assigned[r.neighbor_id] == r.list_id  # member of the probed list
+        assert r.neighbor_id != r.query_id
+    # ranks are dense per query, cos non-increasing
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r.query_id, []).append(r)
+    for rs in per_q.values():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        cs = [r.cos_sim for r in rs]
+        assert cs == sorted(cs, reverse=True)
