@@ -334,3 +334,61 @@ def q16_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cum_revenue_pct"),
         F.row_number().over(w_order).alias("revenue_rank"),
     ).orderBy("revenue_rank")
+
+
+# ---------------------------------------------------------------------------
+# Interactive multi-select filter (P11) + filtered KPI sheet (A8/A13)
+# Reference: streamlit_app.py:799-813,1360-1374 — the dashboard filters the
+# fact by user-chosen category AND gender sets (`isin` on both) before
+# recomputing the KPI cards. Here the "user choice" is a fixed set so the
+# query is deterministic; the isin predicates are plain Column filters that
+# Catalyst pushes into the parquet scan (visible as PushedFilters: In(...)).
+# ---------------------------------------------------------------------------
+@query(
+    "q43_multiselect_kpis",
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+           o.o_orderstatus AS status,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue,
+           COUNT(DISTINCT o.o_custkey) AS unique_customers,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / NULLIF(COUNT(*), 0)
+             AS avg_order_value
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment IN ('AUTOMOBILE', 'FURNITURE', 'MACHINERY')
+      AND o.o_orderstatus IN ('F', 'O')
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def q43_multiselect_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    chosen_segments = ["AUTOMOBILE", "FURNITURE", "MACHINERY"]
+    chosen_statuses = ["F", "O"]
+    # Both isin filters sit before the join, so they push down into the
+    # respective parquet scans; the segment filter also shrinks the
+    # customer build side below the broadcast threshold sooner.
+    filtered = orders.where(F.col("o_orderstatus").isin(chosen_statuses)).join(
+        customer.where(F.col("c_mktsegment").isin(chosen_segments)).select(
+            "c_custkey", "c_mktsegment"
+        ),
+        orders.o_custkey == F.col("c_custkey"),
+    )
+    return (
+        filtered.groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_orderstatus").alias("status"),
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("total_revenue"),
+            F.countDistinct("o_custkey").alias("unique_customers"),
+            (
+                F.sum(F.col("o_totalprice").cast(DEC)).cast("double")
+                / F.nullif(F.count("*"), F.lit(0))
+            ).alias("avg_order_value"),
+        )
+        .orderBy("segment", "status")
+    )
