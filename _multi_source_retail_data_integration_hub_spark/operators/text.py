@@ -113,6 +113,9 @@ def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+MINHASH_P = 4294967291  # largest prime < 2^32
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str,
@@ -123,21 +126,34 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signature matrix + LSH band hashes, one row per doc.
 
-    The min over a seeded md5 *string* ordering is a valid minhash
-    (each seed induces an independent pseudo-random permutation of the
-    shingle universe). All ``num_hashes`` mins are computed in a single
-    partial-aggregating shuffle — the exploded shingle rows never move
-    untouched across the network.
+    Carter-Wegman hash family over ONE md5 per shingle: the digest's
+    two 32-bit halves (a, b) give hash_i = (a + i*b) mod P, an affine
+    permutation family over the prime field — so the exploded shingle
+    table is hashed once, not ``num_hashes`` times (at corpus scale the
+    md5 over text dominates; the affine transforms are integer ALU ops
+    inside whole-stage codegen). All mins still land in a single
+    partial-aggregating shuffle; max intermediate a + 15*b < 2^36 is
+    exact in BIGINT for both Spark and the DuckDB oracle.
     """
-    sh = (
-        df.select(F.col(id_col), F.explode(shingles(tokens(F.col(text_col)), shingle_k)).alias("shingle"))
-        .distinct()
+    # Per-doc distinct via array_distinct BEFORE the explode: duplicate
+    # (id, shingle) rows can only come from repeats inside one document,
+    # so this is exactly DISTINCT — minus the full-width shuffle a
+    # row-level distinct would cost over the exploded string table.
+    sh = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles(tokens(F.col(text_col)), shingle_k))).alias("shingle"),
+    )
+    h = F.md5(F.col("shingle"))
+    base = sh.select(
+        F.col(id_col),
+        F.conv(h.substr(1, 8), 16, 10).cast("bigint").alias("ha"),
+        F.conv(h.substr(9, 8), 16, 10).cast("bigint").alias("hb"),
     )
     aggs = [
-        F.min(seeded_md5(F.col("shingle"), s)).alias(f"mh{s:02d}")
+        F.min(F.pmod(F.col("ha") + F.lit(s) * F.col("hb"), F.lit(MINHASH_P))).alias(f"mh{s:02d}")
         for s in range(num_hashes)
     ]
-    sig = sh.groupBy(id_col).agg(*aggs)
+    sig = base.groupBy(id_col).agg(*aggs)
     n_bands = num_hashes // band_size
     band_cols = [
         F.md5(
@@ -199,9 +215,11 @@ def ngram_jaccard_pairs(
     -> per-pair intersection count -> join per-doc set sizes ->
     jaccard = |I| / (|A| + |B| - |I|).
     """
-    sh = (
-        df.select(F.col(id_col), F.explode(shingles(tokens(F.col(text_col)), shingle_k)).alias("shingle"))
-        .distinct()
+    # Same shuffle-free per-doc distinct as minhash_signatures (duplicate
+    # shingles exist only within a document).
+    sh = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles(tokens(F.col(text_col)), shingle_k))).alias("shingle"),
     )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("set_size"))
     df_counts = sh.groupBy("shingle").agg(F.count("*").alias("doc_freq"))

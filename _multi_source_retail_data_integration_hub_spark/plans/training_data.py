@@ -262,25 +262,46 @@ def q22_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # q23 — MinHash signature matrix + LSH band hashes (16 hashes, 4 bands)
 # ---------------------------------------------------------------------------
-def _minhash_sql() -> str:
-    mins = ",\n             ".join(
-        f"MIN(md5('{s}:' || shingle)) AS mh{s:02d}" for s in range(16)
+_MINHASH_P = 4294967291  # == operators.text.MINHASH_P
+
+
+def _cw_mins() -> str:
+    """Carter-Wegman minhash aggregates over the (ha, hb) md5 halves."""
+    return ",\n             ".join(
+        f"MIN((ha + {s} * hb) % {_MINHASH_P}) AS mh{s:02d}" for s in range(16)
     )
-    bands = ",\n           ".join(
-        "md5(" + " || '|' || ".join(f"mh{b * 4 + j:02d}" for j in range(4)) + f") AS band{b}"
+
+
+def _band_exprs() -> str:
+    return ",\n           ".join(
+        "md5("
+        + " || '|' || ".join(f"CAST(mh{b * 4 + j:02d} AS VARCHAR)" for j in range(4))
+        + f") AS band{b}"
         for b in range(4)
     )
+
+
+_CW_HALVES = """
+      SELECT id,
+             CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT) AS ha,
+             CAST('0x' || substr(md5(shingle), 9, 8) AS BIGINT) AS hb
+      FROM sh
+"""
+
+
+def _minhash_sql() -> str:
     cols = ", ".join(f"mh{s:02d}" for s in range(16))
     return f"""
     WITH corpus AS ({_MUTATED_SQL}),
     sh AS (SELECT DISTINCT id, unnest({_SHINGLES}) AS shingle FROM corpus),
+    hx AS ({_CW_HALVES}),
     sig AS (
       SELECT id,
-             {mins}
-      FROM sh GROUP BY id
+             {_cw_mins()}
+      FROM hx GROUP BY id
     )
     SELECT id, {cols},
-           {bands}
+           {_band_exprs()}
     FROM sig
     """
 
@@ -294,13 +315,6 @@ def q23_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q24 — LSH candidate pairs (docs sharing >= 1 of 4 minhash bands)
 # ---------------------------------------------------------------------------
 def _lsh_sql() -> str:
-    mins = ",\n             ".join(
-        f"MIN(md5('{s}:' || shingle)) AS mh{s:02d}" for s in range(16)
-    )
-    bands = ",\n           ".join(
-        "md5(" + " || '|' || ".join(f"mh{b * 4 + j:02d}" for j in range(4)) + f") AS band{b}"
-        for b in range(4)
-    )
     per_band = "\n      UNION\n".join(
         f"""      SELECT a.id AS id_a, b.id AS id_b
       FROM sig a JOIN sig b ON a.band{b} = b.band{b} AND a.id < b.id"""
@@ -309,14 +323,15 @@ def _lsh_sql() -> str:
     return f"""
     WITH corpus AS ({_MUTATED_SQL}),
     sh AS (SELECT DISTINCT id, unnest({_SHINGLES}) AS shingle FROM corpus),
+    hx AS ({_CW_HALVES}),
     sig0 AS (
       SELECT id,
-             {mins}
-      FROM sh GROUP BY id
+             {_cw_mins()}
+      FROM hx GROUP BY id
     ),
     sig AS (
       SELECT id,
-           {bands}
+           {_band_exprs()}
       FROM sig0
     )
 {per_band}
