@@ -1,0 +1,71 @@
+"""Distributed range (interval) join via time-bucket equi-reduction.
+
+Spark has no native range join; a naive ``ON key AND start <= ts AND
+ts < end`` becomes a broadcast-nested-loop or a sort-merge with a full
+residual scan per key group. The classic scalable construction used
+here (same trick Flink/interval-join and warehouse engines apply):
+
+1. pick a bucket width W >= the maximum interval length;
+2. explode each interval into the 1..ceil(len/W)+1 buckets it overlaps
+   (bounded intervals => bounded, small fan-out);
+3. map each point to its single bucket;
+4. equi-join on (key..., bucket) — a plain shuffle/broadcast hash join
+   Catalyst already knows how to plan, AQE can skew-split — and apply
+   the exact range predicate as a cheap residual filter.
+
+A (interval, point) pair can meet in at most ONE bucket (the point's),
+so no post-join dedup is needed. Cost is |intervals| * fan_out + |points|
+shuffled once — linear, versus the quadratic residual scans of the
+naive plan. At 100 TB both sides can additionally be pre-partitioned
+or bucketed on the key columns to make the join co-located.
+
+The reference has no range joins (SURVEY §2.4: equi-joins only); this
+operator is part of the beyond-reference temporal toolkit next to
+``operators.asof``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def interval_join(
+    intervals: DataFrame,
+    points: DataFrame,
+    on: list[str],
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+    ts_col: str = "ts",
+    bucket_seconds: int = 3600,
+    how: str = "inner",
+) -> DataFrame:
+    """Join ``points`` to every interval with ``start <= ts < end``.
+
+    ``on`` lists extra equality keys (e.g. user_id) present on both
+    sides. ``bucket_seconds`` must be >= the longest interval for the
+    fan-out bound to hold (larger W = fewer replicas but coarser
+    buckets; W ~ max interval length is the sweet spot).
+
+    Timestamps are compared exactly; bucketing floors epoch seconds,
+    which is consistent for both sub-second timestamps and the
+    exclusive end bound (an interval ending exactly on a bucket edge
+    just contributes one always-filtered replica).
+    """
+    w = F.lit(bucket_seconds).cast("long")
+    ivs = intervals.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col).cast("long") / w).cast("long"),
+                F.floor(F.col(end_col).cast("long") / w).cast("long"),
+            )
+        ),
+    )
+    pts = points.withColumn(
+        "_bucket", F.floor(F.col(ts_col).cast("long") / w).cast("long")
+    )
+    joined = ivs.join(pts, [*on, "_bucket"], how).where(
+        (F.col(start_col) <= F.col(ts_col)) & (F.col(ts_col) < F.col(end_col))
+    )
+    return joined.drop("_bucket")
