@@ -172,7 +172,9 @@ def q02_category_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT customer_segment,
            COUNT(*) AS n_customers,
-           SUM(n_orders) AS total_orders,
+           -- CAST: DuckDB SUM(BIGINT) yields HUGEINT, which serializes
+           -- differently from Spark's BIGINT in the driver's value hash.
+           CAST(SUM(n_orders) AS BIGINT) AS total_orders,
            CAST(SUM(spend_dec) AS DOUBLE) AS total_revenue,
            CAST(SUM(n_orders) AS DOUBLE) / NULLIF(COUNT(*), 0) AS avg_orders_per_customer,
            CAST(SUM(spend_dec) AS DOUBLE) / NULLIF(COUNT(*), 0) AS avg_revenue_per_customer

@@ -88,13 +88,16 @@ def q29_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   ROWS UNBOUNDED PRECEDING) AS session_seq
       FROM flagged
     )
-    SELECT user_id, session_seq,
+    SELECT user_id,
+           -- CAST: DuckDB windowed SUM(INT) yields HUGEINT; align with
+           -- Spark's BIGINT for the driver's value hash.
+           CAST(session_seq AS BIGINT) AS session_seq,
            MIN(ts) AS session_start,
            COUNT(*) AS n_events,
-           (MAX(ts_us) - MIN(ts_us)) / 1000000.0 AS duration_secs,
+           MAX(ts_us) - MIN(ts_us) AS duration_us,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
     FROM sessions
-    GROUP BY 1, 2
+    GROUP BY user_id, session_seq
     """,
 )
 def q30_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -118,10 +121,12 @@ def q30_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.unboundedPreceding, Window.currentRow
     )
     sessions = flagged.withColumn("session_seq", F.sum("is_new").over(cum))
+    # duration stays integer microseconds (BIGINT): hash-robust across
+    # engines, and exact — callers can divide by 1e6 for display.
     return sessions.groupBy("user_id", "session_seq").agg(
         F.min("ts").alias("session_start"),
         F.count("*").alias("n_events"),
-        ((F.max("ts_us") - F.min("ts_us")) / 1_000_000.0).alias("duration_secs"),
+        (F.max("ts_us") - F.min("ts_us")).alias("duration_us"),
         _dsum("value").alias("total_value"),
     )
 
