@@ -34,7 +34,7 @@ from _multi_source_retail_data_integration_hub_spark.plans import (  # noqa: E40
     multimodal_plan,  # registers q32 (binary payload feature extraction)
     rollups,  # registers q38 (grouping-sets rollup)
     scale_ops,  # registers q33..q35 (JSON, salted agg, sketches)
-    temporal,  # registers q36 (as-of join)
+    temporal,  # registers q36 (as-of join), q44 (interval join)
     similarity,  # registers q26..q28 (embedding ANN)
     training_data,  # registers q17..q25 (dedup + text analysis)
 )
