@@ -177,18 +177,33 @@ def brute_force_topk(
 # probed buckets — cost scales with nprobe/nlist of the corpus, not all
 # of it.
 # --------------------------------------------------------------------------
-C_STRIDE = 31
+C_STRIDE = 31  # minimum stride (test-scale nlist ~ n/31)
 CENTROID_RESIDUE = 3
+MAX_NLIST = 4096  # hard cap on centroid count, independent of corpus size
+
+
+def ivf_stride(n_rows: int) -> int:
+    """Sampling stride that bounds nlist to ~MAX_NLIST at any corpus size.
+
+    ``max(C_STRIDE, ceil(n / MAX_NLIST))``: at test scales this is the
+    fixed C_STRIDE (stable small-SF results); at 100 TB the stride grows
+    linearly with the corpus so the centroid sample stays <= ~MAX_NLIST
+    rows — the driver collect and the per-executor broadcast matrix are
+    O(MAX_NLIST * dim), never O(corpus). The SQL oracle mirrors the same
+    formula with a scalar subquery over COUNT(*).
+    """
+    return max(C_STRIDE, -(-n_rows // MAX_NLIST))
 
 
 def ivf_centroid_matrix(corpus_qn: DataFrame, id_col: str):
     """Collect the deterministic centroid sample as numpy matrices.
 
     ``corpus_qn`` is ``with_quantized`` output (id, qe, nsq). The
-    centroid set is tiny (n / C_STRIDE) and ships to executors inside
-    the mapInPandas closure — the IVF analogue of a broadcast dim.
+    centroid set is bounded by ``ivf_stride`` (<= ~MAX_NLIST rows), so
+    the collect is a broadcast-dim-sized transfer at any corpus size.
     """
-    rows = corpus_qn.where((F.col(id_col) % C_STRIDE) == CENTROID_RESIDUE).collect()
+    stride = ivf_stride(corpus_qn.count())
+    rows = corpus_qn.where((F.col(id_col) % stride) == CENTROID_RESIDUE).collect()
     if not rows:
         raise ValueError("no IVF centroids (corpus too small for C_STRIDE)")
     cids = np.array([r[0] for r in rows], dtype=np.int64)
@@ -202,16 +217,18 @@ def ivf_probes(
 ) -> DataFrame:
     """(id, qe, nsq, list_id, probe_rank<=nprobe): nearest coarse lists.
 
-    One local matmul per Arrow batch against the in-closure centroid
-    matrix; no shuffle, no per-pair row explosion. Ordering is
-    (cos desc, centroid_id asc) — the same ranking the SQL oracle's
-    ROW_NUMBER expresses.
+    One local matmul per Arrow batch against the centroid matrix, which
+    is shipped via ``SparkContext.broadcast`` (one torrent transfer per
+    executor, not a copy in every task closure); no shuffle, no per-pair
+    row explosion. Ordering is (cos desc, centroid_id asc) — the same
+    ranking the SQL oracle's ROW_NUMBER expresses.
     """
-    cids, Cm, cn = cents
-    n_take = min(nprobe, len(cids))
+    n_take = min(nprobe, len(cents[0]))
+    bc = qn_df.sparkSession.sparkContext.broadcast(cents)
     out_schema = f"{id_col} long, qe array<bigint>, nsq long, list_id long, probe_rank int"
 
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cids, Cm, cn = bc.value
         for pdf in batches:
             if len(pdf) == 0:
                 continue

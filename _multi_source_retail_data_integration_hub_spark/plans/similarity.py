@@ -130,13 +130,21 @@ def q28_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # q41/q42 — IVF coarse quantization: the second classic ANN scale path.
-# Centroids = deterministic corpus sample (vec_id % 31 == 3); assignment
-# and probing rank centroids by (cosine desc, centroid id asc), all in
-# the same exact-integer scheme, so DuckDB replays them bit-for-bit.
+# Centroids = deterministic corpus sample (vec_id % stride == 3) where
+# stride = max(C_STRIDE, ceil(n / MAX_NLIST)) caps the centroid count at
+# ~MAX_NLIST regardless of corpus size (operators/similarity.ivf_stride);
+# assignment and probing rank centroids by (cosine desc, centroid id
+# asc), all in the same exact-integer scheme, so DuckDB replays them
+# bit-for-bit — including the stride, via a COUNT(*) scalar subquery.
 # ---------------------------------------------------------------------------
+_IVF_STRIDE_SQL = (
+    f"(SELECT GREATEST({S.C_STRIDE}, CAST(CEIL(COUNT(*) / {S.MAX_NLIST}.0) AS BIGINT)) "
+    "FROM embeddings)"
+)
+
 _IVF_RANKED_ASSIGN = f"""
     cents AS (SELECT vec_id AS cid, qe AS cqe, nsq AS ccn FROM n
-              WHERE vec_id % {S.C_STRIDE} = {S.CENTROID_RESIDUE}),
+              WHERE vec_id % {_IVF_STRIDE_SQL} = {S.CENTROID_RESIDUE}),
     ranked_assign AS (
       SELECT n.vec_id, c.cid,
              ROW_NUMBER() OVER (

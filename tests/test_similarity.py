@@ -75,3 +75,15 @@ def test_ivf_partial_probe_is_subset_ranking(embeddings):
         assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
         cs = [r.cos_sim for r in rs]
         assert cs == sorted(cs, reverse=True)
+
+
+def test_ivf_stride_caps_centroid_count():
+    # centroid count n/stride stays bounded by ~MAX_NLIST at ANY corpus
+    # size — the driver collect must never grow linearly with the data.
+    for n in (10**3, 10**6, 10**9, 10**12, 10**15):
+        stride = S.ivf_stride(n)
+        assert stride >= S.C_STRIDE
+        assert n / stride <= S.MAX_NLIST + 1
+    # test-scale behavior unchanged: small corpora keep the fixed stride
+    assert S.ivf_stride(500) == S.C_STRIDE
+    assert S.ivf_stride(S.C_STRIDE * S.MAX_NLIST) == S.C_STRIDE
