@@ -107,3 +107,46 @@ def test_clip_and_truncate(spark):
 def test_normalize_column_names(spark):
     df = spark.createDataFrame([(1, 2, 3)], ["Transaction ID", " Price per Unit ", "Age"])
     assert normalize_column_names(df).columns == ["transaction_id", "price_per_unit", "age"]
+
+
+def test_grouped_map_gap_stats_matches_native_plan(spark):
+    """applyInPandas twin of q39 agrees with the native window+agg plan,
+    including dropping single-event users (no gaps -> no row)."""
+    from pyspark.sql import functions as F
+
+    from _multi_source_retail_data_integration_hub_spark.plans.grouped_map import (
+        user_gap_stats_grouped_map,
+    )
+
+    rows = [
+        (1, 1, 1_000_000),
+        (1, 2, 4_500_000),
+        (1, 3, 9_000_000),
+        (2, 4, 1_000_000),  # single event: must produce NO output row
+        (3, 5, 0),
+        (3, 6, 123_456_789),
+    ]
+    events = spark.createDataFrame(rows, "user_id long, event_id long, ts_us long")
+    gm = {r["user_id"]: r for r in user_gap_stats_grouped_map(events).collect()}
+
+    w = __import__("pyspark.sql", fromlist=["Window"]).Window.partitionBy(
+        "user_id"
+    ).orderBy("ts_us", "event_id")
+    gaps = events.select(
+        "user_id",
+        ((F.col("ts_us") - F.lag("ts_us").over(w)) / 1_000_000.0).alias("gap_secs"),
+    ).where(F.col("gap_secs").isNotNull())
+    native = {
+        r["user_id"]: r
+        for r in gaps.groupBy("user_id")
+        .agg(
+            F.count("gap_secs").alias("n_gaps"),
+            F.min("gap_secs").alias("min_gap_secs"),
+            F.percentile("gap_secs", F.lit(0.5)).alias("median_gap_secs"),
+            F.max("gap_secs").alias("max_gap_secs"),
+        )
+        .collect()
+    }
+    assert set(gm) == set(native) == {1, 3}
+    for uid in gm:
+        assert gm[uid].asDict() == native[uid].asDict()
