@@ -8,8 +8,9 @@ aggregates over the ``events`` table.
 - q34: two-stage salted aggregation; result-identical to the plain
   GROUP BY, which IS its oracle — demonstrating that the skew
   mitigation is semantics-preserving.
-- q35: HLL approx_count_distinct next to the exact count (rows-only
-  check: sketch estimates are engine-specific by design).
+- q35: HLL approx_count_distinct anchored to the exact count — the
+  sketch's 3*rsd accuracy contract is asserted in-plan and the verdict
+  column is hash-checked against the oracle.
 """
 
 from __future__ import annotations
@@ -87,22 +88,37 @@ def q34_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q35 — sketch vs exact distinct counting (rows-only: HLL estimates are
-# engine-specific; the exact column is the anchor)
+# q35 — sketch vs exact distinct counting. The HLL estimate itself is
+# engine-specific, so it cannot be a hash-compared column; instead the
+# Spark plan asserts the sketch's accuracy contract (rel_error <= 3*rsd)
+# and emits the verdict as a column the oracle pins to 1. exact_users is
+# compared value-exactly. A drifting sketch flips within_3rsd to 0 and
+# fails the driver's hash gate — a real correctness anchor, not rows-only.
 # ---------------------------------------------------------------------------
-@query("q35_approx_distinct")
+APPROX_RSD = 0.02
+
+
+@query(
+    "q35_approx_distinct",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           CAST(1 AS BIGINT) AS within_3rsd
+    FROM events
+    GROUP BY 1
+    """,
+)
 def q35_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     agg = events.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.approx_count_distinct("user_id", rsd=APPROX_RSD).alias("approx_users"),
         F.countDistinct("user_id").alias("exact_users"),
+    )
+    rel_error = F.abs(F.col("approx_users") - F.col("exact_users")) / F.col(
+        "exact_users"
     )
     return agg.select(
         "event_type",
-        "approx_users",
         "exact_users",
-        (
-            F.abs(F.col("approx_users") - F.col("exact_users"))
-            / F.col("exact_users")
-        ).alias("rel_error"),
+        (rel_error <= 3 * APPROX_RSD).cast("bigint").alias("within_3rsd"),
     )
