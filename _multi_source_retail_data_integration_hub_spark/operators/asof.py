@@ -14,9 +14,13 @@ keys can additionally be salted upstream.
 Semantics (== DuckDB ``ASOF LEFT JOIN ... ON l.by = r.by AND
 l.ts >= r.ts``):
 - backward direction, exact matches allowed (right.ts == left.ts wins);
-- if several right rows share the winning timestamp the one with the
-  greatest tie-break column wins (callers should pre-aggregate the
-  right side to one row per (by, ts) for fully defined results);
+- the nearest-predecessor right row is attached ATOMICALLY: all carried
+  columns come from one right row (they travel as a single struct), so
+  a NULL field in the winning row stays NULL rather than being
+  back-filled from an older row;
+- if several right rows share the winning timestamp, which one wins is
+  unspecified (callers should pre-aggregate the right side to one row
+  per (by, ts) for fully defined results);
 - left rows with no predecessor get NULLs.
 """
 
@@ -44,18 +48,21 @@ def asof_join(
     if value_cols is None:
         value_cols = [c for c in right.columns if c not in (on, by)]
 
-    carried = [f"{on}{suffix}", *[f"{c}{suffix}" for c in value_cols]]
+    # The right row travels as ONE struct so the nearest predecessor is
+    # attached atomically — last(ignorenulls) over per-column carries
+    # would mix fields from different right rows when values are NULL.
+    r_fields = [on, *value_cols]
+    r_dt = dict(right.dtypes)
+    struct_ddl = "struct<" + ",".join(f"{c}:{r_dt[c]}" for c in r_fields) + ">"
 
-    l_tag = left.withColumn("_side", F.lit(1))
-    for src, dst in zip([on, *value_cols], carried):
-        l_tag = l_tag.withColumn(dst, F.lit(None).cast(dict(right.dtypes)[src]))
-
+    l_tag = left.withColumn("_side", F.lit(1)).withColumn(
+        "_r", F.lit(None).cast(struct_ddl)
+    )
     r_tag = right.select(
         F.col(by),
         F.col(on),
         F.lit(0).alias("_side"),
-        F.col(on).alias(carried[0]),
-        *[F.col(c).alias(f"{c}{suffix}") for c in value_cols],
+        F.struct(*[F.col(c) for c in r_fields]).alias("_r"),
     )
     # align schemas: right rows carry NULL for left-only columns
     left_only = [c for c in l_tag.columns if c not in r_tag.columns]
@@ -71,8 +78,13 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.select(
-        *[c for c in l_tag.columns if c not in carried and c != "_side"],
+        *[c for c in l_tag.columns if c not in ("_side", "_r")],
         F.col("_side"),
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in carried],
+        F.last("_r", ignorenulls=True).over(w).alias("_r"),
     )
-    return filled.where(F.col("_side") == 1).drop("_side")
+    kept = filled.where(F.col("_side") == 1)
+    return kept.select(
+        *[c for c in kept.columns if c not in ("_side", "_r")],
+        F.col(f"_r.{on}").alias(f"{on}{suffix}"),
+        *[F.col(f"_r.{c}").alias(f"{c}{suffix}") for c in value_cols],
+    )

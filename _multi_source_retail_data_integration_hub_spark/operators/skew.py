@@ -35,24 +35,37 @@ def _salt(salt_source: Column, n_salts: int) -> Column:
 def salted_agg(
     df: DataFrame,
     key_cols: list[str],
-    aggs: dict[str, Column],
+    aggs: dict,
     salt_source: str,
     n_salts: int = DEFAULT_SALTS,
 ) -> DataFrame:
     """Two-stage decomposable aggregation: (keys, salt) then (keys).
 
-    ``aggs`` maps output name -> a SUM/COUNT-style column expression
-    (must be decomposable: sum, count, min, max — not avg; derive
-    ratios after the final stage). ``salt_source`` is any
-    high-cardinality column (row id) used to spread hot keys.
+    ``aggs`` maps output name -> either
+    - a SUM/COUNT-style column expression, whose per-salt partials
+      recombine by summing (the common case), or
+    - a ``(partial_expr, recombine_fn)`` pair for other decomposable
+      aggregates, e.g. ``(F.min("x"), F.min)`` for MIN or
+      ``(F.max("x"), F.max)`` for MAX. Non-decomposable aggregates
+      (avg, percentiles) don't fit — derive ratios after the final
+      stage from summed parts.
+
+    ``salt_source`` is any high-cardinality column (row id) used to
+    spread hot keys.
     """
+    partials: dict[str, Column] = {}
+    finals: dict = {}
+    for name, spec in aggs.items():
+        if isinstance(spec, tuple):
+            partials[name], finals[name] = spec
+        else:
+            partials[name], finals[name] = spec, F.sum
     stage1 = df.withColumn("_salt", _salt(F.col(salt_source), n_salts)).groupBy(
         *key_cols, "_salt"
     )
-    partial = stage1.agg(*[c.alias(f"_p_{name}") for name, c in aggs.items()])
-    # counts recombine by summing partial counts; sums by summing sums
+    partial = stage1.agg(*[c.alias(f"_p_{name}") for name, c in partials.items()])
     return partial.groupBy(*key_cols).agg(
-        *[F.sum(f"_p_{name}").alias(name) for name in aggs]
+        *[finals[name](f"_p_{name}").alias(name) for name in aggs]
     )
 
 

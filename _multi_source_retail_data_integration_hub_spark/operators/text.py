@@ -23,6 +23,8 @@ join at 100 TB scale.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -205,6 +207,7 @@ def ngram_jaccard_pairs(
     id_col: str,
     shingle_k: int = 3,
     max_shingle_df: int = 1000,
+    max_docs: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard over distinct k-shingle sets for all co-shingling pairs.
 
@@ -214,7 +217,29 @@ def ngram_jaccard_pairs(
     of unrelated docs) -> self-equi-join on shingle (inverted index)
     -> per-pair intersection count -> join per-doc set sizes ->
     jaccard = |I| / (|A| + |B| - |I|).
+
+    Exact all-pairs Jaccard is inherently ~quadratic in co-shingling
+    documents — a loud one-line warning is emitted at plan-build time so
+    full-corpus callers know to use the MinHash/LSH path
+    (``minhash_signatures`` + ``lsh_candidate_pairs``) instead. Pass
+    ``max_docs`` to additionally fail fast (one count job) when the
+    input exceeds an explicit document budget.
     """
+    warnings.warn(
+        "ngram_jaccard_pairs computes EXACT all-pairs Jaccard: cost grows "
+        f"~quadratically with co-shingling documents (stop-shingle DF cap: "
+        f"{max_shingle_df}). For full corpora use minhash_signatures + "
+        "lsh_candidate_pairs and exact-verify only the candidates.",
+        stacklevel=2,
+    )
+    if max_docs is not None:
+        n = df.count()
+        if n > max_docs:
+            raise ValueError(
+                f"ngram_jaccard_pairs: input has {n} documents, over the "
+                f"max_docs budget of {max_docs}. Sample the corpus or use "
+                "the LSH candidate path (lsh_candidate_pairs)."
+            )
     # Same shuffle-free per-doc distinct as minhash_signatures (duplicate
     # shingles exist only within a document).
     sh = df.select(

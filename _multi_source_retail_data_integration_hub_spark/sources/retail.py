@@ -11,6 +11,7 @@
 from __future__ import annotations
 
 import json
+import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -41,8 +42,8 @@ def products_from_records(spark: SparkSession, records: list[dict], extracted_at
     """Tabularize a product list (S2) keeping ``rating`` as a struct and
     flattening it with column expressions — the Spark-native version of
     the reference's dict-comprehension flatten (etl/extract.py:80-83)."""
-    path = tempfile.mktemp(suffix=".jsonl")
-    with open(path, "w") as f:
+    fd, path = tempfile.mkstemp(suffix=".jsonl")
+    with os.fdopen(fd, "w") as f:
         for r in records:
             f.write(json.dumps(r) + "\n")
     return read_products_json(spark, path, extracted_at)

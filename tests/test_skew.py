@@ -49,3 +49,26 @@ def test_replicated_join_left_outer(spark, skewed):
     rows = out.collect()
     assert len(rows) == 2000
     assert {r.label for r in rows if r.key == "cold"} == {None}
+
+
+def test_salted_agg_min_max_via_recombine_pairs(spark, skewed):
+    plain = {
+        r.key: (r.lo, r.hi, r.n)
+        for r in skewed.groupBy("key")
+        .agg(F.min("v").alias("lo"), F.max("v").alias("hi"), F.count("*").alias("n"))
+        .collect()
+    }
+    salted = {
+        r.key: (r.lo, r.hi, r.n)
+        for r in skew.salted_agg(
+            skewed,
+            key_cols=["key"],
+            aggs={
+                "lo": (F.min("v"), F.min),
+                "hi": (F.max("v"), F.max),
+                "n": F.count("*"),
+            },
+            salt_source="row_id",
+        ).collect()
+    }
+    assert plain == salted
