@@ -61,6 +61,57 @@ def write_parquet(
     writer.parquet(path)
 
 
+def jdbc_write_options(
+    url: str,
+    table: str,
+    batch_size: int = 10_000,
+    options: dict[str, str] | None = None,
+) -> dict[str, str]:
+    """Writer option set for S7 (pure, plan-level — unit-testable
+    without an RDBMS). ``batchsize`` is the Spark-native replacement for
+    the reference's per-row INSERT loop."""
+    return {
+        "url": url,
+        "dbtable": table,
+        "batchsize": str(batch_size),
+        **(options or {}),
+    }
+
+
+def jdbc_bounds_query(table: str, partition_column: str) -> str:
+    """The one-row MIN/MAX probe that seeds a partitioned JDBC read."""
+    return (
+        f"(SELECT MIN({partition_column}) lo, MAX({partition_column}) hi "
+        f"FROM {table}) b"
+    )
+
+
+def jdbc_read_options(
+    url: str,
+    table: str,
+    partition_column: str | None = None,
+    lower_bound=None,
+    upper_bound=None,
+    num_partitions: int = 8,
+    options: dict[str, str] | None = None,
+) -> dict[str, str]:
+    """Reader option set for S8 (pure, plan-level). With a partition
+    column + bounds, Spark issues ``num_partitions`` range queries in
+    parallel instead of one giant SELECT *."""
+    opts = {"url": url, "dbtable": table}
+    if partition_column:
+        if lower_bound is None or upper_bound is None:
+            raise ValueError("partitioned jdbc read needs lower/upper bounds")
+        opts.update(
+            partitionColumn=partition_column,
+            lowerBound=str(lower_bound),
+            upperBound=str(upper_bound),
+            numPartitions=str(num_partitions),
+        )
+    opts.update(options or {})
+    return opts
+
+
 def jdbc_write(
     df: DataFrame,
     url: str,
@@ -76,16 +127,9 @@ def jdbc_write(
     per-row INSERT loop. Requires the JDBC driver jar on the classpath;
     callers without one get the standard ClassNotFound analysis error.
     """
-    writer = (
-        df.write.format("jdbc")
-        .option("url", url)
-        .option("dbtable", table)
-        .option("batchsize", str(batch_size))
-        .mode(mode)
-    )
-    for k, v in (options or {}).items():
-        writer = writer.option(k, v)
-    writer.save()
+    df.write.format("jdbc").options(
+        **jdbc_write_options(url, table, batch_size, options)
+    ).mode(mode).save()
 
 
 def jdbc_read(
@@ -98,30 +142,29 @@ def jdbc_read(
 ) -> DataFrame:
     """S8: RDBMS staging scan (etl/mysql_staging.py:189-200).
 
-    With ``partition_column`` the scan issues ``num_partitions`` range
-    queries in parallel instead of one giant SELECT *.
+    With ``partition_column`` the scan first probes MIN/MAX bounds with
+    a one-row query, then issues ``num_partitions`` range queries in
+    parallel instead of one giant SELECT *.
     """
-    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    lo = hi = None
     if partition_column:
         bounds = (
             spark.read.format("jdbc")
             .option("url", url)
-            .option(
-                "dbtable",
-                f"(SELECT MIN({partition_column}) lo, MAX({partition_column}) hi FROM {table}) b",
-            )
+            .option("dbtable", jdbc_bounds_query(table, partition_column))
             .load()
             .first()
         )
-        reader = (
-            reader.option("partitionColumn", partition_column)
-            .option("lowerBound", str(bounds["lo"]))
-            .option("upperBound", str(bounds["hi"]))
-            .option("numPartitions", str(num_partitions))
+        lo, hi = bounds["lo"], bounds["hi"]
+    return (
+        spark.read.format("jdbc")
+        .options(
+            **jdbc_read_options(
+                url, table, partition_column, lo, hi, num_partitions, options
+            )
         )
-    for k, v in (options or {}).items():
-        reader = reader.option(k, v)
-    return reader.load()
+        .load()
+    )
 
 
 RUN_LOG_SCHEMA = (
