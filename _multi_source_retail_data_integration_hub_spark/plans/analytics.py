@@ -460,3 +460,33 @@ def q08_quarterly_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "yoy_growth_pct"
         ),
     ).orderBy("year", "quarter")
+
+
+# ---------------------------------------------------------------------------
+# q52 — anti-join surfaced as a query: customers with NO orders, by
+# market segment. The reference exercises anti-joins only inside the
+# SCD2 merge (J8); this makes the operator an oracle-checked plan of
+# its own. Spark's left_anti over a broadcast/shuffled hash join ==
+# DuckDB's NOT EXISTS.
+# ---------------------------------------------------------------------------
+@query(
+    "q52_customers_no_orders",
+    oracle="""
+    SELECT c.c_mktsegment AS mktsegment,
+           COUNT(*) AS n_customers_no_orders,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS acctbal_sum
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY 1
+    """,
+)
+def q52_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    no_orders = customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    )
+    return no_orders.groupBy(F.col("c_mktsegment").alias("mktsegment")).agg(
+        F.count("*").alias("n_customers_no_orders"),
+        F.sum(F.col("c_acctbal").cast(DEC)).cast("double").alias("acctbal_sum"),
+    )

@@ -164,3 +164,47 @@ def q31_sliding_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q48 — funnel analysis: view -> click -> purchase, strictly ordered by
+# first occurrence per user. One grouped pass computes the three stage
+# timestamps (conditional MIN — map-side combinable), then one tiny
+# aggregation counts stage completion. No joins, no per-user windows.
+# ---------------------------------------------------------------------------
+@query(
+    "q48_funnel",
+    oracle="""
+    WITH stages AS (
+      SELECT user_id,
+             MIN(ts) FILTER (WHERE event_type = 'view') AS t_view,
+             MIN(ts) FILTER (WHERE event_type = 'click') AS t_click,
+             MIN(ts) FILTER (WHERE event_type = 'purchase') AS t_purchase
+      FROM events
+      GROUP BY 1
+    )
+    SELECT COUNT(*) AS n_users,
+           COUNT(t_view) AS n_view,
+           COUNT(CASE WHEN t_click > t_view THEN 1 END) AS n_view_then_click,
+           COUNT(CASE WHEN t_click > t_view AND t_purchase > t_click THEN 1 END)
+             AS n_full_funnel
+    FROM stages
+    """,
+)
+def q48_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    stages = events.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+    )
+    through_click = F.col("t_click") > F.col("t_view")
+    through_purchase = through_click & (F.col("t_purchase") > F.col("t_click"))
+    return stages.agg(
+        F.count("*").alias("n_users"),
+        F.count("t_view").alias("n_view"),
+        F.count(F.when(through_click, F.lit(1))).alias("n_view_then_click"),
+        F.count(F.when(through_purchase, F.lit(1))).alias("n_full_funnel"),
+    )

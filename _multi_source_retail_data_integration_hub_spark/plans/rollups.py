@@ -50,3 +50,49 @@ def q38_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "year", "quarter", "is_year_total", "is_quarter_total", "n_orders", "total_revenue"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q46 — CUBE over (order year, market segment): all four grains
+# (year x segment, year totals, segment totals, grand total) in one
+# shuffle. grouping() flags disambiguate subtotal rows from real NULLs,
+# exactly as in q38's rollup.
+# ---------------------------------------------------------------------------
+@query(
+    "q46_cube",
+    oracle="""
+    SELECT CAST(year(o.o_orderdate) AS BIGINT) AS year,
+           c.c_mktsegment AS mktsegment,
+           CAST(GROUPING(year(o.o_orderdate)) AS INT) AS is_year_total,
+           CAST(GROUPING(c.c_mktsegment) AS INT) AS is_segment_total,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY CUBE(year(o.o_orderdate), c.c_mktsegment)
+    """,
+)
+def q46_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    base = orders.join(
+        F.broadcast(customer), orders.o_custkey == customer.c_custkey
+    ).select(
+        F.year("o_orderdate").cast("long").alias("year"),
+        F.col("c_mktsegment").alias("mktsegment"),
+        "o_totalprice",
+    )
+    return (
+        base.cube("year", "mktsegment")
+        .agg(
+            F.grouping(F.col("year")).cast("int").alias("is_year_total"),
+            F.grouping(F.col("mktsegment")).cast("int").alias("is_segment_total"),
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("total_revenue"),
+        )
+        .select(
+            "year", "mktsegment", "is_year_total", "is_segment_total",
+            "n_orders", "total_revenue",
+        )
+    )

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators import skew
+from ..operators import sampling, skew
 from ..sources.testdata import load_table
 from .registry import query
 
@@ -121,4 +121,85 @@ def q35_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "exact_users",
         (rel_error <= 3 * APPROX_RSD).cast("bigint").alias("within_3rsd"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q45 — deterministic stratified sampling (operators/sampling.py).
+# Per-stratum mixing rates keyed off event_id % 100 — the reproducible,
+# engine-independent alternative to df.sample() that training-data
+# pipelines need for auditable subsets. The oracle replays the exact
+# same decision, proving the sample is deterministic, not just "about
+# the right size".
+# ---------------------------------------------------------------------------
+SAMPLE_RATES = {"purchase": 100, "signup": 50, "error": 20, "click": 10, "view": 10}
+
+
+@query(
+    "q45_stratified_sample",
+    oracle=f"""
+    WITH sampled AS (
+      SELECT event_type, value
+      FROM events
+      WHERE event_id % 100 < CASE event_type
+          WHEN 'purchase' THEN 100 WHEN 'signup' THEN 50
+          WHEN 'error' THEN 20 WHEN 'click' THEN 10 WHEN 'view' THEN 10
+          ELSE 0 END
+    )
+    SELECT event_type,
+           COUNT(*) AS n_sampled,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sampled_value
+    FROM sampled
+    GROUP BY 1
+    """,
+)
+def q45_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    sampled = sampling.stratified_sample(
+        events, strata_col="event_type", rates_pct=SAMPLE_RATES, key_col="event_id"
+    )
+    return sampled.groupBy("event_type").agg(
+        F.count("*").alias("n_sampled"),
+        F.sum(F.col("value").cast(DEC)).cast("double").alias("sampled_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q49 — approximate median with an exact-anchored accuracy contract.
+# percentile_approx's nominal rank error is 1/accuracy; the observed GK
+# error runs a small constant factor above that, so the asserted window
+# is 10/accuracy (= +-1% rank at accuracy=1000 — still a real anchor:
+# a broken sketch is tens of percent off). The verdict column is
+# hash-checked (same pattern as q35): a drifting sketch fails the
+# driver gate.
+# ---------------------------------------------------------------------------
+APPROX_ACC = 1000
+RANK_SLACK = 10.0  # multiples of 1/accuracy the estimate may deviate
+
+
+@query(
+    "q49_approx_median",
+    oracle="""
+    SELECT event_type,
+           MEDIAN(CAST(value AS DOUBLE)) AS exact_median,
+           CAST(1 AS BIGINT) AS within_rank_bound
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q49_approx_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    agg = events.groupBy("event_type").agg(
+        F.percentile_approx("value", 0.5, APPROX_ACC).alias("approx_median"),
+        F.percentile("value", F.lit(0.5)).alias("exact_median"),
+        F.percentile("value", F.lit(0.5 - RANK_SLACK / APPROX_ACC)).alias("lo"),
+        F.percentile("value", F.lit(0.5 + RANK_SLACK / APPROX_ACC)).alias("hi"),
+    )
+    within = (F.col("approx_median") >= F.col("lo")) & (
+        F.col("approx_median") <= F.col("hi")
+    )
+    return agg.select(
+        "event_type",
+        "exact_median",
+        within.cast("bigint").alias("within_rank_bound"),
     )
