@@ -1,0 +1,79 @@
+"""Connected components over a pair list — the clustering step that
+turns near-duplicate PAIRS (LSH candidates, cosine near-dups, exact
+hash matches) into dedup DECISIONS: every document gets a cluster id
+(the minimum doc id in its component) and a pipeline keeps one canonical
+doc per cluster.
+
+Algorithm: iterative min-label propagation. Each round every node
+adopts the smallest label among itself and its neighbors; convergence
+takes O(component diameter) rounds — for dedup graphs components are
+tiny chains (original + its mutations), so 3-5 rounds in practice.
+Each round is one equi-join + one min-aggregation (both plain shuffles
+Catalyst plans as hash joins/aggs), and ``localCheckpoint`` truncates
+the lineage so the plan doesn't grow exponentially with iterations.
+The result is the unique fixpoint — deterministic regardless of
+iteration order or partitioning.
+
+This is genuinely iterative (not SQL-expressible in one pass); the
+DuckDB oracle twin replays it with a recursive CTE, which IS
+expressible because test components are small.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, cluster_id) for every node appearing in ``pairs``.
+
+    ``cluster_id`` = min node id in the connected component. Nodes with
+    no edges don't appear (callers union singletons back if they need
+    total coverage). Raises if the propagation hasn't converged after
+    ``max_iter`` rounds (diameter > max_iter — raise the budget).
+    """
+    e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    sym = sym.distinct().localCheckpoint()
+
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym.b == labels.node)
+            .groupBy("a")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.node == nbr_min.a, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels.select("node", F.col("label").alias("cluster_id"))
+    raise RuntimeError(
+        f"connected_components: no fixpoint after {max_iter} rounds "
+        "(component diameter exceeds budget)"
+    )

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import similarity as S
+from ..operators.graph import connected_components
 from ..sources.testdata import load_table
 from .registry import query
 
@@ -231,26 +232,29 @@ def _augmented_sql() -> str:
     """
 
 
-@query(
-    "q37_cosine_neardup",
-    oracle=f"""
-    WITH aug AS ({_augmented_sql()}),
+_NEARDUP_CTES = f"""
+    aug AS ({_augmented_sql()}),
     e AS (SELECT vec_id, {_QUANT_LIST} AS qe FROM aug),
     n AS (SELECT vec_id, qe, CAST(list_dot_product(qe, qe) AS BIGINT) AS nsq FROM e),
     b AS (SELECT vec_id, qe, nsq, {_bucket_sql()} AS bucket FROM n),
-    pairs AS (
+    allpairs AS (
       SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
              CAST(list_dot_product(a.qe, b2.qe) AS BIGINT) AS dot,
              a.nsq AS na, b2.nsq AS nb
       FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+    ),
+    neardup AS (
+      SELECT id_a, id_b,
+             CAST(dot AS DOUBLE) / sqrt(CAST(na * nb AS DOUBLE)) AS cos_sim
+      FROM allpairs
+      WHERE CAST(dot AS DOUBLE) / sqrt(CAST(na * nb AS DOUBLE)) >= {NEARDUP_THRESHOLD}
     )
-    SELECT id_a, id_b,
-           CAST(dot AS DOUBLE) / sqrt(CAST(na * nb AS DOUBLE)) AS cos_sim
-    FROM pairs
-    WHERE CAST(dot AS DOUBLE) / sqrt(CAST(na * nb AS DOUBLE)) >= {NEARDUP_THRESHOLD}
-    """,
-)
-def q37_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+"""
+
+
+def _neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(id_a, id_b, cos_sim) near-dup pairs over the augmented corpus —
+    the shared stage behind q37 (pairs) and q53 (clusters)."""
     emb = load_table(spark, sf_dir, "embeddings")
     zeros = F.array(*[F.lit(0.0).cast("float")] * 8)
     mutants = emb.select(
@@ -267,4 +271,47 @@ def q37_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("dot", S.dot_long_vec(F.col("qa"), F.col("qb")))
         .withColumn("cos_sim", S.cosine_from_ints(F.col("dot"), F.col("na"), F.col("nb")))
     )
-    return pairs.where(F.col("cos_sim") >= NEARDUP_THRESHOLD).select("id_a", "id_b", "cos_sim")
+    return pairs.where(F.col("cos_sim") >= NEARDUP_THRESHOLD).select(
+        "id_a", "id_b", "cos_sim"
+    )
+
+
+@query(
+    "q37_cosine_neardup",
+    oracle=f"""
+    WITH {_NEARDUP_CTES}
+    SELECT id_a, id_b, cos_sim FROM neardup
+    """,
+)
+def q37_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _neardup_pairs(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# q53 — duplicate CLUSTERS: connected components over the near-dup pair
+# graph (operators/graph.py, iterative min-label propagation). This is
+# the step that turns pairwise similarity into dedup decisions — keep
+# one canonical doc (the min id) per cluster. The DuckDB twin replays
+# the fixpoint with a recursive CTE (expressible because test
+# components are small chains; Spark's loop is the 100 TB path).
+# ---------------------------------------------------------------------------
+@query(
+    "q53_dup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_NEARDUP_CTES},
+    nodes AS (SELECT id_a AS node FROM neardup UNION SELECT id_b FROM neardup),
+    edges AS (SELECT id_a AS a, id_b AS b FROM neardup
+              UNION SELECT id_b, id_a FROM neardup),
+    walk AS (
+      SELECT node, node AS reach FROM nodes
+      UNION
+      SELECT w.node, e.b AS reach FROM walk w JOIN edges e ON e.a = w.reach
+    )
+    SELECT node AS vec_id, MIN(reach) AS cluster_id
+    FROM walk GROUP BY 1
+    """,
+)
+def q53_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _neardup_pairs(spark, sf_dir)
+    comps = connected_components(pairs, src="id_a", dst="id_b")
+    return comps.select(F.col("node").alias("vec_id"), "cluster_id")
