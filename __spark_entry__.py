@@ -28,15 +28,15 @@ from _multi_source_retail_data_integration_hub_spark.plans import (  # noqa: E40
 )
 from _multi_source_retail_data_integration_hub_spark.plans import (  # noqa: E402,F401
     analytics,  # registers q01..q08, q52
-    dashboard,  # registers q09..q16
-    events_ts,  # registers q29..q31, q48 (windows, sessionization, funnel)
+    dashboard,  # registers q09..q16, q50 (incl. unpivot)
+    events_ts,  # registers q29..q31, q48, q51 (windows, sessions, funnel, sequences)
     grouped_map,  # registers q39..q40 (applyInPandas, frame windows)
     multimodal_plan,  # registers q32 (binary payload feature extraction)
     rollups,  # registers q38, q46 (rollup, cube)
     scale_ops,  # registers q33..q35, q45, q49 (JSON, salted agg, sketches, sampling)
     temporal,  # registers q36 (as-of join), q44 (interval join)
     similarity,  # registers q26..q28, q37, q41-q42, q53 (embedding ANN, dedup)
-    training_data,  # registers q17..q25 (dedup + text analysis)
+    training_data,  # registers q17..q25, q47 (dedup + text analysis)
 )
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"

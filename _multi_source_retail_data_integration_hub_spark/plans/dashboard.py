@@ -392,3 +392,42 @@ def q43_multiselect_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment", "status")
     )
+
+
+# ---------------------------------------------------------------------------
+# q50 — pivot -> unpivot round trip: revenue by order status widened to
+# one column per status (the reference's fixed-column pivot, A5), then
+# melted back to long form with DataFrame.unpivot. Exercises the
+# wide<->long reshaping pair every dashboard/export layer needs; the
+# DuckDB twin expresses the unpivot as the canonical UNION ALL.
+# ---------------------------------------------------------------------------
+@query(
+    "q50_unpivot",
+    oracle="""
+    WITH wide AS (
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS year,
+             CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'F'
+                 THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS f,
+             CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'O'
+                 THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS o,
+             CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'P'
+                 THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0) AS DOUBLE) AS p
+      FROM orders GROUP BY 1
+    )
+    SELECT year, 'F' AS status, f AS revenue FROM wide
+    UNION ALL SELECT year, 'O', o FROM wide
+    UNION ALL SELECT year, 'P', p FROM wide
+    """,
+)
+def q50_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    wide = (
+        orders.groupBy(F.year("o_orderdate").cast("long").alias("year"))
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.sum(F.col("o_totalprice").cast(DEC)))
+    )
+    wide = wide.select(
+        "year",
+        *[F.coalesce(F.col(s), F.lit(0).cast(DEC)).cast("double").alias(s) for s in ("F", "O", "P")],
+    )
+    return wide.unpivot(["year"], ["F", "O", "P"], "status", "revenue")

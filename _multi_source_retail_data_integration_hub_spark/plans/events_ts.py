@@ -208,3 +208,42 @@ def q48_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(through_click, F.lit(1))).alias("n_view_then_click"),
         F.count(F.when(through_purchase, F.lit(1))).alias("n_full_funnel"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q51 — per-user recent-action sequence: the 3 most recent event types
+# joined newest-first into one string. Sequence features like this feed
+# churn/propensity models; the construction (top-k window -> ordered
+# collect) is the canonical Spark shape for "last N actions per entity".
+# collect_list order is made deterministic by sorting (rank, value)
+# structs, never by relying on row arrival order.
+# ---------------------------------------------------------------------------
+@query(
+    "q51_recent_event_seq",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+             ) AS rn
+      FROM events
+    )
+    SELECT user_id,
+           string_agg(event_type, '>' ORDER BY rn) AS recent_events,
+           COUNT(*) AS n_recent
+    FROM ranked WHERE rn <= 3
+    GROUP BY 1
+    """,
+)
+def q51_recent_event_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    recent = events.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 3)
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+        lambda s: s["event_type"],
+    )
+    return recent.groupBy("user_id").agg(
+        F.array_join(ordered, ">").alias("recent_events"),
+        F.count("*").alias("n_recent"),
+    )

@@ -15,7 +15,7 @@ operators/text.py docstrings for the 100 TB rationale of each.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import text as T
@@ -375,3 +375,46 @@ def q24_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q25_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.simhash(_docs(spark, sf_dir), "text", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q47 — per-document top distinguishing terms: TF-IDF-flavored ranking
+# kept fully in integer arithmetic (rarest-first df ASC, then tf DESC)
+# so both engines agree bit-for-bit — no float log() whose last ulp
+# differs between libm and the JVM. Plan: explode tokens -> tf agg ->
+# df agg -> join -> per-doc top-3 window. At 100 TB the df table is the
+# small side (vocabulary) and broadcasts.
+# ---------------------------------------------------------------------------
+@query(
+    "q47_top_terms",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    ranked AS (
+      SELECT t.doc_id, t.term, t.tf, d.df,
+             ROW_NUMBER() OVER (
+               PARTITION BY t.doc_id ORDER BY d.df, t.tf DESC, t.term
+             ) AS term_rank
+      FROM tf t JOIN df d USING (term)
+    )
+    SELECT doc_id, term_rank, term, tf, df FROM ranked WHERE term_rank <= 3
+    """,
+)
+def q47_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(T.tokens(F.col("text"))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_counts = tf.groupBy("term").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", F.desc("tf"), "term")
+    ranked = (
+        tf.join(F.broadcast(df_counts), "term")
+        .withColumn("term_rank", F.row_number().over(w))
+        .where(F.col("term_rank") <= 3)
+    )
+    return ranked.select("doc_id", "term_rank", "term", "tf", "df")
