@@ -5,9 +5,11 @@ Usage:
     python bench.py                       # $SPARK_GRAFT_SF_DIR or sf0.1
     SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 python bench.py
 
-Per query we force full execution with a count-collecting action
-(``df.write`` to a no-op is heavier; ``collect`` on these aggregate
-results is small). The first query pays parquet-footer/codegen warmup,
+Per query we force FULL execution with a ``noop``-format write: unlike
+``count()`` (which lets Catalyst prune projection columns, so a
+map-only query's computed columns would never run), the noop sink
+materializes every output column and discards it — the honest
+benchmark action. The first query pays parquet-footer/codegen warmup,
 so we run a tiny warmup scan first and report per-query seconds plus
 the summed total.
 """
@@ -46,8 +48,7 @@ def main() -> None:
         t0 = time.perf_counter()
         try:
             df = fn(spark, sf_dir)
-            n = df.count()
-            _ = n
+            df.write.format("noop").mode("overwrite").save()
         except Exception as exc:  # noqa: BLE001
             failures[name] = f"{type(exc).__name__}: {exc}"[:200]
             continue
