@@ -38,8 +38,11 @@ def main() -> None:
         sf_num = None
 
     spark = get_spark("bench")
-    # Warmup: trigger JVM/codegen/parquet-reader init outside the timings.
-    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).limit(1).collect()
+    # Warmup: trigger JVM/codegen/parquet-reader/noop-sink init outside
+    # the timings (first-query overhead is ~2 s otherwise and would be
+    # misattributed to whichever query runs first).
+    warm = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).limit(1000)
+    warm.groupBy("l_returnflag").count().write.format("noop").mode("overwrite").save()
 
     queries = entrymod.queries()
     per_query: dict[str, float] = {}
