@@ -37,6 +37,41 @@ class PipelineGateError(RuntimeError):
     """A validation gate failed (AirflowFailException analogue)."""
 
 
+# Airflow default_args analogue (dags/retail_etl_dag.py:74-76): each
+# load task retries transient failures before failing the run.
+RETRY_POLICY = {"retries": 2, "retry_delay_seconds": 0.0}
+
+
+def with_retries(
+    fn,
+    retries: int = 2,
+    retry_delay_seconds: float = 0.0,
+    on_retry=None,
+):
+    """Run ``fn()`` under the DAG's task retry policy.
+
+    Gate failures (PipelineGateError) are deterministic data-quality
+    verdicts — retrying cannot change them, so they propagate
+    immediately, exactly as AirflowFailException bypasses retries.
+    Everything else (transient sink/executor errors) retries up to
+    ``retries`` times with ``retry_delay_seconds`` between attempts.
+    """
+    last: Exception | None = None
+    for attempt in range(retries + 1):
+        try:
+            return fn()
+        except PipelineGateError:
+            raise
+        except Exception as exc:  # noqa: BLE001 - the retry boundary
+            last = exc
+            if attempt < retries:
+                if on_retry is not None:
+                    on_retry(attempt + 1, exc)
+                time.sleep(retry_delay_seconds)
+    assert last is not None
+    raise last
+
+
 DEFAULT_THRESHOLDS = {
     "stg_retail_sales": 100,
     "dim_customer": 10,
@@ -144,7 +179,14 @@ def run_pipeline(
         for name, df in tables.items():
             if incremental and name in SCD2_DIMS and spark.catalog.tableExists(f"{database}.{name}"):
                 df = _scd2_merged_dim(spark, df, name, database, run_ts)
-            sinks.write_warehouse_table(df, name, database=database)
+            # each table write is one "task": transient failures retry
+            # under the DAG policy, gate errors never do
+            with_retries(
+                lambda df=df, name=name: sinks.write_warehouse_table(
+                    df, name, database=database
+                ),
+                **RETRY_POLICY,
+            )
         validate_load(spark, database, list(tables))
         sinks.append_run_log(
             spark,

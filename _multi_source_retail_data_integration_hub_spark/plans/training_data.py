@@ -340,12 +340,11 @@ def _lsh_sql() -> str:
 
 @query("q24_lsh_candidates", oracle=_lsh_sql())
 def q24_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Persist the signature matrix AND materialize it before the self-
-    # join fans out: otherwise both join sides race to compute the
-    # shingle pipeline concurrently before the cache is populated.
-    # (At cluster scale you'd checkpoint the signature table instead.)
-    sig = T.minhash_signatures(_mutated(spark, sf_dir), "text", "id").persist()
-    sig.count()
+    # Materialize the signature matrix once (eager localCheckpoint)
+    # before the self-join fans out: otherwise both join sides recompute
+    # the whole shingle pipeline. Checkpointing also truncates lineage —
+    # the cluster-shaped form of persist()+count().
+    sig = T.minhash_signatures(_mutated(spark, sf_dir), "text", "id").localCheckpoint()
     return T.lsh_candidate_pairs(sig, "id")
 
 

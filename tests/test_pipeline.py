@@ -123,3 +123,43 @@ def test_incremental_scd2_dim_merge(spark, raw, tmp_path_factory):
     # dim_product merged with identical snapshot -> no new versions
     assert spark.table("inc_dw.dim_product").count() == 3
     spark.sql("DROP DATABASE IF EXISTS inc_dw CASCADE")
+
+
+def test_with_retries_policy():
+    """Transient failures retry; gate failures never do (Airflow
+    default_args analogue)."""
+    from _multi_source_retail_data_integration_hub_spark.plans.pipeline import (
+        PipelineGateError,
+        with_retries,
+    )
+
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise IOError("transient sink error")
+        return "ok"
+
+    seen = []
+    assert (
+        with_retries(flaky, retries=2, on_retry=lambda a, e: seen.append(a)) == "ok"
+    )
+    assert calls["n"] == 3 and seen == [1, 2]
+
+    calls["n"] = 0
+    import pytest as _pytest
+
+    with _pytest.raises(IOError):
+        with_retries(flaky, retries=1)  # budget exhausted after 2 calls
+    assert calls["n"] == 2
+
+    gate_calls = {"n": 0}
+
+    def gate_fail():
+        gate_calls["n"] += 1
+        raise PipelineGateError("bad counts")
+
+    with _pytest.raises(PipelineGateError):
+        with_retries(gate_fail, retries=5)
+    assert gate_calls["n"] == 1  # no retry on deterministic gate verdicts
