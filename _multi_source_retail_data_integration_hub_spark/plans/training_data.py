@@ -417,3 +417,79 @@ def q47_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("term_rank") <= 3)
     )
     return ranked.select("doc_id", "term_rank", "term", "tf", "df")
+
+
+# ---------------------------------------------------------------------------
+# q56 — the composed curation pipeline: doubled crawl -> exact dedup
+# (keep canonical min-id doc) -> quality scoring -> drop the 'low' band
+# -> per-(lang, band) corpus stats. This is the end-to-end shape a
+# training-data pipeline actually runs; each stage is an already-
+# verified operator (q17 dedup, q19 quality, q18 token stats) and the
+# oracle replays the whole composition, proving the stages compose
+# without semantic drift. Integer token/char sums only — no
+# order-dependent float aggregation.
+# ---------------------------------------------------------------------------
+@query(
+    "q56_corpus_pipeline",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + {OFFSET} AS doc_id, text FROM documents
+    ),
+    dedup AS (SELECT MIN(doc_id) AS doc_id FROM corpus GROUP BY md5(text)),
+    kept AS (
+      SELECT d.doc_id, doc.text, doc.lang
+      FROM dedup d JOIN documents doc ON doc.doc_id = d.doc_id
+    ),
+    m AS (
+      SELECT doc_id, lang,
+             least(length(text) / 500.0, 1.0) AS len_credit,
+             len(list_distinct({_TOKS})) / len({_TOKS}) AS diversity,
+             least(len(list_filter({_TOKS},
+                     t -> t IN ('the','a','of','and','to'))) / len({_TOKS}) * 5,
+                   1.0) AS stop_credit,
+             CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+             CAST(length(text) AS BIGINT) AS n_chars
+      FROM kept
+    ),
+    banded AS (
+      SELECT *,
+             CASE WHEN (len_credit + diversity + stop_credit) / 3 >= 0.75 THEN 'high'
+                  WHEN (len_credit + diversity + stop_credit) / 3 >= 0.5 THEN 'medium'
+                  ELSE 'low' END AS quality_band
+      FROM m
+    )
+    SELECT lang, quality_band,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM banded
+    WHERE quality_band <> 'low'
+    GROUP BY 1, 2
+    """,
+)
+def q56_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    canon = T.exact_dup_clusters(_doubled(spark, sf_dir), "text", "doc_id").select(
+        F.col("canonical_id").alias("doc_id")
+    )
+    kept = docs.join(canon, "doc_id")
+    quality = T.quality_score(kept, "text", "doc_id").select(
+        "doc_id", "quality_band"
+    )
+    stats = T.token_stats(kept, "text", "doc_id").select(
+        "doc_id", "n_tokens", "n_chars"
+    )
+    joined = (
+        kept.select("doc_id", "lang").join(quality, "doc_id").join(stats, "doc_id")
+    )
+    return (
+        joined.where(F.col("quality_band") != "low")
+        .groupBy("lang", "quality_band")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
