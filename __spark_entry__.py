@@ -27,7 +27,7 @@ from _multi_source_retail_data_integration_hub_spark.plans import (  # noqa: E40
     QUERIES,
 )
 from _multi_source_retail_data_integration_hub_spark.plans import (  # noqa: E402,F401
-    analytics,  # registers q01..q08, q52, q54-q55
+    analytics,  # registers q01..q08, q52, q54-q55, q57-q58
     dashboard,  # registers q09..q16, q50 (incl. unpivot)
     events_ts,  # registers q29..q31, q48, q51 (windows, sessions, funnel, sequences)
     grouped_map,  # registers q39..q40 (applyInPandas, frame windows)

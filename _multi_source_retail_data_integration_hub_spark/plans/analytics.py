@@ -581,3 +581,98 @@ def q55_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_orderdate").cast("date").alias("min_orderdate"),
         F.max("o_orderdate").cast("date").alias("max_orderdate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q57 — set operations surfaced as a query: purchasers INTERSECT
+# error-reporters, and purchasers EXCEPT error-reporters, summarized as
+# counts + id checksums (sum of user ids — exact integer, order-free).
+# Spark's intersect/exceptAll compile to the same aggregate/join shapes
+# DuckDB's INTERSECT/EXCEPT use.
+# ---------------------------------------------------------------------------
+@query(
+    "q57_set_ops",
+    oracle="""
+    WITH purchasers AS (
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    ),
+    erroring AS (
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+    ),
+    both_sets AS (SELECT user_id FROM purchasers INTERSECT SELECT user_id FROM erroring),
+    only_purchase AS (SELECT user_id FROM purchasers EXCEPT SELECT user_id FROM erroring)
+    SELECT
+      (SELECT COUNT(*) FROM both_sets) AS n_both,
+      (SELECT CAST(COALESCE(SUM(user_id), 0) AS BIGINT) FROM both_sets) AS both_id_sum,
+      (SELECT COUNT(*) FROM only_purchase) AS n_only_purchase,
+      (SELECT CAST(COALESCE(SUM(user_id), 0) AS BIGINT) FROM only_purchase) AS only_id_sum
+    """,
+)
+def q57_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    purchasers = events.where(F.col("event_type") == "purchase").select("user_id").distinct()
+    erroring = events.where(F.col("event_type") == "error").select("user_id").distinct()
+    both_sets = purchasers.intersect(erroring)
+    only_purchase = purchasers.exceptAll(erroring)
+    b = both_sets.agg(
+        F.count("*").alias("n_both"),
+        F.coalesce(F.sum("user_id"), F.lit(0)).alias("both_id_sum"),
+    )
+    o = only_purchase.agg(
+        F.count("*").alias("n_only_purchase"),
+        F.coalesce(F.sum("user_id"), F.lit(0)).alias("only_id_sum"),
+    )
+    return b.crossJoin(o)  # two 1-row aggregates
+
+
+# ---------------------------------------------------------------------------
+# q58 — correlated-aggregate pattern: customers whose account balance
+# beats their nation's average. SQL writes it as a correlated subquery;
+# the scalable Spark plan computes per-nation averages once and joins
+# back (broadcast — #nations rows), which is also what a decorrelating
+# optimizer produces.
+# ---------------------------------------------------------------------------
+@query(
+    "q58_above_nation_avg",
+    oracle="""
+    WITH avgs AS (
+      -- SUM/COUNT instead of AVG: both engines then compute the same
+      -- exact decimal sum and ONE IEEE division (AVG's internal
+      -- rounding differs between Spark and DuckDB near the last ulp).
+      SELECT c_nationkey,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+               AS nation_avg
+      FROM customer GROUP BY 1
+    )
+    SELECT n.n_name AS nation,
+           COUNT(*) AS n_above_avg,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS above_sum
+    FROM customer c
+    JOIN avgs a ON a.c_nationkey = c.c_nationkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE CAST(c.c_acctbal AS DOUBLE) > a.nation_avg
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q58_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    avgs = customer.groupBy("c_nationkey").agg(
+        (F.sum(F.col("c_acctbal").cast(DEC)).cast("double") / F.count("*")).alias(
+            "nation_avg"
+        )
+    )
+    above = (
+        customer.join(F.broadcast(avgs), "c_nationkey")
+        .where(F.col("c_acctbal").cast("double") > F.col("nation_avg"))
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+    )
+    return (
+        above.groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("n_above_avg"),
+            F.sum(F.col("c_acctbal").cast(DEC)).cast("double").alias("above_sum"),
+        )
+        .orderBy("nation")
+    )
