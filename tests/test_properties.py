@@ -130,3 +130,108 @@ def test_fiscal_quarter_matches_python_floor_mod(spark, months):
     df = spark.createDataFrame([(f"2023-{m:02d}-15",) for m in months], "d string")
     got = [r[0] for r in df.select(fiscal_quarter(F.col("d").cast("date"))).collect()]
     assert got == [((m - 10) % 12) // 3 + 1 for m in months]
+
+
+# ---------------------------------------------------------------------------
+# interval join == naive all-pairs filter on random intervals/points
+# ---------------------------------------------------------------------------
+intervals_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),  # key
+        st.integers(min_value=0, max_value=5_000),  # start (seconds)
+        st.integers(min_value=0, max_value=3_000),  # length
+    ),
+    min_size=1,
+    max_size=15,
+)
+points_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),
+        st.integers(min_value=0, max_value=9_000),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(ivs=intervals_strategy, pts=points_strategy)
+@settings(**SETTINGS)
+def test_interval_join_matches_naive_filter(spark, ivs, pts):
+    import datetime as dt
+
+    from _multi_source_retail_data_integration_hub_spark.operators.ranges import (
+        interval_join,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    iv_rows = [
+        (k, i, ts(s), ts(s + ln)) for i, (k, s, ln) in enumerate(ivs)
+    ]
+    pt_rows = [(k, j, ts(s)) for j, (k, s) in enumerate(pts)]
+    intervals = spark.createDataFrame(
+        iv_rows, "key long, iv_id long, start_ts timestamp, end_ts timestamp"
+    )
+    points = spark.createDataFrame(pt_rows, "key long, pt_id long, ts timestamp")
+    # bucket width must be >= max interval length for the fan-out bound
+    got = {
+        (r["iv_id"], r["pt_id"])
+        for r in interval_join(
+            intervals, points, on=["key"], bucket_seconds=3_000
+        ).collect()
+    }
+    want = {
+        (i, j)
+        for i, (k1, s1, ln) in enumerate(ivs)
+        for j, (k2, s2) in enumerate(pts)
+        if k1 == k2 and s1 <= s2 < s1 + ln
+    }
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# connected components == Python union-find on random edge lists
+# ---------------------------------------------------------------------------
+edges_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=20),
+        st.integers(min_value=0, max_value=20),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(edges=edges_strategy)
+@settings(**SETTINGS)
+def test_connected_components_match_union_find(spark, edges):
+    from _multi_source_retail_data_integration_hub_spark.operators.graph import (
+        connected_components,
+    )
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    want = {n: find(n) for n in parent}
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r["node"]: r["cluster_id"] for r in connected_components(df).collect()
+    }
+    assert got == want
