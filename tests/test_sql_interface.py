@@ -1,0 +1,65 @@
+"""The engine is drivable through plain ``spark.sql`` over the
+registered testdata views (sources/testdata.py::register_views), not
+just the DataFrame API — a user porting ANSI-SQL workloads needs the
+SQL-string path to produce identical results and identical plans."""
+
+from pyspark.sql import functions as F
+
+from _multi_source_retail_data_integration_hub_spark.sources.testdata import (
+    register_views,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_sql_string_matches_dataframe_plan(spark):
+    register_views(spark, SF_DIR)
+    sql_result = spark.sql(
+        """
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS year,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total_revenue
+        FROM orders
+        GROUP BY 1 ORDER BY 1
+        """
+    ).collect()
+    from _multi_source_retail_data_integration_hub_spark.sources.testdata import (
+        load_table,
+    )
+
+    df_result = (
+        load_table(spark, SF_DIR, "orders")
+        .groupBy(F.year("o_orderdate").cast("long").alias("year"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_revenue"),
+        )
+        .orderBy("year")
+        .collect()
+    )
+    assert [r.asDict() for r in sql_result] == [r.asDict() for r in df_result]
+
+
+def test_sql_joins_and_windows_over_views(spark):
+    register_views(spark, SF_DIR)
+    rows = spark.sql(
+        """
+        WITH monthly AS (
+          SELECT CAST(year(o_orderdate) AS BIGINT) AS year,
+                 CAST(month(o_orderdate) AS BIGINT) AS month,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+          GROUP BY 1, 2
+        )
+        SELECT year, month, rev,
+               LAG(rev) OVER (ORDER BY year, month) AS prev_rev
+        FROM monthly ORDER BY year, month
+        """
+    ).collect()
+    assert len(rows) > 0
+    # the LAG chain is consistent: row N's prev_rev == row N-1's rev
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["prev_rev"] == prev["rev"]
