@@ -1,0 +1,51 @@
+"""Scan efficiency contracts: predicate pushdown, column pruning, and
+partition pruning must actually reach the parquet scan — at 100 TB a
+scan that reads every column (or every partition) for a 2-column
+filtered projection is a wrong plan even if the answer is right."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from _multi_source_retail_data_integration_hub_spark.sources.testdata import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _scan_node(df) -> str:
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scans = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+    assert scans, f"no parquet scan in plan:\n{plan}"
+    return "\n".join(scans)
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = load_table(spark, SF_DIR, "orders").where(
+        F.col("o_orderstatus") == "F"
+    )
+    scan = _scan_node(df)
+    assert "PushedFilters" in scan
+    assert "o_orderstatus" in scan.split("PushedFilters")[1]
+
+
+def test_column_pruning_reaches_scan(spark):
+    df = load_table(spark, SF_DIR, "orders").select("o_orderkey", "o_totalprice")
+    scan = _scan_node(df)
+    read_schema = scan.split("ReadSchema:")[1]
+    assert "o_orderkey" in read_schema and "o_totalprice" in read_schema
+    assert "o_comment" not in read_schema  # widest column must be pruned
+
+
+def test_partition_pruning_on_partitioned_write(spark, tmp_path):
+    path = os.path.join(str(tmp_path), "orders_part")
+    orders = load_table(spark, SF_DIR, "orders").withColumn(
+        "status", F.col("o_orderstatus")
+    )
+    orders.write.partitionBy("status").parquet(path)
+    df = spark.read.parquet(path).where(F.col("status") == "F")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the status predicate must be a partition filter, not a data filter
+    assert "PartitionFilters" in plan
+    part = plan.split("PartitionFilters")[1].split("]")[0]
+    assert "status" in part
+    assert df.count() == orders.where("o_orderstatus = 'F'").count()
