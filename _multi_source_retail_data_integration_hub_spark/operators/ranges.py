@@ -47,11 +47,23 @@ def interval_join(
     fan-out bound to hold (larger W = fewer replicas but coarser
     buckets; W ~ max interval length is the sweet spot).
 
+    Only INNER semantics are supported: an outer join over the
+    bucket-exploded interval side would emit one null-extended row per
+    bucket replica of an unmatched interval, which is not a range
+    left-join. Callers needing unmatched intervals should anti-join
+    them back explicitly on a unique interval key.
+
     Timestamps are compared exactly; bucketing floors epoch seconds,
     which is consistent for both sub-second timestamps and the
     exclusive end bound (an interval ending exactly on a bucket edge
     just contributes one always-filtered replica).
     """
+    if how != "inner":
+        raise ValueError(
+            "interval_join supports only how='inner' (outer joins over the "
+            "bucket-exploded side would duplicate unmatched intervals per "
+            "bucket replica); anti-join unmatched intervals back instead"
+        )
     w = F.lit(bucket_seconds).cast("long")
     ivs = intervals.withColumn(
         "_bucket",

@@ -79,3 +79,19 @@ def test_interval_join_plan_is_equi_join(spark):
     assert "CartesianProduct" not in plan
     # the join must be a hash/sort-merge equi-join on (user_id, bucket)
     assert "Join" in plan
+
+
+def test_interval_join_rejects_outer_joins(spark):
+    import datetime as dt
+
+    import pytest
+
+    d = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 2))],
+        "user_id long, start_ts timestamp, end_ts timestamp",
+    )
+    p = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1))], "user_id long, ts timestamp"
+    )
+    with pytest.raises(ValueError, match="inner"):
+        interval_join(d, p, on=["user_id"], how="left")
