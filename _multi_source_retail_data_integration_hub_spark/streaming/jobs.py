@@ -187,6 +187,47 @@ def run_available_now(
     q.awaitTermination(timeout)
 
 
+def foreach_batch_upsert(
+    stream_df: DataFrame,
+    table: str,
+    key_cols: list[str],
+    checkpoint_dir: str,
+) -> "object":
+    """Production merge sink: upsert each micro-batch into a warehouse
+    table keyed on ``key_cols`` via ``foreachBatch``.
+
+    Without a transactional table format in this container the merge is
+    expressed as current ⟕anti batch → union → overwrite; on a cluster
+    the same foreachBatch body becomes a single ``MERGE INTO`` against
+    Delta/Iceberg. The checkpoint makes redelivery safe: a re-run batch
+    re-executes the same idempotent merge. Batches are deduped on the
+    key so "last write wins" within a batch is explicit.
+    """
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = batch_df.dropDuplicates(key_cols).localCheckpoint()
+        if spark.catalog.tableExists(table):
+            current = spark.table(table)
+            keep = current.join(batch.select(*key_cols), key_cols, "left_anti")
+            # materialize before overwriting the table being read
+            merged = keep.unionByName(batch).localCheckpoint()
+        else:
+            merged = batch
+        merged.write.mode("overwrite").saveAsTable(table)
+        # invalidate cached file listings so readers (and the next
+        # micro-batch's own read of `current`) see the new snapshot
+        spark.catalog.refreshTable(table)
+
+    return (
+        stream_df.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", os.path.join(checkpoint_dir, "cp_upsert"))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def write_stream_parquet(
     stream_df: DataFrame, path: str, checkpoint_dir: str, partition_by: tuple[str, ...] = ()
 ) -> "object":

@@ -94,3 +94,47 @@ def test_stateful_running_totals(spark, events_stream):
     for uid, w in want.items():
         assert got[uid].n_events == w.n_events
         assert got[uid].total_value == pytest.approx(w.total_value, rel=1e-9)
+
+def test_foreach_batch_upsert_matches_batch_agg(spark, events_stream, tmp_path):
+    """Streaming per-user totals upserted through foreachBatch equal the
+    batch aggregate, and a second drain (redelivery) is idempotent."""
+    import shutil
+
+    spark.sql("DROP TABLE IF EXISTS t_upsert")
+    shutil.rmtree("spark-warehouse/t_upsert", ignore_errors=True)
+    agg = (
+        events_stream.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+    )
+    q = jobs.foreach_batch_upsert(
+        agg, "t_upsert", ["user_id"], str(tmp_path / "a")
+    )
+    q.awaitTermination(300)
+    # reader-side hygiene: the table was rewritten by the streaming
+    # session's clone, so invalidate this session's cached listing
+    spark.catalog.refreshTable("t_upsert")
+    want = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+    )
+    cols = ["user_id", "n_events", "total_value"]
+    assert _rows(spark.table("t_upsert"), cols) == _rows(want, cols)
+
+    # redelivery: drain the same source again into the same table
+    q2 = jobs.foreach_batch_upsert(
+        agg, "t_upsert", ["user_id"], str(tmp_path / "b")
+    )
+    q2.awaitTermination(300)
+    spark.catalog.refreshTable("t_upsert")
+    assert _rows(spark.table("t_upsert"), cols) == _rows(want, cols)
