@@ -32,3 +32,53 @@ def q32_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = M.attach_payloads(docs)
     return M.decode_image_features(media)
+
+
+# ---------------------------------------------------------------------------
+# q59 — audio feature plumbing: payload bytes -> (n_samples, rms).
+# The fake-PCM interpretation is deterministic byte math, so DuckDB can
+# replay it: per-byte squares sum exactly in integers (and float64 sums
+# of ints < 2^53 are order-independent), then ONE division + sqrt.
+# Texts are pure ASCII (asserted by the pipeline), so char positions ==
+# byte offsets in the oracle.
+# ---------------------------------------------------------------------------
+@query(
+    "q59_audio_features",
+    oracle="""
+    WITH bytes AS (
+      SELECT doc_id, ascii(substr(text, CAST(i AS INT), 1)) AS b
+      FROM documents, unnest(range(1, length(text) + 1)) AS t(i)
+    )
+    SELECT doc_id AS media_id,
+           CAST(COUNT(*) // 2 AS BIGINT) AS n_samples,
+           CAST(16000 AS INT) AS sample_rate,
+           sqrt(CAST(SUM(b * b) AS DOUBLE) / COUNT(*)) AS rms
+    FROM bytes GROUP BY 1
+    """,
+)
+def q59_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return M.extract_audio_features(M.attach_payloads(docs))
+
+
+# ---------------------------------------------------------------------------
+# q60 — frame-sampling plumbing: 1-to-N explode of byte offsets at a
+# fixed stride, capped — the shape of keyframe extraction without the
+# codec. Pure length arithmetic, replayed exactly by the oracle.
+# ---------------------------------------------------------------------------
+@query(
+    "q60_frame_samples",
+    oracle="""
+    WITH n AS (
+      SELECT doc_id, LEAST(8, GREATEST(1, length(text) // 64)) AS n_frames
+      FROM documents
+    )
+    SELECT doc_id AS media_id,
+           CAST(i AS INT) AS frame_idx,
+           CAST(i * 64 AS BIGINT) AS byte_offset
+    FROM n, unnest(range(0, n_frames)) AS t(i)
+    """,
+)
+def q60_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return M.sample_frames(M.attach_payloads(docs))
