@@ -144,3 +144,83 @@ def q40_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rev_dec").cast("double").alias("daily_value"),
         (F.sum("rev_dec").over(w).cast("double") / F.count("*").over(w)).alias("ma7"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q61 — cogrouped map (cogroup().applyInPandas): per-user purchase vs
+# error timelines compared in one pandas call per user — the API class
+# for "align two event streams per key" where each side needs local
+# array logic. Output (attribution counting with an exact integer
+# window) is replayed by a plain SQL join oracle, proving the cogroup
+# path computes the declarative answer.
+# ---------------------------------------------------------------------------
+ERR_WINDOW_US = 3600 * 1_000_000  # errors within 1 h after a purchase
+
+
+@query(
+    "q61_cogroup_timelines",
+    oracle=f"""
+    WITH p AS (
+      SELECT user_id, epoch_us(ts) AS ts_us FROM events
+      WHERE event_type = 'purchase'
+    ),
+    e AS (
+      SELECT user_id, epoch_us(ts) AS ts_us FROM events
+      WHERE event_type = 'error'
+    ),
+    hits AS (
+      SELECT e.user_id, e.ts_us
+      FROM e JOIN p ON p.user_id = e.user_id
+       AND e.ts_us > p.ts_us AND e.ts_us - p.ts_us <= {ERR_WINDOW_US}
+      GROUP BY 1, 2
+    ),
+    base AS (
+      SELECT user_id,
+             COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchases,
+             COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_errors
+      FROM events GROUP BY 1
+    )
+    SELECT b.user_id, b.n_purchases, b.n_errors,
+           (SELECT COUNT(*) FROM hits h WHERE h.user_id = b.user_id)
+             AS n_errors_after_purchase
+    FROM base b
+    WHERE b.n_purchases > 0 OR b.n_errors > 0
+    """,
+)
+def q61_cogroup_timelines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "user_id", F.unix_micros("ts").alias("ts_us")
+    )
+    errors = events.where(F.col("event_type") == "error").select(
+        "user_id", F.unix_micros("ts").alias("ts_us")
+    )
+
+    out_schema = (
+        "user_id long, n_purchases long, n_errors long, "
+        "n_errors_after_purchase long"
+    )
+
+    def compare(key, p_pdf: pd.DataFrame, e_pdf: pd.DataFrame) -> pd.DataFrame:
+        p = np.sort(p_pdf["ts_us"].to_numpy(dtype=np.int64))
+        e = np.unique(e_pdf["ts_us"].to_numpy(dtype=np.int64))
+        if len(p) and len(e):
+            # an error counts if ANY purchase precedes it within the window;
+            # searchsorted finds the nearest purchase strictly before each error
+            idx = np.searchsorted(p, e, side="left") - 1
+            ok = idx >= 0
+            hits = int(np.count_nonzero(ok & (e - p[np.clip(idx, 0, None)] <= ERR_WINDOW_US)))
+        else:
+            hits = 0
+        return pd.DataFrame(
+            {
+                "user_id": [int(key[0])],
+                "n_purchases": [len(p)],
+                "n_errors": [len(e_pdf)],
+                "n_errors_after_purchase": [hits],
+            }
+        )
+
+    return purchases.groupBy("user_id").cogroup(errors.groupBy("user_id")).applyInPandas(
+        compare, out_schema
+    )
