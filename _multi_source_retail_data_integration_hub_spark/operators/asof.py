@@ -53,7 +53,9 @@ def asof_join(
     # would mix fields from different right rows when values are NULL.
     r_fields = [on, *value_cols]
     r_dt = dict(right.dtypes)
-    struct_ddl = "struct<" + ",".join(f"{c}:{r_dt[c]}" for c in r_fields) + ">"
+    # backquoted field names: column names with spaces/dots must survive
+    # the DDL round-trip and the getField unpack below
+    struct_ddl = "struct<" + ",".join(f"`{c}`:{r_dt[c]}" for c in r_fields) + ">"
 
     l_tag = left.withColumn("_side", F.lit(1)).withColumn(
         "_r", F.lit(None).cast(struct_ddl)
@@ -62,7 +64,9 @@ def asof_join(
         F.col(by),
         F.col(on),
         F.lit(0).alias("_side"),
-        F.struct(*[F.col(c) for c in r_fields]).alias("_r"),
+        # backquoted references resolve names exactly (a bare "a.b"
+        # string would parse as a nested-field path)
+        F.struct(*[F.col(f"`{c}`") for c in r_fields]).alias("_r"),
     )
     # align schemas: right rows carry NULL for left-only columns
     left_only = [c for c in l_tag.columns if c not in r_tag.columns]
@@ -85,6 +89,6 @@ def asof_join(
     kept = filled.where(F.col("_side") == 1)
     return kept.select(
         *[c for c in kept.columns if c not in ("_side", "_r")],
-        F.col(f"_r.{on}").alias(f"{on}{suffix}"),
-        *[F.col(f"_r.{c}").alias(f"{c}{suffix}") for c in value_cols],
+        F.col("_r").getField(on).alias(f"{on}{suffix}"),
+        *[F.col("_r").getField(c).alias(f"{c}{suffix}") for c in value_cols],
     )

@@ -96,8 +96,10 @@ def extract_audio_features(media: DataFrame, sample_rate: int = 16_000) -> DataF
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            lens = pdf["payload"].map(len).astype("int64")
-            rms = pdf["payload"].map(
+            # NULL payloads behave as empty (0 samples, rms 0.0)
+            payloads = pdf["payload"].map(lambda p: p if p is not None else b"")
+            lens = payloads.map(len).astype("int64")
+            rms = payloads.map(
                 lambda p: float(np.sqrt(np.mean(np.frombuffer(p, dtype=np.uint8).astype(np.float64) ** 2)))
                 if len(p)
                 else 0.0

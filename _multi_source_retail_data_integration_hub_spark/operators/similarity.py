@@ -201,7 +201,13 @@ def ivf_centroid_matrix(corpus_qn: DataFrame, id_col: str):
     ``corpus_qn`` is ``with_quantized`` output (id, qe, nsq). The
     centroid set is bounded by ``ivf_stride`` (<= ~MAX_NLIST rows), so
     the collect is a broadcast-dim-sized transfer at any corpus size.
+
+    Two actions run here (stride count + centroid collect), so the
+    quantized corpus is persisted first — the count materializes the
+    cache, the collect and the caller's subsequent probe/member scans
+    reuse it instead of re-running the quantization pipeline.
     """
+    corpus_qn.persist()
     stride = ivf_stride(corpus_qn.count())
     rows = corpus_qn.where((F.col(id_col) % stride) == CENTROID_RESIDUE).collect()
     if not rows:
@@ -220,11 +226,20 @@ def ivf_probes(
     One local matmul per Arrow batch against the centroid matrix, which
     is shipped via ``SparkContext.broadcast`` (one torrent transfer per
     executor, not a copy in every task closure); no shuffle, no per-pair
-    row explosion. Ordering is (cos desc, centroid_id asc) — the same
-    ranking the SQL oracle's ROW_NUMBER expresses.
+    row explosion. ``cents`` may be the raw matrix tuple or an existing
+    ``Broadcast`` of one — callers building several probe stages (e.g.
+    ivf_topk's members + probes) broadcast once and pass the handle.
+    Ordering is (cos desc, centroid_id asc) — the same ranking the SQL
+    oracle's ROW_NUMBER expresses.
     """
-    n_take = min(nprobe, len(cents[0]))
-    bc = qn_df.sparkSession.sparkContext.broadcast(cents)
+    from pyspark.broadcast import Broadcast
+
+    if isinstance(cents, Broadcast):
+        bc = cents
+        n_take = min(nprobe, len(bc.value[0]))
+    else:
+        bc = qn_df.sparkSession.sparkContext.broadcast(cents)
+        n_take = min(nprobe, len(cents[0]))
     out_schema = f"{id_col} long, qe array<bigint>, nsq long, list_id long, probe_rank int"
 
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -279,14 +294,16 @@ def ivf_topk(
     """
     cq = with_quantized(corpus, emb_col, id_col)
     cents = ivf_centroid_matrix(cq, id_col)
-    members = ivf_probes(cq, cents, 1, id_col).select(
+    # one broadcast shared by the member-assignment and probe stages
+    bc = corpus.sparkSession.sparkContext.broadcast(cents)
+    members = ivf_probes(cq, bc, 1, id_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col("qe").alias("ce"),
         F.col("nsq").alias("cn"),
         "list_id",
     )
     probes = ivf_probes(
-        with_quantized(queries, emb_col, id_col), cents, nprobe, id_col
+        with_quantized(queries, emb_col, id_col), bc, nprobe, id_col
     ).select(
         F.col(id_col).alias("query_id"), "qe", F.col("nsq").alias("qn"), "list_id"
     )

@@ -613,7 +613,10 @@ def q57_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchasers = events.where(F.col("event_type") == "purchase").select("user_id").distinct()
     erroring = events.where(F.col("event_type") == "error").select("user_id").distinct()
     both_sets = purchasers.intersect(erroring)
-    only_purchase = purchasers.exceptAll(erroring)
+    # subtract == set EXCEPT (the oracle's declared semantics);
+    # exceptAll would silently become multiset difference if the
+    # inputs ever stopped being pre-distinct
+    only_purchase = purchasers.subtract(erroring)
     b = both_sets.agg(
         F.count("*").alias("n_both"),
         F.coalesce(F.sum("user_id"), F.lit(0)).alias("both_id_sum"),

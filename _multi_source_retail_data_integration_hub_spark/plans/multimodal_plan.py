@@ -48,12 +48,18 @@ def q32_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH bytes AS (
       SELECT doc_id, ascii(substr(text, CAST(i AS INT), 1)) AS b
       FROM documents, unnest(range(1, length(text) + 1)) AS t(i)
+    ),
+    agg AS (
+      SELECT doc_id, CAST(SUM(b * b) AS DOUBLE) AS ss, COUNT(*) AS n
+      FROM bytes GROUP BY 1
     )
-    SELECT doc_id AS media_id,
-           CAST(COUNT(*) // 2 AS BIGINT) AS n_samples,
+    -- LEFT JOIN from documents so zero-length payloads keep their row
+    -- (rms 0.0), matching the operator's output exactly.
+    SELECT d.doc_id AS media_id,
+           CAST(length(d.text) // 2 AS BIGINT) AS n_samples,
            CAST(16000 AS INT) AS sample_rate,
-           sqrt(CAST(SUM(b * b) AS DOUBLE) / COUNT(*)) AS rms
-    FROM bytes GROUP BY 1
+           CASE WHEN a.n IS NULL THEN 0.0 ELSE sqrt(a.ss / a.n) END AS rms
+    FROM documents d LEFT JOIN agg a USING (doc_id)
     """,
 )
 def q59_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:

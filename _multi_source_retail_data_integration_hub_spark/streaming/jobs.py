@@ -192,6 +192,7 @@ def foreach_batch_upsert(
     table: str,
     key_cols: list[str],
     checkpoint_dir: str,
+    order_col: str | None = None,
 ) -> "object":
     """Production merge sink: upsert each micro-batch into a warehouse
     table keyed on ``key_cols`` via ``foreachBatch``.
@@ -200,13 +201,28 @@ def foreach_batch_upsert(
     expressed as current ⟕anti batch → union → overwrite; on a cluster
     the same foreachBatch body becomes a single ``MERGE INTO`` against
     Delta/Iceberg. The checkpoint makes redelivery safe: a re-run batch
-    re-executes the same idempotent merge. Batches are deduped on the
-    key so "last write wins" within a batch is explicit.
+    re-executes the same merge — which is only idempotent if the merge
+    itself is deterministic, so within-batch duplicates need a defined
+    winner: pass ``order_col`` to keep the row with the greatest value
+    of that column per key (last write wins). Without ``order_col`` the
+    stream must already be unique per key (e.g. a groupBy aggregate in
+    update mode); duplicate keys would otherwise keep an arbitrary row.
     """
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window
+
         spark = batch_df.sparkSession
-        batch = batch_df.dropDuplicates(key_cols).localCheckpoint()
+        if order_col is not None:
+            w = Window.partitionBy(*key_cols).orderBy(F.desc(order_col))
+            batch = (
+                batch_df.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+        else:
+            batch = batch_df.dropDuplicates(key_cols)
+        batch = batch.localCheckpoint()
         if spark.catalog.tableExists(table):
             current = spark.table(table)
             keep = current.join(batch.select(*key_cols), key_cols, "left_anti")

@@ -38,3 +38,17 @@ def test_asof_backward_with_exact_match_and_no_predecessor(spark):
     assert out[(1, 9)] == (6, 60.0)  # strictly before
     assert out[(1, 10)] == (10, 100.0)  # exact timestamp wins
     assert out[(2, 7)] == (None, None)  # other key's rows invisible
+
+
+def test_asof_carries_columns_with_awkward_names(spark):
+    # names with spaces and dots must survive the struct DDL round-trip
+    left = spark.createDataFrame([(1, 10)], "k long, ts long")
+    right = spark.createDataFrame(
+        [(1, 5, 1.5, 2.5)], "k long, ts long, `view value` double, `a.b` double"
+    )
+    row = asof_join(
+        left, right, on="ts", by="k", value_cols=["view value", "a.b"]
+    ).collect()[0]
+    assert row["ts_right"] == 5
+    assert row["view value_right"] == 1.5
+    assert row["a.b_right"] == 2.5

@@ -112,6 +112,7 @@ def test_normalize_column_names(spark):
 def test_grouped_map_gap_stats_matches_native_plan(spark):
     """applyInPandas twin of q39 agrees with the native window+agg plan,
     including dropping single-event users (no gaps -> no row)."""
+    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     from _multi_source_retail_data_integration_hub_spark.plans.grouped_map import (
@@ -129,9 +130,7 @@ def test_grouped_map_gap_stats_matches_native_plan(spark):
     events = spark.createDataFrame(rows, "user_id long, event_id long, ts_us long")
     gm = {r["user_id"]: r for r in user_gap_stats_grouped_map(events).collect()}
 
-    w = __import__("pyspark.sql", fromlist=["Window"]).Window.partitionBy(
-        "user_id"
-    ).orderBy("ts_us", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     gaps = events.select(
         "user_id",
         ((F.col("ts_us") - F.lag("ts_us").over(w)) / 1_000_000.0).alias("gap_secs"),

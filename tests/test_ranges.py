@@ -4,6 +4,8 @@ BroadcastNestedLoopJoin / CartesianProduct (the naive range-join plan)."""
 
 import datetime as dt
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from _multi_source_retail_data_integration_hub_spark.operators.ranges import (
@@ -82,10 +84,6 @@ def test_interval_join_plan_is_equi_join(spark):
 
 
 def test_interval_join_rejects_outer_joins(spark):
-    import datetime as dt
-
-    import pytest
-
     d = spark.createDataFrame(
         [(1, dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 2))],
         "user_id long, start_ts timestamp, end_ts timestamp",
