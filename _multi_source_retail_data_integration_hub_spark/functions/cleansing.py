@@ -6,8 +6,6 @@ pushdown and whole-stage codegen through every cleaning step.
 
 from __future__ import annotations
 
-import re
-
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -15,9 +13,12 @@ from pyspark.sql import functions as F
 def normalize_column_names(df: DataFrame) -> DataFrame:
     """``strip().lower().replace(' ', '_')`` on every column name.
 
-    Mirrors /root/reference/etl/transform.py:37-39,106-108 (P1).
+    Mirrors /root/reference/etl/transform.py:37-39,106-108 (P1)
+    byte-for-byte: each space becomes one underscore (runs are NOT
+    collapsed) and tabs/newlines are left alone, exactly like the
+    reference's ``str.replace``.
     """
-    return df.toDF(*[re.sub(r"\s+", "_", c.strip().lower()) for c in df.columns])
+    return df.toDF(*[c.strip().lower().replace(" ", "_") for c in df.columns])
 
 
 def std_text(col: Column | str) -> Column:
@@ -59,9 +60,11 @@ def clip(col: Column | str, lo=None, hi=None) -> Column:
         clamped = F.greatest(clamped, F.lit(lo))
     if hi is not None:
         clamped = F.least(clamped, F.lit(hi))
-    # greatest/least skip NULL inputs; pandas clip propagates NaN — keep
-    # the pandas semantics (NULL in -> NULL out).
-    return F.when(c.isNull(), F.lit(None)).otherwise(clamped)
+    # greatest/least skip NULL and order NaN above all values; pandas
+    # clip propagates both — keep the pandas semantics. NaN is tested
+    # via isnan over a double cast (type-safe for integer columns, and
+    # Spark's NaN = NaN equality makes the usual c != c trick useless).
+    return F.when(c.isNull() | F.isnan(c.cast("double")), c).otherwise(clamped)
 
 
 def truncate(col: Column | str, n: int) -> Column:

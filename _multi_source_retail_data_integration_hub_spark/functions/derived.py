@@ -68,10 +68,15 @@ def fiscal_quarter(col: Column | str) -> Column:
 def age_group(col: Column | str) -> Column:
     """pd.cut right-closed age bins (D6, etl/transform.py:207-211):
     (0,25]='18-25', (25,35]='26-35', (35,45]='36-45', (45,55]='46-55',
-    (55,65]='56-65', (65,100]='65+'."""
+    (55,65]='56-65', (65,100]='65+'.
+
+    Exact pd.cut semantics at the edges too: NULL age, age <= 0, and
+    age > 100 all fall OUTSIDE the bins and yield NULL (pd.cut -> NaN)
+    rather than being forced into a boundary bucket."""
     c = F.col(col) if isinstance(col, str) else col
     return (
-        F.when(c <= 25, "18-25")
+        F.when(c.isNull() | (c <= 0) | (c > 100), F.lit(None))
+        .when(c <= 25, "18-25")
         .when(c <= 35, "26-35")
         .when(c <= 45, "36-45")
         .when(c <= 55, "46-55")
@@ -82,10 +87,12 @@ def age_group(col: Column | str) -> Column:
 
 def customer_segment(n_transactions: Column | str) -> Column:
     """pd.cut right-closed segment bins (D7, etl/transform.py:214-218):
-    1='New', 2-3='Occasional', 4-5='Regular', 6+='Loyal'."""
+    1='New', 2-3='Occasional', 4-5='Regular', 6+='Loyal'.
+    NULL / non-positive counts fall outside the bins -> NULL (pd.cut)."""
     c = F.col(n_transactions) if isinstance(n_transactions, str) else n_transactions
     return (
-        F.when(c <= 1, "New")
+        F.when(c.isNull() | (c <= 0), F.lit(None))
+        .when(c <= 1, "New")
         .when(c <= 3, "Occasional")
         .when(c <= 5, "Regular")
         .otherwise("Loyal")

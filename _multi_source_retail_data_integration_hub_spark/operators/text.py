@@ -36,11 +36,18 @@ HEX = "0123456789abcdef"
 
 
 def tokens(text: Column | str) -> Column:
-    """Whitespace tokenization (== DuckDB
-    string_split_regex(trim(text),'\\s+')). Trimmed first: leading or
-    trailing whitespace would otherwise yield phantom empty tokens."""
+    """Whitespace tokenization. Trimmed first so edge whitespace yields
+    no phantom tokens, and empty/whitespace-only text returns [] —
+    split('', ...) would otherwise return [''], giving empty documents
+    one phantom token (and n_tokens=1, full diversity credit, an
+    ''-vote in simhash...). SQL twins guard the same way:
+    CASE WHEN length(trim(text)) > 0 THEN string_split_regex(...)
+    ELSE [] END."""
     c = text if isinstance(text, Column) else F.col(text)
-    return F.split(F.trim(c), r"\s+")
+    trimmed = F.trim(c)
+    return F.when(F.length(trimmed) > 0, F.split(trimmed, r"\s+")).otherwise(
+        F.expr("CAST(array() AS array<string>)")
+    )
 
 
 def shingles(toks: Column, k: int = 3) -> Column:
@@ -67,16 +74,9 @@ def seeded_md5(col: Column, seed: int) -> Column:
     return F.md5(F.concat(F.lit(f"{seed}:"), col))
 
 
-def hex_digit(hash_col: Column, pos: Column | int) -> Column:
-    """Value 0..15 of the 1-indexed hex digit at ``pos`` of an md5 string.
-
-    conv(ch, 16, 10) == DuckDB strpos('0123456789abcdef', ch) - 1.
-    """
-    p = pos if isinstance(pos, Column) else F.lit(pos)
-    return _locate(hash_col.substr(p, F.lit(1)))
-
-
 def _locate(ch: Column) -> Column:
+    """Value 0..15 of one hex digit: conv(ch, 16, 10) == DuckDB
+    strpos('0123456789abcdef', ch) - 1."""
     return F.conv(ch, 16, 10).cast("int")
 
 
@@ -88,7 +88,7 @@ def _locate(ch: Column) -> Column:
 def exact_dup_clusters(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Group identical texts by md5; one row per cluster.
 
-    Columns: text_hash, n_docs, canonical_id (min id), n_sources.
+    Columns: text_hash, n_docs, canonical_id (min id).
     One hash-aggregate; at scale this is the cheapest dedup pass and is
     run before any near-dup machinery to shrink the corpus.
     """
@@ -213,10 +213,12 @@ def ngram_jaccard_pairs(
 
     Plan: explode distinct shingles -> filter stop-shingles with
     document frequency > ``max_shingle_df`` (quadratic-blowup guard for
-    100 TB corpora; dropped shingles only *lower* estimated similarity
-    of unrelated docs) -> self-equi-join on shingle (inverted index)
+    100 TB corpora) -> self-equi-join on shingle (inverted index)
     -> per-pair intersection count -> join per-doc set sizes ->
-    jaccard = |I| / (|A| + |B| - |I|).
+    jaccard = |I| / (|A| + |B| - |I|). Both intersections AND set sizes
+    are computed over the post-filter universe, so the result is exact
+    Jaccard of the stop-shingle-free shingle sets (identical docs still
+    score 1.0 even when they share dropped hot shingles).
 
     Exact all-pairs Jaccard is inherently ~quadratic in co-shingling
     documents — a loud one-line warning is emitted at plan-build time so
@@ -246,11 +248,16 @@ def ngram_jaccard_pairs(
         F.col(id_col),
         F.explode(F.array_distinct(shingles(tokens(F.col(text_col)), shingle_k))).alias("shingle"),
     )
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("set_size"))
     df_counts = sh.groupBy("shingle").agg(F.count("*").alias("doc_freq"))
     filtered = sh.join(df_counts.where(F.col("doc_freq") <= max_shingle_df), "shingle").select(
         id_col, "shingle"
     )
+    # set sizes come from the POST-filter universe: intersections are
+    # counted over filtered shingles, so sizes must be too, or identical
+    # docs sharing a dropped hot shingle would score jaccard < 1. The
+    # similarity is exact Jaccard over the reduced (stop-shingle-free)
+    # shingle universe.
+    sizes = filtered.groupBy(id_col).agg(F.count("*").alias("set_size"))
     a = filtered.select(F.col(id_col).alias("id_a"), "shingle")
     b = filtered.select(F.col(id_col).alias("id_b"), "shingle")
     inter = (
@@ -287,34 +294,33 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFr
     Each token votes +1/-1 on bit i according to whether hex digit i of
     md5(token) is >= 8 (an unbiased projection). The doc's bit i is the
     sign of the vote sum; bits pack little-endian into one BIGINT.
-    Two explodes (tokens x bit positions) then two partial-agg
-    groupBys — fully distributed, no UDFs.
+
+    One explode (tokens), then ONE groupBy computing all ``bits`` vote
+    sums as conditional aggregates — the same shape as
+    ``minhash_signatures``: no bit-position explode (which would
+    multiply the token table ``bits``-fold), map-side partial
+    aggregation, a single shuffle. Empty documents have no tokens and
+    produce no row.
     """
     toks = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
-    toks = toks.withColumn("h", F.md5(F.col("tok")))
-    pos = toks.select(
-        id_col,
-        F.explode(F.sequence(F.lit(1), F.lit(bits))).alias("i"),
-        F.col("h"),
+    h = F.md5(F.col("tok"))
+    vote_sums = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(_locate(h.substr(F.lit(i), F.lit(1))) >= 8, F.lit(1)).otherwise(
+                    F.lit(-1)
+                )
+            ).alias(f"_vs{i}")
+            for i in range(1, bits + 1)
+        ]
     )
-    votes = pos.select(
-        id_col,
-        "i",
-        F.when(_locate(F.col("h").substr(F.col("i"), F.lit(1))) >= 8, F.lit(1))
-        .otherwise(F.lit(-1))
-        .alias("vote"),
-    )
-    bit_sums = votes.groupBy(id_col, "i").agg(F.sum("vote").alias("vote_sum"))
-    return (
-        bit_sums.select(
-            id_col,
-            F.when(F.col("vote_sum") >= 0, F.expr("shiftleft(CAST(1 AS BIGINT), CAST(i - 1 AS INT))"))
-            .otherwise(F.lit(0).cast("bigint"))
-            .alias("bit_val"),
-        )
-        .groupBy(id_col)
-        .agg(F.sum("bit_val").alias("simhash"))
-    )
+    packed = None
+    for i in range(1, bits + 1):
+        bit_val = F.when(
+            F.col(f"_vs{i}") >= 0, F.lit(2 ** (i - 1)).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+        packed = bit_val if packed is None else packed + bit_val
+    return vote_sums.select(F.col(id_col), packed.alias("simhash"))
 
 
 # ---------------------------------------------------------------------------
@@ -331,13 +337,18 @@ STOPWORDS = {
 
 
 def _count_in(toks: Column, words: tuple[str, ...]) -> Column:
-    return F.size(F.filter(toks, lambda t: t.isin(*words)))
+    # lowercased match: sentence-initial 'The'/'El'/'Der' must count as
+    # stopword hits (the word lists are lowercase)
+    return F.size(F.filter(toks, lambda t: F.lower(t).isin(*words)))
 
 
 def token_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """Per-doc token statistics (all single-pass column expressions)."""
+    """Per-doc token statistics (all single-pass column expressions).
+    Ratios are NULL for empty documents (0 tokens) instead of raising
+    ANSI division-by-zero."""
     t = tokens(F.col(text_col))
     n = F.size(t)
+    nz = F.nullif(n, F.lit(0))
     return df.select(
         F.col(id_col),
         n.cast("bigint").alias("n_tokens"),
@@ -345,8 +356,8 @@ def token_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         F.length(text_col).cast("bigint").alias("n_chars"),
         # BPE-ish budget estimate: ~4 chars/token on English-like text.
         F.ceil(F.length(text_col) / F.lit(4.0)).cast("bigint").alias("n_tokens_bpe_est"),
-        (F.size(F.array_distinct(t)) / n).alias("type_token_ratio"),
-        ((F.length(text_col) - (n - 1)) / n).alias("avg_token_len"),
+        (F.size(F.array_distinct(t)) / nz).alias("type_token_ratio"),
+        ((F.length(text_col) - (n - 1)) / nz).alias("avg_token_len"),
     )
 
 
@@ -359,10 +370,10 @@ def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     stopword presence (en stopword ratio scaled by 5, capped).
     """
     t = tokens(F.col(text_col))
-    n = F.size(t)
+    nz = F.nullif(F.size(t), F.lit(0))
     len_credit = F.least(F.length(text_col) / F.lit(500.0), F.lit(1.0))
-    diversity = F.size(F.array_distinct(t)) / n
-    stop_ratio = _count_in(t, STOPWORDS["en"]) / n
+    diversity = F.size(F.array_distinct(t)) / nz
+    stop_ratio = _count_in(t, STOPWORDS["en"]) / nz
     stop_credit = F.least(stop_ratio * 5, F.lit(1.0))
     score = (len_credit + diversity + stop_credit) / 3
     return df.select(

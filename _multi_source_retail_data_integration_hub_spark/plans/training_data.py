@@ -25,7 +25,11 @@ from .registry import query
 OFFSET = 100_000  # id offset for synthetic second-snapshot docs
 
 # Token-list SQL fragments shared by the oracles (DuckDB dialect).
-_TOKS = r"string_split_regex(trim(text), '\s+')"
+_TOKS = (
+    r"(CASE WHEN length(trim(text)) > 0 "
+    r"THEN string_split_regex(trim(text), '\s+') "
+    r"ELSE CAST([] AS VARCHAR[]) END)"
+)
 _SHINGLES = (
     rf"list_transform(range(1, len({_TOKS}) - 1), "
     rf"i -> array_to_string(list_slice({_TOKS}, i, i + 2), ' '))"
@@ -102,8 +106,8 @@ def q17_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(len(list_distinct({_TOKS})) AS BIGINT) AS n_distinct_tokens,
            CAST(length(text) AS BIGINT) AS n_chars,
            CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_tokens_bpe_est,
-           len(list_distinct({_TOKS})) / len({_TOKS}) AS type_token_ratio,
-           (length(text) - (len({_TOKS}) - 1)) / len({_TOKS}) AS avg_token_len
+           len(list_distinct({_TOKS})) / NULLIF(len({_TOKS}), 0) AS type_token_ratio,
+           (length(text) - (len({_TOKS}) - 1)) / NULLIF(len({_TOKS}), 0) AS avg_token_len
     FROM documents
     """,
 )
@@ -120,9 +124,9 @@ def q18_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH m AS (
       SELECT doc_id,
              least(length(text) / 500.0, 1.0) AS len_credit,
-             len(list_distinct({_TOKS})) / len({_TOKS}) AS diversity,
+             len(list_distinct({_TOKS})) / NULLIF(len({_TOKS}), 0) AS diversity,
              least(len(list_filter({_TOKS},
-                     t -> t IN ('the','a','of','and','to'))) / len({_TOKS}) * 5,
+                     t -> lower(t) IN ('the','a','of','and','to'))) / NULLIF(len({_TOKS}), 0) * 5,
                    1.0) AS stop_credit
       FROM documents
     )
@@ -144,7 +148,7 @@ def q19_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 def _hits_sql(lang: str) -> str:
     words = ", ".join(f"'{w}'" for w in T.STOPWORDS[lang])
-    return f"len(list_filter({_TOKS}, t -> t IN ({words})))"
+    return f"len(list_filter({_TOKS}, t -> lower(t) IN ({words})))"
 
 
 @query(
@@ -233,12 +237,12 @@ def q21_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh AS (
       SELECT DISTINCT id, unnest({_SHINGLES}) AS shingle FROM corpus
     ),
-    sizes AS (SELECT id, COUNT(*) AS set_size FROM sh GROUP BY 1),
     freq AS (SELECT shingle, COUNT(*) AS doc_freq FROM sh GROUP BY 1),
     filtered AS (
       SELECT s.id, s.shingle FROM sh s
       JOIN freq f USING (shingle) WHERE f.doc_freq <= 1000
     ),
+    sizes AS (SELECT id, COUNT(*) AS set_size FROM filtered GROUP BY 1),
     inter AS (
       SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_intersect
       FROM filtered a JOIN filtered b USING (shingle)
@@ -386,9 +390,9 @@ def q25_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query(
     "q47_top_terms",
-    oracle=r"""
+    oracle=f"""
     WITH toks AS (
-      SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+      SELECT doc_id, unnest({_TOKS}) AS term
       FROM documents
     ),
     tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
@@ -445,9 +449,9 @@ def q47_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     m AS (
       SELECT doc_id, lang,
              least(length(text) / 500.0, 1.0) AS len_credit,
-             len(list_distinct({_TOKS})) / len({_TOKS}) AS diversity,
+             len(list_distinct({_TOKS})) / NULLIF(len({_TOKS}), 0) AS diversity,
              least(len(list_filter({_TOKS},
-                     t -> t IN ('the','a','of','and','to'))) / len({_TOKS}) * 5,
+                     t -> lower(t) IN ('the','a','of','and','to'))) / NULLIF(len({_TOKS}), 0) * 5,
                    1.0) AS stop_credit,
              CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
              CAST(length(text) AS BIGINT) AS n_chars

@@ -149,3 +149,41 @@ def test_grouped_map_gap_stats_matches_native_plan(spark):
     assert set(gm) == set(native) == {1, 3}
     for uid in gm:
         assert gm[uid].asDict() == native[uid].asDict()
+
+
+def test_age_group_out_of_bin_edges_match_pd_cut(spark):
+    """pd.cut(bins=[0,25,...,100]) yields NaN for NULL, <=0, and >100 —
+    not a boundary bucket."""
+    from _multi_source_retail_data_integration_hub_spark.functions.derived import (
+        age_group,
+    )
+
+    df = spark.createDataFrame(
+        [(None,), (0,), (-3,), (101,), (1,), (100,), (66,)], "age int"
+    )
+    got = [r["g"] for r in df.select(age_group("age").alias("g")).collect()]
+    assert got == [None, None, None, None, "18-25", "65+", "65+"]
+
+
+def test_clip_propagates_nan_and_null(spark):
+    from _multi_source_retail_data_integration_hub_spark.functions.cleansing import (
+        clip,
+    )
+
+    df = spark.createDataFrame(
+        [(float("nan"),), (None,), (7.5,), (-1.0,)], "x double"
+    )
+    got = [r["c"] for r in df.select(clip("x", 0, 5).alias("c")).collect()]
+    assert got[0] != got[0]  # NaN stays NaN (not clamped to the bound)
+    assert got[1] is None
+    assert got[2] == 5.0 and got[3] == 0.0
+
+
+def test_tokens_empty_text_yields_empty_array(spark):
+    from pyspark.sql import functions as F
+
+    from _multi_source_retail_data_integration_hub_spark.operators.text import tokens
+
+    df = spark.createDataFrame([("",), ("   ",), ("a b",)], "text string")
+    got = [r["n"] for r in df.select(F.size(tokens("text")).alias("n")).collect()]
+    assert got == [0, 0, 2]
