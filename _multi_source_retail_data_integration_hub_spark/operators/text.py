@@ -302,8 +302,13 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFr
     aggregation, a single shuffle. Empty documents have no tokens and
     produce no row.
     """
-    toks = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
-    h = F.md5(F.col("tok"))
+    # md5 is materialized ONCE per token row before the aggregates —
+    # referencing F.md5(tok) inside each of the 16 sum() expressions
+    # would recompute the hash per bit.
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    ).select(F.col(id_col), F.md5("tok").alias("h"))
+    h = F.col("h")
     vote_sums = toks.groupBy(id_col).agg(
         *[
             F.sum(
