@@ -1,0 +1,40 @@
+"""Driver-contract invariants: the registry must stay fully
+oracle-checked (a new query silently registered without a DuckDB twin
+downgrades the correctness gate to rows-only — fail here instead)."""
+
+import re
+
+import __spark_entry__ as entry
+from _multi_source_retail_data_integration_hub_spark.sources.testdata import (
+    TESTDATA_TABLES,
+)
+
+
+def test_every_query_has_an_oracle():
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    missing = sorted(set(qs) - set(oracles))
+    assert not missing, f"queries without DuckDB twins: {missing}"
+    stale = sorted(set(oracles) - set(qs))
+    assert not stale, f"oracles without queries: {stale}"
+
+
+def test_query_names_follow_convention():
+    pat = re.compile(r"^q\d{2}_[a-z0-9_]+$")
+    bad = [n for n in entry.queries() if not pat.match(n)]
+    assert not bad, bad
+    nums = [n[1:3] for n in entry.queries()]
+    assert len(nums) == len(set(nums)), "duplicate query numbers"
+
+
+def test_oracles_reference_only_registered_tables():
+    # every FROM/JOIN target must be a testdata view or a CTE defined in
+    # the same oracle (the driver registers only TESTDATA_TABLES)
+    ident = r"[a-zA-Z_][a-zA-Z0-9_]*"
+    for name, sql in entry.oracle_sql().items():
+        sql = re.sub(r"--[^\n]*", "", sql)  # strip SQL comments
+        ctes = set(re.findall(rf"({ident})\s+AS\s*\(", sql))
+        targets = re.findall(rf"(?:FROM|JOIN)\s+({ident})\b", sql, flags=re.IGNORECASE)
+        for t in targets:
+            assert (
+                t.lower() in TESTDATA_TABLES or t in ctes or t.lower() in ("unnest",)
+            ), f"{name}: unknown relation {t!r}"
