@@ -249,8 +249,13 @@ def ngram_jaccard_pairs(
         F.explode(F.array_distinct(shingles(tokens(F.col(text_col)), shingle_k))).alias("shingle"),
     )
     df_counts = sh.groupBy("shingle").agg(F.count("*").alias("doc_freq"))
-    filtered = sh.join(df_counts.where(F.col("doc_freq") <= max_shingle_df), "shingle").select(
-        id_col, "shingle"
+    # lazy persist: `filtered` feeds three consumers (both self-join
+    # sides and the set-size aggregate); caching it avoids recomputing
+    # the shingle pipeline per consumer.
+    filtered = (
+        sh.join(df_counts.where(F.col("doc_freq") <= max_shingle_df), "shingle")
+        .select(id_col, "shingle")
+        .persist()
     )
     # set sizes come from the POST-filter universe: intersections are
     # counted over filtered shingles, so sizes must be too, or identical
