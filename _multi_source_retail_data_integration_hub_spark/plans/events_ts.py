@@ -247,3 +247,108 @@ def q51_recent_event_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(ordered, ">").alias("recent_events"),
         F.count("*").alias("n_recent"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q62 — CDC apply: reduce a change stream to final per-key state.
+# events replay as a change log per user: 'signup' = insert, 'purchase'
+# = upsert of the running value, 'error' = delete. The final state is
+# decided by the LAST change per user in (ts, event_id) order — one
+# row_number window, then a filter; deleted keys drop out. This is the
+# merge shape every CDC ingestion (Debezium-style) needs at the sink.
+# ---------------------------------------------------------------------------
+@query(
+    "q62_cdc_apply",
+    oracle="""
+    WITH changes AS (
+      SELECT user_id, ts, event_id,
+             CASE event_type WHEN 'signup' THEN 'I' WHEN 'purchase' THEN 'U'
+                             WHEN 'error' THEN 'D' END AS op,
+             value
+      FROM events
+      WHERE event_type IN ('signup', 'purchase', 'error')
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+             ) AS rn
+      FROM changes
+    )
+    SELECT user_id, op AS last_op,
+           CAST(value AS DOUBLE) AS final_value,
+           CAST(epoch_us(ts) AS BIGINT) AS last_change_us
+    FROM ranked
+    WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def q62_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    op = (
+        F.when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "purchase", "U")
+        .when(F.col("event_type") == "error", "D")
+    )
+    changes = events.where(
+        F.col("event_type").isin("signup", "purchase", "error")
+    ).select("user_id", "ts", "event_id", op.alias("op"), "value")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    last = changes.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    return last.where(F.col("op") != "D").select(
+        "user_id",
+        F.col("op").alias("last_op"),
+        F.col("value").cast("double").alias("final_value"),
+        F.unix_micros("ts").alias("last_change_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q63 — group-median imputation: a deterministic subset of values is
+# masked NULL (event_id % 20 == 0 — the reproducible-sampling pattern
+# from q45), then imputed with the per-event-type median of the
+# REMAINING values. Exact percentile keeps both engines bit-identical;
+# at 100 TB the same plan swaps in percentile_approx. Output aggregates
+# prove the imputation: per type, how many were imputed and the exact
+# total after imputation.
+# ---------------------------------------------------------------------------
+@query(
+    "q63_median_impute",
+    oracle="""
+    WITH masked AS (
+      SELECT event_type,
+             CASE WHEN event_id % 20 = 0 THEN NULL ELSE value END AS value
+      FROM events
+    ),
+    med AS (
+      SELECT event_type, MEDIAN(CAST(value AS DOUBLE)) AS m
+      FROM masked WHERE value IS NOT NULL GROUP BY 1
+    )
+    SELECT ms.event_type,
+           COUNT(*) AS n_events,
+           COUNT(CASE WHEN ms.value IS NULL THEN 1 END) AS n_imputed,
+           CAST(SUM(CAST(COALESCE(ms.value, med.m) AS DECIMAL(18,6))) AS DOUBLE)
+             AS total_after_impute
+    FROM masked ms JOIN med USING (event_type)
+    GROUP BY 1
+    """,
+)
+def q63_median_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    masked = events.select(
+        "event_type",
+        F.when(F.col("event_id") % 20 == 0, F.lit(None)).otherwise(
+            F.col("value")
+        ).alias("value"),
+    )
+    med = (
+        masked.where(F.col("value").isNotNull())
+        .groupBy("event_type")
+        .agg(F.percentile(F.col("value").cast("double"), F.lit(0.5)).alias("m"))
+    )
+    joined = masked.join(F.broadcast(med), "event_type")
+    return joined.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.count(F.when(F.col("value").isNull(), F.lit(1))).alias("n_imputed"),
+        F.sum(
+            F.coalesce(F.col("value"), F.col("m")).cast("decimal(18,6)")
+        ).cast("double").alias("total_after_impute"),
+    )
