@@ -1,0 +1,56 @@
+"""Storage maintenance (operators/maintenance.py): compaction reduces
+file counts without changing contents; sorted writes produce disjoint
+per-file key ranges that enable rowgroup pruning."""
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from _multi_source_retail_data_integration_hub_spark.operators import maintenance
+
+
+def _parquet_files(path):
+    return sorted(glob.glob(os.path.join(path, "*.parquet")))
+
+
+def test_compact_reduces_files_and_preserves_rows(spark, tmp_path):
+    src = str(tmp_path / "small_files")
+    # simulate a streaming sink's many tiny files
+    spark.range(0, 10_000).withColumn("v", F.col("id") * 2).repartition(
+        40
+    ).write.parquet(src)
+    assert len(_parquet_files(src)) == 40
+
+    out = str(tmp_path / "compacted")
+    n = maintenance.compact_parquet(spark, src, out, target_mb=128)
+    assert n == 1  # tiny input -> one target-sized file
+    assert len(_parquet_files(out)) == 1
+    before = spark.read.parquet(src)
+    after = spark.read.parquet(out)
+    assert after.count() == 10_000
+    assert before.exceptAll(after).count() == 0
+    assert after.exceptAll(before).count() == 0
+
+
+def test_sorted_write_gives_disjoint_file_ranges(spark, tmp_path):
+    out = str(tmp_path / "sorted")
+    df = spark.range(0, 10_000).select(
+        (F.xxhash64("id") % 10_000).alias("key"), F.col("id").alias("v")
+    )
+    maintenance.sorted_write(df, out, ["key"], num_files=8)
+    files = _parquet_files(out)
+    assert len(files) == 8
+    # per-file [min, max] ranges must not overlap (range partitioning)
+    ranges = []
+    for f in files:
+        pdf = spark.read.parquet(f).agg(
+            F.min("key").alias("lo"), F.max("key").alias("hi")
+        ).collect()[0]
+        if pdf["lo"] is not None:
+            ranges.append((pdf["lo"], pdf["hi"]))
+    ranges.sort()
+    for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
+        assert hi_prev <= lo_next
+    # contents preserved
+    assert spark.read.parquet(out).count() == 10_000
