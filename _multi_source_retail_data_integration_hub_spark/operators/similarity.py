@@ -61,9 +61,12 @@ def _dot_impl(a: pd.Series, b: pd.Series) -> pd.Series:
         return pd.Series([], dtype="int64")
     A = np.stack(a.to_numpy()).astype(np.int64, copy=False)
     B = np.stack(b.to_numpy()).astype(np.int64, copy=False)
-    if A.shape[1] != B.shape[1]:  # dim mismatch -> dot over the common prefix
-        d = min(A.shape[1], B.shape[1])
-        A, B = A[:, :d], B[:, :d]
+    if A.shape[1] != B.shape[1]:
+        # a silent common-prefix dot would pair with FULL-length norms
+        # downstream and rank garbage — mismatched corpora must fail
+        raise ValueError(
+            f"embedding dimension mismatch: {A.shape[1]} vs {B.shape[1]}"
+        )
     return pd.Series((A * B).sum(axis=1))
 
 
@@ -202,14 +205,18 @@ def ivf_centroid_matrix(corpus_qn: DataFrame, id_col: str):
     centroid set is bounded by ``ivf_stride`` (<= ~MAX_NLIST rows), so
     the collect is a broadcast-dim-sized transfer at any corpus size.
 
-    Two actions run here (stride count + centroid collect), so the
-    quantized corpus is persisted first — the count materializes the
-    cache, the collect and the caller's subsequent probe/member scans
-    reuse it instead of re-running the quantization pipeline.
+    Two actions run here (stride count + centroid collect); the
+    quantized corpus is persisted for their duration so the
+    quantization pipeline runs once, then unpersisted before returning
+    — centroid construction must stay O(MAX_NLIST) memory at any
+    corpus size, never hold a cached copy of the full corpus.
     """
     corpus_qn.persist()
-    stride = ivf_stride(corpus_qn.count())
-    rows = corpus_qn.where((F.col(id_col) % stride) == CENTROID_RESIDUE).collect()
+    try:
+        stride = ivf_stride(corpus_qn.count())
+        rows = corpus_qn.where((F.col(id_col) % stride) == CENTROID_RESIDUE).collect()
+    finally:
+        corpus_qn.unpersist()
     if not rows:
         raise ValueError("no IVF centroids (corpus too small for C_STRIDE)")
     cids = np.array([r[0] for r in rows], dtype=np.int64)
@@ -334,10 +341,16 @@ def hyperplane_weights(n_planes: int = N_PLANES, dim: int = 64) -> list[list[int
 
 
 def lsh_bucket(qe: Column, planes: list[list[int]]) -> Column:
-    """Signed-projection bucket id in [0, 2^n_planes)."""
+    """Signed-projection bucket id in [0, 2^n_planes).
+
+    The hyperplane constants are sliced to the vector's dimension — an
+    EXPLICIT projection onto the leading dims for smaller embeddings
+    (the data-vs-data dot in ``dot_long_vec`` rejects mismatches)."""
     bucket = F.lit(0)
     for p, w in enumerate(planes):
-        wlit = F.array(*[F.lit(v).cast("bigint") for v in w])
+        wlit = F.slice(
+            F.array(*[F.lit(v).cast("bigint") for v in w]), F.lit(1), F.size(qe)
+        )
         bit = F.when(dot_long_vec(qe, wlit) >= 0, F.lit(2**p)).otherwise(F.lit(0))
         bucket = bucket + bit
     return bucket

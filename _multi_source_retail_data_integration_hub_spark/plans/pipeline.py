@@ -166,40 +166,71 @@ def run_pipeline(
 
     t1 = time.perf_counter()
     tables = retail.build_warehouse(raw_sales, raw_products, api_categories, run_ts=run_ts)
+
+    if incremental and not skip_load:
+        # Merge SCD2 dims BEFORE building the final fact/marts: the
+        # merge preserves stored surrogate keys, so the snapshot-built
+        # fact (whose row_number keys need not match) must be rebuilt
+        # against the merged dims' CURRENT rows or its FKs would point
+        # at wrong/expired dim versions.
+        merged = False
+        for name in SCD2_DIMS:
+            if spark.catalog.tableExists(f"{database}.{name}"):
+                tables[name] = _scd2_merged_dim(spark, tables[name], name, database, run_ts)
+                merged = True
+        if merged:
+            from pyspark.sql import functions as F
+
+            current_customer = tables["dim_customer"].where(F.col("is_current"))
+            tables["fact_sales"] = retail.build_fact_sales(
+                tables["stg_retail_sales"],
+                current_customer,
+                tables["dim_product_category"],
+                run_ts,
+            )
+            tables["mart_sales_performance"] = retail.build_mart_sales_performance(
+                tables["fact_sales"], tables["dim_date"], run_ts
+            )
+            tables["mart_category_analysis"] = retail.build_mart_category_analysis(
+                tables["fact_sales"], tables["dim_product_category"], run_ts
+            )
+
     # Persist before the gate counts so the writes below reuse the same
     # computed partitions instead of rebuilding each table's lineage.
+    # Gate counts are taken on the tables actually written (post-merge).
     for df in tables.values():
         df.persist()
-    result.counts = validate_transform(tables, thresholds)
-    result.durations["transform"] = time.perf_counter() - t1
+    try:
+        result.counts = validate_transform(tables, thresholds)
+        result.durations["transform"] = time.perf_counter() - t1
 
-    if not skip_load:
-        t2 = time.perf_counter()
-        sinks.bootstrap_warehouse(spark, database)
-        for name, df in tables.items():
-            if incremental and name in SCD2_DIMS and spark.catalog.tableExists(f"{database}.{name}"):
-                df = _scd2_merged_dim(spark, df, name, database, run_ts)
-            # each table write is one "task": transient failures retry
-            # under the DAG policy, gate errors never do
-            with_retries(
-                lambda df=df, name=name: sinks.write_warehouse_table(
-                    df, name, database=database
-                ),
-                **RETRY_POLICY,
+        if not skip_load:
+            t2 = time.perf_counter()
+            sinks.bootstrap_warehouse(spark, database)
+            for name, df in tables.items():
+                # each table write is one "task": transient failures
+                # retry under the DAG policy, gate errors never do
+                with_retries(
+                    lambda df=df, name=name: sinks.write_warehouse_table(
+                        df, name, database=database
+                    ),
+                    **RETRY_POLICY,
+                )
+            validate_load(spark, database, list(tables))
+            sinks.append_run_log(
+                spark,
+                run_id=result.run_id,
+                status="success",
+                rows_extracted=rows_extracted,
+                rows_loaded=sum(result.counts.values()),
+                duration_seconds=time.perf_counter() - t0,
+                database=database,
             )
-        validate_load(spark, database, list(tables))
-        sinks.append_run_log(
-            spark,
-            run_id=result.run_id,
-            status="success",
-            rows_extracted=rows_extracted,
-            rows_loaded=sum(result.counts.values()),
-            duration_seconds=time.perf_counter() - t0,
-            database=database,
-        )
-        result.durations["load"] = time.perf_counter() - t2
-
-    for df in tables.values():
-        df.unpersist()
+            result.durations["load"] = time.perf_counter() - t2
+    finally:
+        # release caches even when a gate or write fails — a retrying
+        # driver would otherwise accumulate stale cached lineages
+        for df in tables.values():
+            df.unpersist()
     result.durations["total"] = time.perf_counter() - t0
     return result

@@ -220,13 +220,19 @@ def q42_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 NEARDUP_OFFSET = 100_000
 NEARDUP_THRESHOLD = 0.9
 
+# mutant ids must never collide with real vec_ids: beyond 100k vectors
+# the offset grows with the corpus (GREATEST keeps small-SF results
+# byte-identical). The oracle computes the same offset with a scalar
+# subquery; the Spark side mirrors it with one tiny max() action.
+_OFFSET_SQL = f"GREATEST({NEARDUP_OFFSET}, (SELECT MAX(vec_id) + 1 FROM embeddings))"
+
 
 def _augmented_sql() -> str:
     zeros = ", ".join(["CAST(0.0 AS FLOAT)"] * 8)
     return f"""
       SELECT vec_id, embedding FROM embeddings
       UNION ALL
-      SELECT vec_id + {NEARDUP_OFFSET} AS vec_id,
+      SELECT vec_id + {_OFFSET_SQL} AS vec_id,
              list_concat(list_slice(embedding, 1, 56), [{zeros}]) AS embedding
       FROM embeddings
     """
@@ -256,9 +262,11 @@ def _neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(id_a, id_b, cos_sim) near-dup pairs over the augmented corpus —
     the shared stage behind q37 (pairs) and q53 (clusters)."""
     emb = load_table(spark, sf_dir, "embeddings")
+    max_id = emb.agg(F.max("vec_id")).first()[0] or 0
+    offset = max(NEARDUP_OFFSET, max_id + 1)
     zeros = F.array(*[F.lit(0.0).cast("float")] * 8)
     mutants = emb.select(
-        (F.col("vec_id") + NEARDUP_OFFSET).alias("vec_id"),
+        (F.col("vec_id") + offset).alias("vec_id"),
         F.concat(F.slice("embedding", 1, 56), zeros).alias("embedding"),
     )
     aug = emb.select("vec_id", "embedding").unionByName(mutants)

@@ -40,16 +40,33 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents")
 
 
+def _guard_offset(d: DataFrame) -> None:
+    """The synthetic-snapshot id offset must not collide with real doc
+    ids (and q22's 1-in-5 sample relies on OFFSET % 5 == 0, so it can't
+    be silently grown) — fail loudly past 100k docs instead of
+    corrupting dedup results."""
+    max_id = d.agg(F.max("doc_id")).first()[0] or 0
+    if max_id >= OFFSET:
+        raise ValueError(
+            f"documents corpus max doc_id {max_id} >= synthetic OFFSET "
+            f"{OFFSET}; raise OFFSET (keep it a multiple of 5) for this "
+            "corpus size"
+        )
+
+
 def _doubled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two identical crawl snapshots: every text appears twice."""
     d = _docs(spark, sf_dir).select("doc_id", "text")
+    _guard_offset(d)
     return d.unionByName(d.select((F.col("doc_id") + OFFSET).alias("doc_id"), "text"))
 
 
 def _mutated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Originals plus a near-duplicate mutation (last 5 tokens dropped)
     of every doc longer than 15 tokens — guaranteed high-Jaccard pairs."""
-    d = _docs(spark, sf_dir).select(F.col("doc_id").alias("id"), "text")
+    d0 = _docs(spark, sf_dir)
+    _guard_offset(d0)
+    d = d0.select(F.col("doc_id").alias("id"), "text")
     toks = T.tokens(F.col("text"))
     n = F.size(toks)
     mut = (

@@ -14,6 +14,37 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# events.parquet stores ts as TIMESTAMP(NANOS); under
+# spark.sql.legacy.parquet.nanosAsLong the column reads as bigint
+# nanos. This schema + converter pair is THE single definition of that
+# convention — batch (load_table) and streaming (streaming/jobs.py)
+# readers both use it so they can never drift apart.
+EVENTS_NANOS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def events_ts_from_nanos(df: DataFrame) -> DataFrame:
+    """bigint-nanos ts -> TIMESTAMP via exact integer truncation to
+    micros (``div``, not ``/`` — the double path loses precision at
+    1e18 magnitudes). DuckDB performs the same nanos->micros
+    truncation, keeping the oracles in lockstep."""
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 TESTDATA_TABLES = (
     "region",
@@ -34,15 +65,12 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
-        # reader rejects. Read nanos as bigint and truncate to microseconds
-        # with exact integer division (`div`, not `/` — the double path
-        # would lose precision at 1e18 magnitudes). DuckDB performs the
-        # same nanos->micros truncation, keeping the oracle in lockstep.
+        # TIMESTAMP(NANOS) parquet, rejected by Spark's vectorized
+        # reader — read nanos-as-long and convert (see EVENTS_NANOS_SCHEMA).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            df = events_ts_from_nanos(df)
         return df
     return spark.read.parquet(path)
 

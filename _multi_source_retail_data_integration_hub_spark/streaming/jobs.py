@@ -27,40 +27,25 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import (
-    DoubleType,
-    LongType,
-    StringType,
-    StructField,
-    StructType,
-)
+
+from ..sources.testdata import EVENTS_NANOS_SCHEMA, events_ts_from_nanos
 
 DEC = "decimal(18,2)"
 
-# events.parquet stores ts as TIMESTAMP(NANOS); with
-# spark.sql.legacy.parquet.nanosAsLong the file reads as bigint nanos
-# (same convention as sources/testdata.py).
-EVENTS_FILE_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
-
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-stream source over the events parquet (nanos -> micros)."""
+    """File-stream source over the events parquet (nanos -> micros).
+
+    Schema + conversion come from sources/testdata.py — ONE definition
+    shared with the batch reader, so the streaming twins can never
+    drift from the oracles' timestamp convention."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = (
-        spark.readStream.schema(EVENTS_FILE_SCHEMA)
+        spark.readStream.schema(EVENTS_NANOS_SCHEMA)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return events_ts_from_nanos(raw)
 
 
 def _dsum(col: str):
@@ -184,7 +169,13 @@ def run_available_now(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout)
+    if not q.awaitTermination(timeout):
+        # a timed-out drain means the memory table is PARTIAL — stop the
+        # query and fail loudly rather than let callers read half a batch
+        q.stop()
+        raise TimeoutError(
+            f"availableNow drain into {table_name!r} exceeded {timeout}s"
+        )
 
 
 def foreach_batch_upsert(
@@ -204,7 +195,8 @@ def foreach_batch_upsert(
     re-executes the same merge — which is only idempotent if the merge
     itself is deterministic, so within-batch duplicates need a defined
     winner: pass ``order_col`` to keep the row with the greatest value
-    of that column per key (last write wins). Without ``order_col`` the
+    of that column per key (last write wins; ties break on a content
+    hash so replays pick the same winner). Without ``order_col`` the
     stream must already be unique per key (e.g. a groupBy aggregate in
     update mode); duplicate keys would otherwise keep an arbitrary row.
     """
@@ -214,7 +206,12 @@ def foreach_batch_upsert(
 
         spark = batch_df.sparkSession
         if order_col is not None:
-            w = Window.partitionBy(*key_cols).orderBy(F.desc(order_col))
+            # content-hash tiebreak: equal order_col values must still
+            # produce ONE deterministic winner or checkpoint replays
+            # could commit a different row than the first attempt
+            w = Window.partitionBy(*key_cols).orderBy(
+                F.desc(order_col), F.desc(F.xxhash64(*batch_df.columns))
+            )
             batch = (
                 batch_df.withColumn("_rn", F.row_number().over(w))
                 .where(F.col("_rn") == 1)
@@ -237,7 +234,10 @@ def foreach_batch_upsert(
 
     return (
         stream_df.writeStream.foreachBatch(_merge)
-        .option("checkpointLocation", os.path.join(checkpoint_dir, "cp_upsert"))
+        # namespaced per target table: two sinks sharing a checkpoint
+        # root must not resume each other's offsets (the second would
+        # see the backlog "already processed" and write nothing)
+        .option("checkpointLocation", os.path.join(checkpoint_dir, f"cp_upsert_{table}"))
         .outputMode("update")
         .trigger(availableNow=True)
         .start()
@@ -249,10 +249,12 @@ def write_stream_parquet(
 ) -> "object":
     """Production-shaped sink: append-mode partitioned parquet with
     exactly-once checkpointing. Returns the StreamingQuery handle."""
+    cp_name = "cp_" + os.path.basename(os.path.normpath(path))
     writer = (
         stream_df.writeStream.format("parquet")
         .option("path", path)
-        .option("checkpointLocation", os.path.join(checkpoint_dir, "cp"))
+        # namespaced per output path (see foreach_batch_upsert)
+        .option("checkpointLocation", os.path.join(checkpoint_dir, cp_name))
         .outputMode("append")
         .trigger(availableNow=True)
     )

@@ -122,6 +122,17 @@ def test_incremental_scd2_dim_merge(spark, raw, tmp_path_factory):
 
     # dim_product merged with identical snapshot -> no new versions
     assert spark.table("inc_dw.dim_product").count() == 3
+
+    # FK integrity: every fact row's customer_key must point at the
+    # CURRENT dim version of its customer_id (the fact is rebuilt
+    # against the merged dim, not the snapshot keys)
+    fact2 = spark.table("inc_dw.fact_sales")
+    current = {
+        r.customer_id: r.customer_key
+        for r in dim2.where("is_current").collect()
+    }
+    for r in fact2.select("customer_id", "customer_key").collect():
+        assert r.customer_key == current[r.customer_id], r
     spark.sql("DROP DATABASE IF EXISTS inc_dw CASCADE")
 
 
