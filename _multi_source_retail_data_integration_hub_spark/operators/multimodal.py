@@ -71,7 +71,8 @@ def decode_image_features(media: DataFrame) -> DataFrame:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            feats = [_fake_decode(p) for p in pdf["payload"]]
+            # NULL payloads behave as empty (same contract as audio)
+            feats = [_fake_decode(p if p is not None else b"") for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"].astype("int64"),
@@ -127,6 +128,8 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 8
         for pdf in batches:
             rows: list[tuple[int, int, int]] = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    payload = b""  # NULL payloads behave as empty
                 n = min(max_frames, max(1, len(payload) // every_n_bytes))
                 rows.extend((int(mid), i, i * every_n_bytes) for i in range(n))
             if rows:

@@ -37,7 +37,14 @@ def scd2_initial(incoming: DataFrame, effective_ts, start_col: str | None = None
     columns on a fresh dimension snapshot. ``start_col`` optionally names
     a column to use as effective start (the reference uses
     first_purchase_date for customers, etl/transform.py:193)."""
-    start = F.col(start_col) if start_col else F.lit(effective_ts).cast("timestamp")
+    # cast start_col too: a DATE-typed source column would make
+    # effective_start_date DateType on first load but TimestampType
+    # after the first merge stamps inserts — silent schema drift
+    start = (
+        F.col(start_col).cast("timestamp")
+        if start_col
+        else F.lit(effective_ts).cast("timestamp")
+    )
     return (
         incoming.withColumn("effective_start_date", start)
         .withColumn("effective_end_date", F.lit(END_OF_TIME).cast("timestamp"))
@@ -122,6 +129,12 @@ def scd2_merge(
 
     ordered_sk = [surrogate_key, *ordered]
     base = current.agg(F.coalesce(F.max(surrogate_key), F.lit(0)).alias("_base"))
+    # Dense deterministic keys require a global row_number — a single-
+    # task window over the INSERT set only (changed + new keys per
+    # batch), never the whole dimension. That bounds the funnel to the
+    # day's churn; a dimension whose daily churn itself overwhelms one
+    # task needs a different key contract (e.g. hash keys), not SCD2
+    # row numbering.
     inserts_sk = inserts.crossJoin(F.broadcast(base)).withColumn(
         surrogate_key,
         (

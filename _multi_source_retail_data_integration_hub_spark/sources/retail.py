@@ -11,8 +11,6 @@
 from __future__ import annotations
 
 import json
-import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -41,16 +39,21 @@ def read_retail_sales_csv(spark: SparkSession, path: str, extracted_at=None) -> 
 def products_from_records(spark: SparkSession, records: list[dict], extracted_at=None) -> DataFrame:
     """Tabularize a product list (S2) keeping ``rating`` as a struct and
     flattening it with column expressions — the Spark-native version of
-    the reference's dict-comprehension flatten (etl/extract.py:80-83)."""
-    fd, path = tempfile.mkstemp(suffix=".jsonl")
-    with os.fdopen(fd, "w") as f:
-        for r in records:
-            f.write(json.dumps(r) + "\n")
-    return read_products_json(spark, path, extracted_at)
+    the reference's dict-comprehension flatten (etl/extract.py:80-83).
+
+    Goes straight through ``createDataFrame`` with the explicit schema:
+    no temp file (a driver-local path would be unreadable by executors
+    in cluster mode, and leaked files accumulate)."""
+    df = spark.createDataFrame(records, schemas.API_PRODUCTS_JSON)
+    return _flatten_products(df, extracted_at)
 
 
 def read_products_json(spark: SparkSession, path: str, extracted_at=None) -> DataFrame:
     df = spark.read.schema(schemas.API_PRODUCTS_JSON).json(path)
+    return _flatten_products(df, extracted_at)
+
+
+def _flatten_products(df: DataFrame, extracted_at=None) -> DataFrame:
     flat = df.select(
         "id",
         "title",

@@ -43,12 +43,31 @@ def write_warehouse_table(
     WRITE_TRUNCATE -> mode="overwrite", WRITE_APPEND -> mode="append";
     the reference's tz-strip (etl/load.py:223-225) is unnecessary here —
     the session runs with spark.sql.session.timeZone=UTC throughout.
+
+    Partitioned overwrite of an EXISTING table goes through
+    ``insertInto`` with ``partitionOverwriteMode=dynamic``: only the
+    partitions present in ``df`` are replaced (the incremental
+    daily-batch story). ``saveAsTable(mode='overwrite')`` would drop
+    and recreate the WHOLE table — dynamic mode has no effect on that
+    path — silently deleting historical partitions.
     """
     parts = partition_by if partition_by is not None else PARTITIONED_TABLES.get(name, ())
+    full_name = f"{database}.{name}"
+    spark = df.sparkSession
+    if parts and mode == "overwrite" and spark.catalog.tableExists(full_name):
+        # align column order with the stored schema (insertInto is
+        # positional) and replace only the touched partitions
+        aligned = df.select(*spark.table(full_name).columns)
+        (
+            aligned.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .insertInto(full_name)
+        )
+        return
     writer = df.write.mode(mode)
     if parts:
         writer = writer.option("partitionOverwriteMode", "dynamic").partitionBy(*parts)
-    writer.saveAsTable(f"{database}.{name}")
+    writer.saveAsTable(full_name)
 
 
 def write_parquet(
@@ -148,14 +167,17 @@ def jdbc_read(
     """
     lo = hi = None
     if partition_column:
-        bounds = (
-            spark.read.format("jdbc")
-            .option("url", url)
-            .option("dbtable", jdbc_bounds_query(table, partition_column))
-            .load()
-            .first()
+        # the probe needs the SAME connection options as the real read
+        # (credentials, driver class, ...) or it fails before the read
+        probe_opts = jdbc_read_options(
+            url, jdbc_bounds_query(table, partition_column), options=options
         )
+        bounds = spark.read.format("jdbc").options(**probe_opts).load().first()
         lo, hi = bounds["lo"], bounds["hi"]
+        if lo is None or hi is None:
+            # empty table: no split points exist — fall back to an
+            # unpartitioned read of the (empty) table
+            partition_column = None
     return (
         spark.read.format("jdbc")
         .options(

@@ -67,6 +67,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # TIMESTAMP(NANOS) parquet, rejected by Spark's vectorized
         # reader — read nanos-as-long and convert (see EVENTS_NANOS_SCHEMA).
+        # NOTE: this conf is session-wide and stays set (restoring it
+        # mid-plan could break the deferred executor-side reads of this
+        # very DataFrame); other nanos-timestamp parquet reads in the
+        # same session will also see bigint nanos.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") == "bigint":

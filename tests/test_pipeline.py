@@ -174,3 +174,34 @@ def test_with_retries_policy():
     with _pytest.raises(PipelineGateError):
         with_retries(gate_fail, retries=5)
     assert gate_calls["n"] == 1  # no retry on deterministic gate verdicts
+
+
+def test_partitioned_overwrite_replaces_only_touched_partitions(spark):
+    """write_warehouse_table on an existing partitioned table must keep
+    partitions absent from the incoming batch (dynamic overwrite via
+    insertInto — saveAsTable would drop the whole table)."""
+    from _multi_source_retail_data_integration_hub_spark.sources import sinks
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS dynp_dw")
+    spark.sql("DROP TABLE IF EXISTS dynp_dw.part_tbl")
+    day1 = spark.createDataFrame(
+        [(1, 10.0, 20240101), (2, 20.0, 20240102)], "id long, v double, date_key long"
+    )
+    sinks.write_warehouse_table(
+        day1, "part_tbl", database="dynp_dw", partition_by=("date_key",)
+    )
+    # incremental batch touches ONLY 20240102 (new value) + adds 20240103
+    day2 = spark.createDataFrame(
+        [(3, 99.0, 20240102), (4, 30.0, 20240103)], "id long, v double, date_key long"
+    )
+    sinks.write_warehouse_table(
+        day2, "part_tbl", database="dynp_dw", partition_by=("date_key",)
+    )
+    rows = {
+        r.date_key: (r.id, r.v)
+        for r in spark.table("dynp_dw.part_tbl").collect()
+    }
+    assert rows[20240101] == (1, 10.0)  # untouched partition survived
+    assert rows[20240102] == (3, 99.0)  # touched partition replaced
+    assert rows[20240103] == (4, 30.0)  # new partition added
+    spark.sql("DROP DATABASE IF EXISTS dynp_dw CASCADE")
