@@ -235,3 +235,64 @@ def test_connected_components_match_union_find(spark, edges):
         r["node"]: r["cluster_id"] for r in connected_components(df).collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# SCD2 merge == in-memory reference over random snapshot sequences
+# ---------------------------------------------------------------------------
+snapshots_strategy = st.lists(  # 2-4 successive snapshots of up to 5 keys
+    st.dictionaries(
+        st.integers(min_value=1, max_value=5),  # business key
+        st.integers(min_value=0, max_value=3),  # attribute value
+        min_size=1,
+        max_size=5,
+    ),
+    min_size=2,
+    max_size=4,
+)
+
+
+@given(snaps=snapshots_strategy)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
+def test_scd2_merge_matches_reference_state_machine(spark, snaps):
+    from _multi_source_retail_data_integration_hub_spark.operators.scd2 import (
+        scd2_initial,
+        scd2_merge,
+    )
+
+    def df_of(snap, ts):
+        rows = [(k, v, f"h{v}") for k, v in sorted(snap.items())]
+        return spark.createDataFrame(rows, "bk long, attr long, row_hash string")
+
+    ts0 = "2024-01-01 00:00:00"
+    dim = scd2_initial(df_of(snaps[0], ts0), ts0)
+
+    # reference state machine: per key, list of (attr, start, end, current)
+    ref: dict[int, list] = {
+        k: [[v, ts0, None, True]] for k, v in snaps[0].items()
+    }
+    for i, snap in enumerate(snaps[1:], start=2):
+        ts = f"2024-01-0{i} 00:00:00"
+        dim = scd2_merge(dim, df_of(snap, ts), "bk", ts)
+        for k, v in snap.items():
+            if k not in ref:
+                ref[k] = [[v, ts, None, True]]
+            elif ref[k][-1][0] != v:
+                ref[k][-1][2] = ts  # expire old current
+                ref[k][-1][3] = False
+                ref[k].append([v, ts, None, True])
+            # unchanged or absent keys carry forward untouched
+
+    got: dict[int, list] = {}
+    for r in dim.orderBy("bk", "version").collect():
+        got.setdefault(r["bk"], []).append(
+            [r["attr"], str(r["effective_start_date"]), r["is_current"], r["version"]]
+        )
+    for k, versions in ref.items():
+        assert len(got[k]) == len(versions), (k, got.get(k), versions)
+        for vi, (attr, start, _end, current) in enumerate(versions, start=1):
+            g_attr, g_start, g_current, g_version = got[k][vi - 1]
+            assert (g_attr, g_start, g_current, g_version) == (
+                attr, start, current, vi,
+            ), (k, got[k], versions)
