@@ -679,3 +679,99 @@ def q58_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+# ---------------------------------------------------------------------------
+# q64 — four-table star join: region -> nation -> customer -> orders,
+# revenue rolled up by region and nation. All three dimension legs
+# broadcast (region/nation are tiny, customer is dim-sized); the fact
+# never shuffles. The canonical multi-join rollup every warehouse runs.
+# ---------------------------------------------------------------------------
+@query(
+    "q64_revenue_by_nation",
+    oracle="""
+    SELECT r.r_name AS region, n.n_name AS nation,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def q64_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    region = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    joined = (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        joined.groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            _dsum("o_totalprice").alias("total_revenue"),
+        )
+        .orderBy("region", "nation")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q65 — shipping-priority top-k (TPC-H Q3 shape): the one join class the
+# rest of the surface doesn't exercise — FACT ⋈ FACT (orders ⋈ lineitem
+# on orderkey), which shuffles both sides at scale (sort-merge/shuffled
+# hash; AQE picks). Date + segment predicates push into both scans
+# before the join; top-10 plans as TakeOrderedAndProject.
+# ---------------------------------------------------------------------------
+@query(
+    "q65_shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey,
+           o.o_orderdate,
+           o.o_orderpriority,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+      AND l.l_shipdate > TIMESTAMP '1997-01-01'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q65_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cutoff = "1997-01-01"
+    customer = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < cutoff
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > cutoff
+    )
+    joined = (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(lineitem, lineitem.l_orderkey == orders.o_orderkey)
+    )
+    rev = F.sum(
+        F.col("l_extendedprice").cast(DEC)
+        * (F.lit(1).cast("decimal(12,2)") - F.col("l_discount").cast("decimal(12,2)"))
+    ).cast("double")
+    return (
+        joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(rev.alias("revenue"))
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
