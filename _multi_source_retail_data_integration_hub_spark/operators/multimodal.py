@@ -19,6 +19,7 @@ output, never on payload bytes.
 
 from __future__ import annotations
 
+import struct
 from typing import Iterator
 
 import numpy as np
@@ -138,15 +139,97 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 8
     return media.mapInPandas(sample, FRAME_SCHEMA)
 
 
-def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Image resize — NOT IMPLEMENTED in this container.
+# ---------------------------------------------------------------------------
+# Real (pure-numpy) BMP codec + resize — no PIL required. 24-bit
+# uncompressed BITMAPINFOHEADER BMPs only: the container has no image
+# library, and BMP is the one mainstream format fully decodable with
+# struct + numpy. A production deployment swaps encode/decode for
+# PIL/turbojpeg; ``resize_images``'s Spark plumbing is final either way.
+# ---------------------------------------------------------------------------
 
-    Real implementation: mapInPandas batch of
-    ``PIL.Image.open(...).resize((width, height))`` re-encoded to the
-    payload column; the signature and schema are final.
-    """
-    raise NotImplementedError(
-        "resize_images requires an image codec (PIL) not present in this "
-        "container; plumbing contract: (media_id, payload, meta) -> same "
-        "schema with resized payload"
+_BMP_DATA_OFFSET = 54  # 14-byte file header + 40-byte info header
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """Encode an HxWx3 uint8 RGB array as a 24-bit uncompressed BMP."""
+    if img.ndim != 3 or img.shape[2] != 3 or img.dtype != np.uint8:
+        raise ValueError("encode_bmp expects an HxWx3 uint8 RGB array")
+    h, w = img.shape[:2]
+    row_bytes = w * 3
+    pad = (4 - row_bytes % 4) % 4
+    # BMP stores rows bottom-up in BGR with 4-byte row padding
+    bgr = img[::-1, :, ::-1]
+    rows = np.zeros((h, row_bytes + pad), dtype=np.uint8)
+    rows[:, :row_bytes] = bgr.reshape(h, row_bytes)
+    pixels = rows.tobytes()
+    file_header = struct.pack(
+        "<2sIHHI", b"BM", _BMP_DATA_OFFSET + len(pixels), 0, 0, _BMP_DATA_OFFSET
     )
+    info_header = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixels), 2835, 2835, 0, 0
+    )
+    return file_header + info_header + pixels
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Decode a 24-bit uncompressed BMP into an HxWx3 uint8 RGB array."""
+    if payload[:2] != b"BM":
+        raise ValueError("decode_bmp: payload lacks the BM magic")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    _, w, h, _, bpp, comp = struct.unpack_from("<IiiHHI", payload, 14)
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"decode_bmp: unsupported BMP (bpp={bpp}, compression={comp})")
+    bottom_up = h > 0
+    h = abs(h)
+    row_bytes = w * 3
+    stride = (row_bytes + 3) // 4 * 4
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * h, offset=data_offset
+    ).reshape(h, stride)
+    img = rows[:, :row_bytes].reshape(h, w, 3)[:, :, ::-1]
+    if bottom_up:
+        img = img[::-1]
+    return np.ascontiguousarray(img)
+
+
+def nn_resize(img: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resample (pixel-center sampling) via fancy
+    indexing — one gather, no Python pixel loops."""
+    in_h, in_w = img.shape[:2]
+    ys = np.minimum(((np.arange(height) + 0.5) * in_h / height), in_h - 1).astype(np.int64)
+    xs = np.minimum(((np.arange(width) + 0.5) * in_w / width), in_w - 1).astype(np.int64)
+    return img[ys][:, xs]
+
+
+RESIZED_SCHEMA = "media_id long, payload binary, meta struct<format:string,n_bytes:int>"
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize BMP payloads to ``width`` x ``height`` (nearest-neighbor).
+
+    Arrow-batched narrow map: (media_id, payload, meta) -> same shape
+    with the payload re-encoded at the target size and meta.n_bytes
+    updated. NULL/empty payloads pass through as NULL with n_bytes=0
+    (same contract as the audio featurizer). Non-BMP payloads raise —
+    decode errors should fail the task loudly, not silently drop media.
+    """
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids: list[int] = []
+            payloads: list[bytes | None] = []
+            metas: list[dict] = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                ids.append(int(mid))
+                if payload is None or len(payload) == 0:
+                    payloads.append(None)
+                    metas.append({"format": "bmp", "n_bytes": 0})
+                    continue
+                resized = encode_bmp(nn_resize(decode_bmp(bytes(payload)), width, height))
+                payloads.append(resized)
+                metas.append({"format": "bmp", "n_bytes": len(resized)})
+            yield pd.DataFrame({"media_id": ids, "payload": payloads, "meta": metas})
+
+    return media.mapInPandas(work, RESIZED_SCHEMA)

@@ -328,6 +328,26 @@ def ivf_topk(
     )
 
 
+def write_members_bucketed(
+    members: DataFrame, table: str, n_buckets: int = 8, sort_cols: tuple[str, ...] = ("list_id",)
+) -> None:
+    """Persist an IVF members table bucketed (and sorted) by list_id.
+
+    This is the physical layout the IVF docstring promises at 100 TB:
+    probe joins against a bucketed members table need no Exchange on the
+    members side (bucket count = join partitioning), and a filter on
+    probed list_ids prunes unprobed buckets at scan time
+    (SelectedBucketsCount in the plan). tests/test_bucketing.py asserts
+    both plan properties.
+    """
+    (
+        members.write.mode("overwrite")
+        .bucketBy(n_buckets, "list_id")
+        .sortBy(*sort_cols)
+        .saveAsTable(table)
+    )
+
+
 def hyperplane_weights(n_planes: int = N_PLANES, dim: int = 64) -> list[list[int]]:
     """Deterministic pseudo-random integer hyperplanes in [-8, 7].
 
@@ -344,8 +364,22 @@ def lsh_bucket(qe: Column, planes: list[list[int]]) -> Column:
     """Signed-projection bucket id in [0, 2^n_planes).
 
     The hyperplane constants are sliced to the vector's dimension — an
-    EXPLICIT projection onto the leading dims for smaller embeddings
-    (the data-vs-data dot in ``dot_long_vec`` rejects mismatches)."""
+    EXPLICIT projection onto the leading dims for smaller embeddings.
+    Embeddings WIDER than the hyperplanes fail the in-plan assertion
+    below with a message naming the limit (instead of surfacing later
+    as a generic dimension error inside the dot pandas-UDF)."""
+    dim = len(planes[0])
+    guard = F.assert_true(
+        F.size(qe) <= F.lit(dim),
+        F.concat(
+            F.lit("lsh_bucket: embedding dim "),
+            F.size(qe).cast("string"),
+            F.lit(
+                f" exceeds the {dim}-dim hyperplane constants; pass "
+                f"planes=hyperplane_weights(dim=<embedding dim>)"
+            ),
+        ),
+    )
     bucket = F.lit(0)
     for p, w in enumerate(planes):
         wlit = F.slice(
@@ -353,7 +387,9 @@ def lsh_bucket(qe: Column, planes: list[list[int]]) -> Column:
         )
         bit = F.when(dot_long_vec(qe, wlit) >= 0, F.lit(2**p)).otherwise(F.lit(0))
         bucket = bucket + bit
-    return bucket
+    # guard is NULL when the assertion passes; evaluating it inside the
+    # when() keeps it in the plan
+    return F.when(guard.isNull(), bucket)
 
 
 def lsh_buckets(

@@ -249,13 +249,16 @@ def ngram_jaccard_pairs(
         F.explode(F.array_distinct(shingles(tokens(F.col(text_col)), shingle_k))).alias("shingle"),
     )
     df_counts = sh.groupBy("shingle").agg(F.count("*").alias("doc_freq"))
-    # lazy persist: `filtered` feeds three consumers (both self-join
-    # sides and the set-size aggregate); caching it avoids recomputing
-    # the shingle pipeline per consumer.
+    # `filtered` feeds three consumers (both self-join sides and the
+    # set-size aggregate); an eager localCheckpoint materializes the
+    # shingle pipeline once instead of per consumer. Unlike persist()
+    # (which round 2 leaked — CacheManager entries outlive the caller),
+    # checkpoint blocks are reclaimed by the ContextCleaner as soon as
+    # the returned DataFrame is garbage-collected.
     filtered = (
         sh.join(df_counts.where(F.col("doc_freq") <= max_shingle_df), "shingle")
         .select(id_col, "shingle")
-        .persist()
+        .localCheckpoint(eager=True)
     )
     # set sizes come from the POST-filter universe: intersections are
     # counted over filtered shingles, so sizes must be too, or identical
@@ -306,28 +309,41 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFr
     multiply the token table ``bits``-fold), map-side partial
     aggregation, a single shuffle. Empty documents have no tokens and
     produce no row.
+
+    Per-token work is TWO conv() string parses (the digest's 32-bit
+    halves, materialized as bigints before the aggregate); each bit's
+    vote is then a shift+mask ALU op on those bigints — not a
+    substr+conv per bit, which round 2 showed costs ~4x at sf0.1
+    (hex digit i >= 8 <=> its nibble's high bit is set).
     """
-    # md5 is materialized ONCE per token row before the aggregates —
-    # referencing F.md5(tok) inside each of the 16 sum() expressions
-    # would recompute the hash per bit.
-    toks = df.select(
-        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
-    ).select(F.col(id_col), F.md5("tok").alias("h"))
-    h = F.col("h")
-    vote_sums = toks.groupBy(id_col).agg(
-        *[
-            F.sum(
-                F.when(_locate(h.substr(F.lit(i), F.lit(1))) >= 8, F.lit(1)).otherwise(
-                    F.lit(-1)
-                )
-            ).alias(f"_vs{i}")
-            for i in range(1, bits + 1)
-        ]
+    assert bits <= 16, "simhash packs bits from the first 16 hex digits"
+    # md5 materialized once per token row (CollapseProject keeps a
+    # non-cheap expr referenced twice from being re-inlined), then the
+    # two halves parsed once each.
+    toks = (
+        df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+        .select(F.col(id_col), F.md5("tok").alias("h"))
+        .select(
+            F.col(id_col),
+            F.conv(F.col("h").substr(1, 8), 16, 10).cast("bigint").alias("va"),
+            F.conv(F.col("h").substr(9, 8), 16, 10).cast("bigint").alias("vb"),
+        )
     )
+
+    def _bit(i: int) -> Column:
+        # high bit of hex digit i: digits 1..8 live in va, 9..16 in vb
+        src, j = ("va", i) if i <= 8 else ("vb", i - 8)
+        return F.shiftright(F.col(src), 35 - 4 * j).bitwiseAND(F.lit(1))
+
+    vote_sums = toks.groupBy(id_col).agg(
+        F.count("*").alias("_n"),
+        *[F.sum(_bit(i)).alias(f"_ones{i}") for i in range(1, bits + 1)],
+    )
+    # vote sum = 2*ones - n; bit set iff vote sum >= 0
     packed = None
     for i in range(1, bits + 1):
         bit_val = F.when(
-            F.col(f"_vs{i}") >= 0, F.lit(2 ** (i - 1)).cast("bigint")
+            F.col(f"_ones{i}") * 2 >= F.col("_n"), F.lit(2 ** (i - 1)).cast("bigint")
         ).otherwise(F.lit(0).cast("bigint"))
         packed = bit_val if packed is None else packed + bit_val
     return vote_sums.select(F.col(id_col), packed.alias("simhash"))
@@ -355,19 +371,32 @@ def _count_in(toks: Column, words: tuple[str, ...]) -> Column:
 def token_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Per-doc token statistics (all single-pass column expressions).
     Ratios are NULL for empty documents (0 tokens) instead of raising
-    ANSI division-by-zero."""
-    t = tokens(F.col(text_col))
-    n = F.size(t)
-    nz = F.nullif(n, F.lit(0))
-    return df.select(
+    ANSI division-by-zero.
+
+    The token split and the distinct-size/length scalars are projected
+    ONCE in a staging select — round 2's per-output-column ``tokens()``
+    instances re-ran the regex split up to 4x per row (the q18/q19
+    bench regression)."""
+    staged = df.select(
         F.col(id_col),
-        n.cast("bigint").alias("n_tokens"),
-        F.size(F.array_distinct(t)).cast("bigint").alias("n_distinct_tokens"),
-        F.length(text_col).cast("bigint").alias("n_chars"),
+        F.length(text_col).cast("bigint").alias("_len"),
+        tokens(F.col(text_col)).alias("_t"),
+    ).select(
+        F.col(id_col),
+        F.col("_len"),
+        F.size("_t").cast("bigint").alias("_n"),
+        F.size(F.array_distinct("_t")).cast("bigint").alias("_nd"),
+    )
+    nz = F.nullif(F.col("_n"), F.lit(0))
+    return staged.select(
+        F.col(id_col),
+        F.col("_n").alias("n_tokens"),
+        F.col("_nd").alias("n_distinct_tokens"),
+        F.col("_len").alias("n_chars"),
         # BPE-ish budget estimate: ~4 chars/token on English-like text.
-        F.ceil(F.length(text_col) / F.lit(4.0)).cast("bigint").alias("n_tokens_bpe_est"),
-        (F.size(F.array_distinct(t)) / nz).alias("type_token_ratio"),
-        ((F.length(text_col) - (n - 1)) / nz).alias("avg_token_len"),
+        F.ceil(F.col("_len") / F.lit(4.0)).cast("bigint").alias("n_tokens_bpe_est"),
+        (F.col("_nd") / nz).alias("type_token_ratio"),
+        ((F.col("_len") - (F.col("_n") - 1)) / nz).alias("avg_token_len"),
     )
 
 
@@ -379,14 +408,31 @@ def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     (chars/500 capped), lexical diversity (distinct/total tokens),
     stopword presence (en stopword ratio scaled by 5, capped).
     """
-    t = tokens(F.col(text_col))
-    nz = F.nullif(F.size(t), F.lit(0))
-    len_credit = F.least(F.length(text_col) / F.lit(500.0), F.lit(1.0))
-    diversity = F.size(F.array_distinct(t)) / nz
-    stop_ratio = _count_in(t, STOPWORDS["en"]) / nz
-    stop_credit = F.least(stop_ratio * 5, F.lit(1.0))
-    score = (len_credit + diversity + stop_credit) / 3
-    return df.select(
+    staged = df.select(
+        F.col(id_col),
+        F.length(text_col).cast("bigint").alias("_len"),
+        tokens(F.col(text_col)).alias("_t"),
+    ).select(
+        F.col(id_col),
+        F.col("_len"),
+        F.size("_t").alias("_n"),
+        F.size(F.array_distinct("_t")).alias("_nd"),
+        _count_in(F.col("_t"), STOPWORDS["en"]).alias("_stop"),
+    ).select(
+        F.col(id_col),
+        (
+            (
+                F.least(F.col("_len") / F.lit(500.0), F.lit(1.0))
+                + F.col("_nd") / F.nullif(F.col("_n"), F.lit(0))
+                + F.least(
+                    F.col("_stop") / F.nullif(F.col("_n"), F.lit(0)) * 5, F.lit(1.0)
+                )
+            )
+            / 3
+        ).alias("_score"),
+    )
+    score = F.col("_score")
+    return staged.select(
         F.col(id_col),
         score.alias("quality_score"),
         F.when(score >= 0.75, "high")
@@ -403,11 +449,17 @@ def language_votes(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     encoded as a greatest-of-structs comparison both here and in the
     SQL oracle. ``unknown`` when no profile matches at all.
     """
-    t = tokens(F.col(text_col))
     langs = list(STOPWORDS)
+    # token array projected once — five per-language _count_in filters
+    # then scan the SAME array instead of re-splitting per language
     scored = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_t")
+    ).select(
         F.col(id_col),
-        *[_count_in(t, STOPWORDS[lang]).alias(f"hits_{lang}") for lang in langs],
+        *[
+            _count_in(F.col("_t"), STOPWORDS[lang]).alias(f"hits_{lang}")
+            for lang in langs
+        ],
     )
     # predicted = first language (in fixed order) achieving the max hits
     max_hits = F.greatest(*[F.col(f"hits_{lang}") for lang in langs])

@@ -147,12 +147,16 @@ def q40_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q61 — cogrouped map (cogroup().applyInPandas): per-user purchase vs
-# error timelines compared in one pandas call per user — the API class
-# for "align two event streams per key" where each side needs local
-# array logic. Output (attribution counting with an exact integer
-# window) is replayed by a plain SQL join oracle, proving the cogroup
-# path computes the declarative answer.
+# q61 — purchase→error attribution. The REGISTERED plan is fully
+# JVM-native: one shuffle on user_id feeds (a) a range-frame window that
+# finds the latest purchase strictly before each error and (b) the
+# per-user type counts; a hit is an error whose nearest preceding
+# purchase is within the window (if the nearest is too far, every
+# earlier one is farther — so the single running max suffices, no e⋈p
+# range join, no quadratic blow-up). ``cogroup_timelines_grouped`` keeps
+# the cogroup().applyInPandas construction as the cogrouped-map API
+# exercise; tests/test_functions.py proves the two agree row-for-row
+# (same treatment as q39's grouped-map twin).
 # ---------------------------------------------------------------------------
 ERR_WINDOW_US = 3600 * 1_000_000  # errors within 1 h after a purchase
 
@@ -189,13 +193,55 @@ ERR_WINDOW_US = 3600 * 1_000_000  # errors within 1 h after a purchase
 )
 def q61_cogroup_timelines(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
-    purchases = events.where(F.col("event_type") == "purchase").select(
-        "user_id", F.unix_micros("ts").alias("ts_us")
+    tagged = events.where(F.col("event_type").isin("purchase", "error")).select(
+        "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
     )
-    errors = events.where(F.col("event_type") == "error").select(
-        "user_id", F.unix_micros("ts").alias("ts_us")
+    # latest purchase STRICTLY before each row (rangeBetween end = -1 on
+    # the microsecond axis excludes same-instant purchases, matching the
+    # oracle's e.ts_us > p.ts_us)
+    w = Window.partitionBy("user_id").orderBy("ts_us").rangeBetween(
+        Window.unboundedPreceding, -1
+    )
+    last_purchase = F.max(
+        F.when(F.col("event_type") == "purchase", F.col("ts_us"))
+    ).over(w)
+
+    hits = (
+        tagged.select("user_id", "event_type", "ts_us", last_purchase.alias("lp_us"))
+        .where(
+            (F.col("event_type") == "error")
+            & F.col("lp_us").isNotNull()
+            & (F.col("ts_us") - F.col("lp_us") <= ERR_WINDOW_US)
+        )
+        # hits are DISTINCT error instants (duplicate ts collapse), like
+        # the oracle's GROUP BY user_id, ts_us
+        .groupBy("user_id")
+        .agg(F.count_distinct("ts_us").alias("n_errors_after_purchase"))
     )
 
+    base = tagged.groupBy("user_id").agg(
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("n_purchases"),
+        F.count(F.when(F.col("event_type") == "error", 1)).alias("n_errors"),
+    )
+    return base.join(hits, "user_id", "left").select(
+        "user_id",
+        "n_purchases",
+        "n_errors",
+        F.coalesce("n_errors_after_purchase", F.lit(0)).alias(
+            "n_errors_after_purchase"
+        ),
+    )
+
+
+def cogroup_timelines_grouped(purchases: DataFrame, errors: DataFrame) -> DataFrame:
+    """cogroup().applyInPandas twin of q61 (cogrouped-map API exercise).
+
+    ``purchases`` / ``errors`` need columns (user_id, ts_us). One pandas
+    call per user aligns the two timelines with numpy searchsorted.
+    Kept as the cogrouped-map reference implementation; the registered
+    q61 is the JVM-native window plan (no Python in the hot path).
+    tests/test_functions.py proves the pair agree row-for-row.
+    """
     out_schema = (
         "user_id long, n_purchases long, n_errors long, "
         "n_errors_after_purchase long"

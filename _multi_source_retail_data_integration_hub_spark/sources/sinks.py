@@ -56,8 +56,19 @@ def write_warehouse_table(
     spark = df.sparkSession
     if parts and mode == "overwrite" and spark.catalog.tableExists(full_name):
         # align column order with the stored schema (insertInto is
-        # positional) and replace only the touched partitions
-        aligned = df.select(*spark.table(full_name).columns)
+        # positional) and replace only the touched partitions. Columns
+        # the stored schema doesn't know are a schema-evolution event —
+        # refuse rather than silently dropping the new data.
+        stored_cols = spark.table(full_name).columns
+        extra = [c for c in df.columns if c not in stored_cols]
+        if extra:
+            raise ValueError(
+                f"write_warehouse_table: incoming batch for {full_name} "
+                f"carries columns absent from the stored schema: {extra}. "
+                "Evolve the table schema first (ALTER TABLE ... ADD "
+                "COLUMNS) or drop the columns explicitly."
+            )
+        aligned = df.select(*stored_cols)
         (
             aligned.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
@@ -97,12 +108,18 @@ def jdbc_write_options(
     }
 
 
-def jdbc_bounds_query(table: str, partition_column: str) -> str:
-    """The one-row MIN/MAX probe that seeds a partitioned JDBC read."""
-    return (
-        f"(SELECT MIN({partition_column}) lo, MAX({partition_column}) hi "
-        f"FROM {table}) b"
-    )
+def jdbc_bounds_query(table: str, partition_column: str, quote: str = '"') -> str:
+    """The one-row MIN/MAX probe that seeds a partitioned JDBC read.
+
+    The column is identifier-quoted (ANSI double quotes by default):
+    Spark's JDBC writer quotes column names at CREATE, so case-folding
+    databases (Derby, Postgres) store them case-sensitively and an
+    unquoted probe would case-fold to a missing column. MySQL callers
+    pass ``quote='`'`` (or run with ANSI_QUOTES). Explicit ``AS``
+    everywhere — Derby rejects bare correlation names on derived
+    tables."""
+    c = f"{quote}{partition_column}{quote}"
+    return f"(SELECT MIN({c}) AS lo, MAX({c}) AS hi FROM {table}) AS b"
 
 
 def jdbc_read_options(
@@ -173,7 +190,8 @@ def jdbc_read(
             url, jdbc_bounds_query(table, partition_column), options=options
         )
         bounds = spark.read.format("jdbc").options(**probe_opts).load().first()
-        lo, hi = bounds["lo"], bounds["hi"]
+        # positional: case-folding databases may return LO/HI
+        lo, hi = bounds[0], bounds[1]
         if lo is None or hi is None:
             # empty table: no split points exist — fall back to an
             # unpartitioned read of the (empty) table

@@ -22,11 +22,13 @@ from pyspark.sql.types import (
     StructType,
 )
 
-# events.parquet stores ts as TIMESTAMP(NANOS); under
-# spark.sql.legacy.parquet.nanosAsLong the column reads as bigint
-# nanos. This schema + converter pair is THE single definition of that
-# convention — batch (load_table) and streaming (streaming/jobs.py)
-# readers both use it so they can never drift apart.
+# events.parquet has shipped with two ts encodings across testdata
+# generations: TIMESTAMP(NANOS) (reads as bigint nanos under
+# spark.sql.legacy.parquet.nanosAsLong) and TIMESTAMP(MICROS,
+# isAdjustedToUTC=false) (reads as TIMESTAMP_NTZ). This schema +
+# normalizer pair is THE single definition of the convention — batch
+# (load_table) and streaming (streaming/jobs.py) readers both use it so
+# they can never drift apart.
 EVENTS_NANOS_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
@@ -39,12 +41,36 @@ EVENTS_NANOS_SCHEMA = StructType(
 )
 
 
-def events_ts_from_nanos(df: DataFrame) -> DataFrame:
-    """bigint-nanos ts -> TIMESTAMP via exact integer truncation to
-    micros (``div``, not ``/`` — the double path loses precision at
-    1e18 magnitudes). DuckDB performs the same nanos->micros
-    truncation, keeping the oracles in lockstep."""
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+def events_parquet_ts_unit(path: str) -> str:
+    """Physical ts unit of an events parquet ('ns' or 'us'), from the
+    file footer (pyarrow; no Spark job)."""
+    import pyarrow.parquet as pq
+
+    field = pq.read_schema(path).field("ts")
+    return "ns" if getattr(field.type, "unit", "us") == "ns" else "us"
+
+
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize the events ts column to session-tz TIMESTAMP.
+
+    * bigint (legacy nanos read): exact integer truncation to micros
+      (``div``, not ``/`` — the double path loses precision at 1e18
+      magnitudes), then timestamp_micros.
+    * TIMESTAMP_NTZ (micros parquet): plain cast; with the session tz
+      pinned to UTC this is numerically a no-op on the stored micros.
+    DuckDB reads the same file as naive TIMESTAMP either way, keeping
+    the oracles in lockstep.
+    """
+    t = dict(df.dtypes).get("ts")
+    if t == "bigint":
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if t == "timestamp_ntz":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
+# backward-compat alias (pre-round-3 name, nanos-only semantics)
+events_ts_from_nanos = normalize_events_ts
 
 TESTDATA_TABLES = (
     "region",
@@ -65,17 +91,19 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # TIMESTAMP(NANOS) parquet, rejected by Spark's vectorized
-        # reader — read nanos-as-long and convert (see EVENTS_NANOS_SCHEMA).
-        # NOTE: this conf is session-wide and stays set (restoring it
-        # mid-plan could break the deferred executor-side reads of this
-        # very DataFrame); other nanos-timestamp parquet reads in the
-        # same session will also see bigint nanos.
+        # ts encodings vary by testdata generation (see
+        # EVENTS_NANOS_SCHEMA note). nanosAsLong lets a NANOS file read
+        # as bigint instead of erroring in the vectorized reader; a
+        # MICROS file is unaffected by the conf and reads as NTZ.
+        # Session tz is pinned UTC so the NTZ->TIMESTAMP cast (and all
+        # downstream date_trunc/window math) matches DuckDB's naive
+        # timestamps exactly.
+        # NOTE: both confs are session-wide and stay set (restoring
+        # them mid-plan could break the deferred executor-side reads of
+        # this very DataFrame).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
-            df = events_ts_from_nanos(df)
-        return df
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        return normalize_events_ts(spark.read.parquet(path))
     return spark.read.parquet(path)
 
 

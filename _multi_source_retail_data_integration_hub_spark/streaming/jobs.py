@@ -27,25 +27,43 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType, TimestampNTZType
 
-from ..sources.testdata import EVENTS_NANOS_SCHEMA, events_ts_from_nanos
+from ..sources.testdata import (
+    EVENTS_NANOS_SCHEMA,
+    events_parquet_ts_unit,
+    normalize_events_ts,
+)
 
 DEC = "decimal(18,2)"
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-stream source over the events parquet (nanos -> micros).
+    """File-stream source over the events parquet.
 
-    Schema + conversion come from sources/testdata.py — ONE definition
-    shared with the batch reader, so the streaming twins can never
-    drift from the oracles' timestamp convention."""
+    readStream requires an explicit schema, so the ts encoding (nanos
+    vs micros — varies by testdata generation) is sniffed from the
+    parquet footer and the matching schema chosen. Normalization comes
+    from sources/testdata.py — ONE definition shared with the batch
+    reader, so the streaming twins can never drift from the oracles'
+    timestamp convention."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if events_parquet_ts_unit(os.path.join(sf_dir, "events.parquet")) == "ns":
+        schema = EVENTS_NANOS_SCHEMA
+    else:
+        schema = StructType(
+            [
+                f if f.name != "ts" else StructField("ts", TimestampNTZType())
+                for f in EVENTS_NANOS_SCHEMA.fields
+            ]
+        )
     raw = (
-        spark.readStream.schema(EVENTS_NANOS_SCHEMA)
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return events_ts_from_nanos(raw)
+    return normalize_events_ts(raw)
 
 
 def _dsum(col: str):
@@ -189,16 +207,21 @@ def foreach_batch_upsert(
     table keyed on ``key_cols`` via ``foreachBatch``.
 
     Without a transactional table format in this container the merge is
-    expressed as current ⟕anti batch → union → overwrite; on a cluster
-    the same foreachBatch body becomes a single ``MERGE INTO`` against
-    Delta/Iceberg. The checkpoint makes redelivery safe: a re-run batch
-    re-executes the same merge — which is only idempotent if the merge
-    itself is deterministic, so within-batch duplicates need a defined
-    winner: pass ``order_col`` to keep the row with the greatest value
-    of that column per key (last write wins; ties break on a content
-    hash so replays pick the same winner). Without ``order_col`` the
-    stream must already be unique per key (e.g. a groupBy aggregate in
-    update mode); duplicate keys would otherwise keep an arbitrary row.
+    expressed as current ⟕anti batch → union, written to a STAGING
+    table and swapped in via drop+rename — a crash mid-write leaves the
+    live table untouched, and a crash inside the swap window leaves the
+    fully-merged staging table on disk for recovery (never a truncated
+    live table that a checkpoint replay would then merge against). On a
+    cluster the same foreachBatch body becomes a single atomic
+    ``MERGE INTO`` against Delta/Iceberg. The checkpoint makes
+    redelivery safe: a re-run batch re-executes the same merge — which
+    is only idempotent if the merge itself is deterministic, so
+    within-batch duplicates need a defined winner: pass ``order_col``
+    to keep the row with the greatest value of that column per key
+    (last write wins; ties break on a content hash so replays pick the
+    same winner). Without ``order_col`` the stream must already be
+    unique per key (e.g. a groupBy aggregate in update mode); duplicate
+    keys would otherwise keep an arbitrary row.
     """
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
@@ -220,14 +243,26 @@ def foreach_batch_upsert(
         else:
             batch = batch_df.dropDuplicates(key_cols)
         batch = batch.localCheckpoint()
+        staging = f"{table}__staging"
+        if not spark.catalog.tableExists(table) and spark.catalog.tableExists(staging):
+            # crashed between drop and rename last run: the staging
+            # table IS the fully-merged snapshot — promote it first
+            spark.sql(f"ALTER TABLE {staging} RENAME TO {table}")
         if spark.catalog.tableExists(table):
             current = spark.table(table)
             keep = current.join(batch.select(*key_cols), key_cols, "left_anti")
-            # materialize before overwriting the table being read
-            merged = keep.unionByName(batch).localCheckpoint()
+            merged = keep.unionByName(batch)
         else:
             merged = batch
-        merged.write.mode("overwrite").saveAsTable(table)
+        # stage-then-swap: the live table is replaced only AFTER the
+        # merged snapshot is fully durable, so no crash point leaves
+        # less data than before the batch (a crash between drop and
+        # rename is healed by the promote-staging check above on the
+        # checkpoint replay)
+        merged.write.mode("overwrite").saveAsTable(staging)
+        if spark.catalog.tableExists(table):
+            spark.sql(f"DROP TABLE {table}")
+        spark.sql(f"ALTER TABLE {staging} RENAME TO {table}")
         # invalidate cached file listings so readers (and the next
         # micro-batch's own read of `current`) see the new snapshot
         spark.catalog.refreshTable(table)

@@ -39,3 +39,52 @@ def test_bucketed_join_has_no_exchange(spark):
         assert "Exchange" in plan_plain
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64MB")
+
+
+def test_ivf_members_bucketed_probe_join(spark):
+    """The IVF scale layout (operators/similarity.py): members written
+    bucketed by list_id -> (a) probing a subset of lists prunes
+    unprobed buckets at scan time, (b) the probe join runs with no
+    Exchange when both sides share the bucketing."""
+    from _multi_source_retail_data_integration_hub_spark.operators.similarity import (
+        ivf_centroid_matrix,
+        ivf_probes,
+        with_quantized,
+        write_members_bucketed,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cq = with_quantized(emb, "embedding", "vec_id")
+    cents = ivf_centroid_matrix(cq, "vec_id")
+    members = ivf_probes(cq, cents, 1, "vec_id").select("vec_id", "list_id", "nsq")
+    write_members_bucketed(members, "bkt_db.ivf_members", n_buckets=8)
+    tbl = spark.table("bkt_db.ivf_members")
+    assert tbl.count() == emb.count()
+
+    # (a) bucket pruning: a filter on probed list_ids selects a strict
+    # subset of the 8 buckets in the scan itself
+    two_lists = [r.list_id for r in tbl.select("list_id").distinct().limit(2).collect()]
+    # autoBucketedScan would fall back to a plain scan when no join
+    # needs the bucketing; force the bucketed scan so bucket pruning
+    # (the "touch only probed buckets" property) is visible
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try:
+        pruned = tbl.where(F.col("list_id").isin(two_lists))
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        assert "SelectedBucketsCount" in plan, plan[:2000]
+    finally:
+        spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
+
+    # (b) co-bucketed probe join: no Exchange on either side
+    probes = tbl.select(F.col("vec_id").alias("query_id"), "list_id").limit(50)
+    write_members_bucketed(
+        probes.select("query_id", "list_id"), "bkt_db.ivf_probes", n_buckets=8
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("bkt_db.ivf_probes").join(tbl, "list_id")
+        jplan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in jplan, jplan[:2000]
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64MB")

@@ -151,6 +151,38 @@ def test_grouped_map_gap_stats_matches_native_plan(spark):
         assert gm[uid].asDict() == native[uid].asDict()
 
 
+def test_cogroup_timelines_matches_native_plan(spark):
+    """cogroup().applyInPandas twin of q61 agrees with the registered
+    JVM-native window plan on real testdata, including the
+    strictly-before tie rule and distinct-error-instant hit counting."""
+    from pyspark.sql import functions as F
+
+    from _multi_source_retail_data_integration_hub_spark.plans.grouped_map import (
+        cogroup_timelines_grouped,
+        q61_cogroup_timelines,
+    )
+    from _multi_source_retail_data_integration_hub_spark.sources.testdata import (
+        load_table,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    native = {r["user_id"]: r.asDict() for r in q61_cogroup_timelines(spark, sf_dir).collect()}
+
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "user_id", F.unix_micros("ts").alias("ts_us")
+    )
+    errors = events.where(F.col("event_type") == "error").select(
+        "user_id", F.unix_micros("ts").alias("ts_us")
+    )
+    twin = {
+        r["user_id"]: r.asDict()
+        for r in cogroup_timelines_grouped(purchases, errors).collect()
+    }
+    assert native and set(native) == set(twin)
+    assert native == twin
+
+
 def test_age_group_out_of_bin_edges_match_pd_cut(spark):
     """pd.cut(bins=[0,25,...,100]) yields NaN for NULL, <=0, and >100 —
     not a boundary bucket."""

@@ -28,7 +28,9 @@ def test_jdbc_write_options_batchsize_and_overrides():
 
 def test_jdbc_bounds_query_shape():
     q = sinks.jdbc_bounds_query("staging_sales", "sale_id")
-    assert q == "(SELECT MIN(sale_id) lo, MAX(sale_id) hi FROM staging_sales) b"
+    assert q == '(SELECT MIN("sale_id") AS lo, MAX("sale_id") AS hi FROM staging_sales) AS b'
+    q_mysql = sinks.jdbc_bounds_query("staging_sales", "sale_id", quote="`")
+    assert q_mysql == "(SELECT MIN(`sale_id`) AS lo, MAX(`sale_id`) AS hi FROM staging_sales) AS b"
 
 
 def test_jdbc_read_options_partitioned():

@@ -56,6 +56,44 @@ def test_frame_sampling_one_to_many(media):
     assert offs == [0, 64, 128, 192]
 
 
-def test_resize_is_gated_stub(media):
-    with pytest.raises(NotImplementedError):
-        M.resize_images(media, 224, 224)
+def test_bmp_codec_roundtrip():
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(13, 17, 3), dtype=np.uint8)  # odd width -> row padding
+    payload = M.encode_bmp(img)
+    assert payload[:2] == b"BM"
+    back = M.decode_bmp(payload)
+    assert back.shape == img.shape
+    assert (back == img).all()
+
+
+def test_nn_resize_semantics():
+    import numpy as np
+
+    # 2x2 quadrant image upscaled 2x: each quadrant becomes a 2x2 block
+    img = np.array(
+        [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [255, 255, 0]]], dtype=np.uint8
+    )
+    up = M.nn_resize(img, 4, 4)
+    assert up.shape == (4, 4, 3)
+    assert (up[0, 0] == img[0, 0]).all() and (up[1, 1] == img[0, 0]).all()
+    assert (up[3, 3] == img[1, 1]).all()
+
+
+def test_resize_images_end_to_end(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    imgs = {i: rng.integers(0, 256, size=(8 * i, 6 * i, 3), dtype=np.uint8) for i in (1, 2, 3)}
+    rows = [(i, M.encode_bmp(img), ("bmp", 0)) for i, img in imgs.items()]
+    rows.append((9, None, ("bmp", 0)))  # NULL payload passes through
+    media = spark.createDataFrame(rows, M.RESIZED_SCHEMA)
+    out = {r.media_id: r for r in M.resize_images(media, 12, 10).collect()}
+    assert set(out) == {1, 2, 3, 9}
+    assert out[9].payload is None and out[9].meta.n_bytes == 0
+    for i in (1, 2, 3):
+        img = M.decode_bmp(bytes(out[i].payload))
+        assert img.shape == (10, 12, 3)
+        assert out[i].meta.n_bytes == len(bytes(out[i].payload))
+        assert (img == M.nn_resize(imgs[i], 12, 10)).all()
