@@ -54,6 +54,10 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("label").alias("nbr_label"))
         )
+        # the convergence flag rides along in the SAME round (labels
+        # only ever decrease, so changed == nbr_label < label) — the
+        # count below reads the checkpointed result instead of paying
+        # an extra old-vs-new join + shuffle per iteration
         new_labels = (
             labels.join(nbr_min, labels.node == nbr_min.a, "left")
             .select(
@@ -61,16 +65,14 @@ def connected_components(
                 F.least(
                     F.col("label"), F.coalesce("nbr_label", F.col("label"))
                 ).alias("label"),
+                (F.coalesce("nbr_label", F.col("label")) < F.col("label")).alias(
+                    "chg"
+                ),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.where("chg").count()
+        labels = new_labels.select("node", "label")
         if changed == 0:
             return labels.select("node", F.col("label").alias("cluster_id"))
     raise RuntimeError(

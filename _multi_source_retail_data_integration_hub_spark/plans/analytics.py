@@ -775,3 +775,112 @@ def q65_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), "l_orderkey")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# q66 — full pricing summary (TPC-H Q1 shape): the canonical "wide
+# aggregate over the biggest fact" — 8 measures over lineitem in ONE
+# hash-aggregate pass with map-side partial aggregation; output
+# cardinality is tiny (|returnflag| x |linestatus|). Decimal discipline:
+# every product is cast to a width that can never round (qty/price/
+# disc/tax are bounded), so both engines sum exact rationals and the
+# final doubles agree bit-for-bit.
+# ---------------------------------------------------------------------------
+@query(
+    "q66_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4)))
+                AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                              * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4))
+                         * (1 + CAST(l_tax AS DECIMAL(4,2))) AS DECIMAL(24,6)))
+                AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    GROUP BY 1, 2
+    """,
+)
+def q66_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast(DEC)
+    ep = F.col("l_extendedprice").cast(DEC)
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    tax = F.col("l_tax").cast("decimal(4,2)")
+    disc_price = (ep * (F.lit(1) - disc)).cast("decimal(18,4)")
+    charge = (disc_price * (F.lit(1) + tax)).cast("decimal(24,6)")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(qty).cast("double").alias("sum_qty"),
+        F.sum(ep).cast("double").alias("sum_base_price"),
+        F.sum(disc_price).cast("double").alias("sum_disc_price"),
+        F.sum(charge).cast("double").alias("sum_charge"),
+        (F.sum(qty).cast("double") / F.count("*")).alias("avg_qty"),
+        (F.sum(disc).cast("double") / F.count("*")).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q71 — fuzzy name matching with blocking: the classic entity-resolution
+# shape. Comparing every part name to every other is O(n^2); blocking on
+# (p_brand, p_size) bounds each comparison group, then exact Levenshtein
+# runs only within blocks and a per-block window keeps the single best
+# pair. At 100 TB this is the standard record-linkage plan: the blocking
+# key is the shuffle key, cost is sum(block^2), never corpus^2 — the
+# same Σ-bucket² argument as LSH candidate pairs. Levenshtein is exact
+# integer DP in both engines, so the oracle matches bit-for-bit.
+# ---------------------------------------------------------------------------
+@query(
+    "q71_fuzzy_part_match",
+    oracle="""
+    WITH pairs AS (
+      SELECT a.p_brand, a.p_size,
+             a.p_partkey AS id_a, b.p_partkey AS id_b,
+             levenshtein(a.p_name, b.p_name) AS name_dist
+      FROM part a JOIN part b
+        ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+       AND a.p_partkey < b.p_partkey
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY p_brand, p_size
+               ORDER BY name_dist, id_a, id_b
+             ) AS rn
+      FROM pairs
+    )
+    SELECT p_brand, p_size, id_a, id_b, name_dist
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q71_fuzzy_part_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size", "p_name"
+    )
+    a = p.select(
+        "p_brand", "p_size", F.col("p_partkey").alias("id_a"), F.col("p_name").alias("name_a")
+    )
+    b = p.select(
+        "p_brand", "p_size", F.col("p_partkey").alias("id_b"), F.col("p_name").alias("name_b")
+    )
+    pairs = (
+        a.join(b, ["p_brand", "p_size"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "p_brand",
+            "p_size",
+            "id_a",
+            "id_b",
+            F.levenshtein("name_a", "name_b").alias("name_dist"),
+        )
+    )
+    w = Window.partitionBy("p_brand", "p_size").orderBy("name_dist", "id_a", "id_b")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )

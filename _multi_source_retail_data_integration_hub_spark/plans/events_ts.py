@@ -352,3 +352,116 @@ def q63_median_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("value"), F.col("m")).cast("decimal(18,6)")
         ).cast("double").alias("total_after_impute"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q68 — calendar gap-fill + forward fill: the time-series densification
+# every feature pipeline needs (a user with no events on a day must
+# contribute yesterday's running value, not a hole). Plan: daily
+# aggregate -> per-user [min_day, max_day] spine via sequence() +
+# explode (JVM-side, no UDF) -> left join -> last(ignorenulls) over an
+# unbounded-preceding frame. One shuffle on user_id serves the spine
+# aggregate, the join, and the window. Spine rows = users x days —
+# linear in users, never events².
+# ---------------------------------------------------------------------------
+@query(
+    "q68_forward_fill",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, date_trunc('day', ts) AS day,
+             SUM(CAST(value AS DECIMAL(18,2))) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    spans AS (SELECT user_id, MIN(day) AS lo, MAX(day) AS hi FROM daily GROUP BY 1),
+    spine AS (
+      SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+      FROM spans
+    ),
+    j AS (
+      SELECT s.user_id, s.day, d.v
+      FROM spine s LEFT JOIN daily d USING (user_id, day)
+    )
+    SELECT user_id, day,
+           CAST(v IS NULL AS INT) AS is_filled,
+           CAST(LAST_VALUE(v IGNORE NULLS) OVER (
+                  PARTITION BY user_id ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                ) AS DOUBLE) AS filled_value
+    FROM j
+    """,
+)
+def q68_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.sum(F.col("value").cast(DEC)).alias("v"))
+    spine = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))
+            ).alias("day"),
+        )
+    )
+    j = spine.join(daily, ["user_id", "day"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "user_id",
+        "day",
+        F.col("v").isNull().cast("int").alias("is_filled"),
+        F.last("v", ignorenulls=True).over(w).cast("double").alias("filled_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q69 — native session_window in batch: the same 30-minute-gap
+# sessionization q30 builds by hand (lag -> break flag -> running sum),
+# expressed with Spark's built-in session_window — the operator the
+# STREAMING sessionization uses, here proven equivalent to the
+# declarative islands SQL. Session semantics: an event at exactly
+# prev_ts + gap starts a NEW session (windows are [start, last+gap)),
+# hence the >= in the oracle's break condition.
+# ---------------------------------------------------------------------------
+@query(
+    "q69_session_window_batch",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts, value,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM o
+    )
+    SELECT user_id, MIN(ts) AS session_start,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def q69_session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+            "session_value",
+        )
+    )

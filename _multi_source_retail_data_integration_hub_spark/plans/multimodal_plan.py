@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators import multimodal as M
-from ..sources.testdata import load_table
+from ..sources.testdata import fan_out, load_table
 from .registry import query
 
 
@@ -29,7 +29,7 @@ from .registry import query
     """,
 )
 def q32_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     media = M.attach_payloads(docs)
     return M.decode_image_features(media)
 
@@ -63,7 +63,7 @@ def q32_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q59_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     return M.extract_audio_features(M.attach_payloads(docs))
 
 
@@ -86,5 +86,5 @@ def q59_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q60_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     return M.sample_frames(M.attach_payloads(docs))

@@ -96,3 +96,28 @@ def q46_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_orders", "total_revenue",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q67 — arbitrary GROUPING SETS (the general form ROLLUP/CUBE are sugar
+# for): four hand-picked grains — (status, priority), (status),
+# (priority), () — computed in ONE pass/shuffle via the SQL interface
+# (spark.sql over a registered view; Spark expands the sets with a
+# single Expand + hash aggregate, the same physical shape as q38/q46).
+# ---------------------------------------------------------------------------
+_GROUPING_SETS_SQL = """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) AS INT) AS is_status_total,
+           CAST(GROUPING(o_orderpriority) AS INT) AS is_priority_total,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue
+    FROM {table}
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderstatus), (o_orderpriority), ())
+"""
+
+
+@query("q67_grouping_sets", oracle=_GROUPING_SETS_SQL.format(table="orders"))
+def q67_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs_v")
+    return spark.sql(_GROUPING_SETS_SQL.format(table="orders_gs_v"))

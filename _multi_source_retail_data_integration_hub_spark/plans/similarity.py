@@ -323,3 +323,49 @@ def q53_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _neardup_pairs(spark, sf_dir)
     comps = connected_components(pairs, src="id_a", dst="id_b")
     return comps.select(F.col("node").alias("vec_id"), "cluster_id")
+
+
+# ---------------------------------------------------------------------------
+# q73 — higher-order array functions over embeddings, fully JVM-side:
+# transform/aggregate/filter on ARRAY<FLOAT> compute per-vector stats
+# with NO Python in the plan (the quantize-to-int scheme keeps every
+# number exact, so the DuckDB list_* twins agree bit-for-bit). This is
+# the "vector column math without a UDF" baseline the brief calls for —
+# at 100 TB it whole-stage-codegens into the scan projection.
+# ---------------------------------------------------------------------------
+@query(
+    "q73_embedding_stats",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, {_QUANT_LIST} AS qe FROM embeddings)
+    SELECT vec_id, label,
+           CAST(len(qe) AS INT) AS dim,
+           CAST(list_dot_product(qe, qe) AS BIGINT) AS sq_norm_q,
+           CAST(list_aggregate(list_transform(qe, x -> abs(x)), 'sum') AS BIGINT)
+             AS l1_norm_q,
+           CAST(list_aggregate(qe, 'max') AS BIGINT) AS max_q,
+           CAST(list_aggregate(qe, 'min') AS BIGINT) AS min_q,
+           CAST(len(list_filter(qe, x -> x > 0)) AS BIGINT) AS n_positive
+    FROM e
+    """,
+)
+def q73_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qe = F.transform(
+        "embedding", lambda x: F.floor(x.cast("double") * 1000).cast("bigint")
+    )
+    zero = F.lit(0).cast("bigint")
+    stats = emb.select(
+        "vec_id",
+        "label",
+        qe.alias("qe"),
+    ).select(
+        "vec_id",
+        "label",
+        F.size("qe").cast("int").alias("dim"),
+        F.aggregate("qe", zero, lambda a, x: a + x * x).alias("sq_norm_q"),
+        F.aggregate("qe", zero, lambda a, x: a + F.abs(x)).alias("l1_norm_q"),
+        F.array_max("qe").cast("bigint").alias("max_q"),
+        F.array_min("qe").cast("bigint").alias("min_q"),
+        F.size(F.filter("qe", lambda x: x > 0)).cast("bigint").alias("n_positive"),
+    )
+    return stats

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import text as T
-from ..sources.testdata import load_table
+from ..sources.testdata import fan_out, load_table
 from .registry import query
 
 OFFSET = 100_000  # id offset for synthetic second-snapshot docs
@@ -37,7 +37,11 @@ _SHINGLES = (
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "documents")
+    # every consumer here does per-row CPU work (md5/shingles/tokens)
+    # that dwarfs one round-robin exchange of the text bytes — see
+    # fan_out's docstring for why the bench corpus needs the explicit
+    # split (single parquet row group = single task otherwise)
+    return fan_out(load_table(spark, sf_dir, "documents"))
 
 
 def _guard_offset(d: DataFrame) -> None:
@@ -425,7 +429,7 @@ def q25_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q47_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     toks = docs.select(
         "doc_id", F.explode(T.tokens(F.col("text"))).alias("term")
     )
@@ -513,4 +517,71 @@ def q56_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").alias("total_tokens"),
             F.sum("n_chars").alias("total_chars"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q70 — PII/number scrubbing: the redaction pass every training-data
+# pipeline runs before tokenization. Digit runs are replaced with a
+# sentinel and counted; the scrubbed text is fingerprinted so dedup can
+# run on the REDACTED form (two docs differing only in phone numbers
+# collapse). Pure JVM regex — one projection, no shuffle; both engines
+# use RE2-compatible '\d+' so replacement and counts agree exactly.
+# ---------------------------------------------------------------------------
+@query(
+    "q70_pii_scrub",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '\d+')) AS BIGINT) AS n_number_runs,
+           md5(regexp_replace(text, '\d+', '<NUM>', 'g')) AS scrubbed_fingerprint,
+           CAST(length(regexp_replace(text, '\d+', '<NUM>', 'g')) AS BIGINT)
+             AS scrubbed_len
+    FROM documents
+    """,
+)
+def q70_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scrubbed = F.regexp_replace(F.col("text"), r"\d+", "<NUM>")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(r"\d+")).cast("bigint").alias("n_number_runs"),
+        F.md5(scrubbed).alias("scrubbed_fingerprint"),
+        F.length(scrubbed).cast("bigint").alias("scrubbed_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q72 — deterministic per-stratum reservoir: exactly N docs per
+# language, chosen by md5(doc_id) order — an auditable "random" sample
+# any engine reproduces bit-for-bit (complements q45's rate-based
+# modulo sampling: fixed COUNT per stratum vs fixed RATE per stratum).
+# One window over the stratum key; at 100 TB the hash order is as good
+# as random and the shuffle carries only (stratum, doc_id, hash).
+# ---------------------------------------------------------------------------
+SAMPLE_PER_LANG = 3
+
+
+@query(
+    "q72_lang_reservoir",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT lang, doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS sample_rank
+      FROM documents
+    )
+    SELECT lang, sample_rank, doc_id
+    FROM ranked WHERE sample_rank <= {SAMPLE_PER_LANG}
+    """,
+)
+def q72_lang_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select("lang", "doc_id", F.row_number().over(w).alias("sample_rank"))
+        .where(F.col("sample_rank") <= SAMPLE_PER_LANG)
+        .select("lang", "sample_rank", "doc_id")
     )

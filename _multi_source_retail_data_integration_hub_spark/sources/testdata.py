@@ -107,6 +107,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Spread a small-file scan across all cores for CPU-dense
+    downstream operators (per-row hashing, shingling, vector math).
+
+    Tiny bench inputs arrive as ONE parquet row group -> one input
+    split -> one task, serializing per-row CPU work no matter how many
+    cores exist; a 100 TB corpus splits naturally (many files / row
+    groups) and never hits this. Applied at the QUERY layer, only where
+    per-row CPU dominates scan+exchange cost: the round-robin exchange
+    moves each row exactly once, and AQE does not coalesce an explicit
+    numPartitions, so the fan-out survives adaptive re-planning.
+    """
+    n = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n)
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TESTDATA_TABLES}
 
