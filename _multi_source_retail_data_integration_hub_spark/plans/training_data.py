@@ -585,3 +585,75 @@ def q72_lang_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("sample_rank") <= SAMPLE_PER_LANG)
         .select("lang", "sample_rank", "doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q74 — document chunking with overlap: the shard-prep step between
+# curation and tokenization (context-window-sized pieces, 20-token
+# overlap so no boundary sentence is lost). Pure JVM: one sequence()
+# explode per doc + array slices — rows out = total chunks, linear in
+# corpus tokens; no UDF, no shuffle before the explode. Chunk k covers
+# tokens [1+80k, 1+80k+99], so consecutive chunks share 20 tokens.
+# ---------------------------------------------------------------------------
+CHUNK_TOKENS = 100
+CHUNK_OVERLAP = 20
+_STEP = CHUNK_TOKENS - CHUNK_OVERLAP
+
+
+@query(
+    "q74_doc_chunking",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    c AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+    k AS (
+      SELECT doc_id, toks, n,
+             CASE WHEN n <= {CHUNK_TOKENS} THEN 1
+                  ELSE 1 + CAST(ceil((n - {CHUNK_TOKENS}) / {_STEP}.0) AS INT)
+             END AS n_chunks
+      FROM c
+    ),
+    e AS (SELECT doc_id, toks, n, unnest(range(0, n_chunks)) AS chunk_id FROM k)
+    SELECT doc_id,
+           CAST(chunk_id AS INT) AS chunk_id,
+           CAST(1 + chunk_id * {_STEP} AS INT) AS chunk_start,
+           CAST(len(list_slice(toks, 1 + chunk_id * {_STEP},
+                               LEAST(chunk_id * {_STEP} + {CHUNK_TOKENS}, n))) AS INT)
+             AS chunk_len,
+           md5(array_to_string(
+                 list_slice(toks, 1 + chunk_id * {_STEP},
+                            LEAST(chunk_id * {_STEP} + {CHUNK_TOKENS}, n)), ' '))
+             AS chunk_hash
+    FROM e
+    """,
+)
+def q74_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = T.tokens(F.col("text"))
+    base = (
+        _docs(spark, sf_dir)
+        .select("doc_id", toks.alias("toks"))
+        .withColumn("n", F.size("toks"))
+        .where(F.col("n") > 0)
+        .withColumn(
+            "n_chunks",
+            F.when(F.col("n") <= CHUNK_TOKENS, F.lit(1)).otherwise(
+                (
+                    1
+                    + F.ceil((F.col("n") - CHUNK_TOKENS) / F.lit(float(_STEP)))
+                ).cast("int")
+            ),
+        )
+    )
+    exploded = base.select(
+        "doc_id",
+        "toks",
+        "n",
+        F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias("chunk_id"),
+    )
+    chunk = F.slice("toks", F.col("chunk_id") * _STEP + 1, CHUNK_TOKENS)
+    return exploded.select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        (F.col("chunk_id") * _STEP + 1).cast("int").alias("chunk_start"),
+        F.size(chunk).cast("int").alias("chunk_len"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"),
+    )

@@ -171,6 +171,39 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def purchase_error_join(
+    events: DataFrame, window: str = "1 hour", watermark: str = "1 day"
+) -> DataFrame:
+    """Stream-stream interval join: each error joins the purchases of
+    the same user in the preceding ``window`` (the streaming form of
+    q61's attribution semantics — strictly-after, within the window).
+
+    Both sides carry watermarks and the join condition bounds err_ts
+    relative to p_ts, so Spark can expire join state: purchase state
+    is dropped once the error-side watermark passes p_ts + window —
+    bounded memory at any stream length, the requirement for a
+    stream-stream join to run at 100 TB/day. Append output mode (rows
+    emit once the watermark proves no more matches can arrive).
+    """
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", watermark)
+    )
+    errors = (
+        events.where(F.col("event_type") == "error")
+        .select(F.col("user_id").alias("e_user"), F.col("ts").alias("err_ts"))
+        .withWatermark("err_ts", watermark)
+    )
+    return purchases.join(
+        errors,
+        F.expr(
+            f"p_user = e_user AND err_ts > p_ts "
+            f"AND err_ts <= p_ts + INTERVAL {window}"
+        ),
+    ).select(F.col("p_user").alias("user_id"), "p_ts", "err_ts")
+
+
 def run_available_now(
     stream_df: DataFrame, table_name: str, output_mode: str = "complete", timeout: int = 300
 ) -> None:

@@ -138,3 +138,29 @@ def test_foreach_batch_upsert_matches_batch_agg(spark, events_stream, tmp_path):
     q2.awaitTermination(300)
     spark.catalog.refreshTable("t_upsert")
     assert _rows(spark.table("t_upsert"), cols) == _rows(want, cols)
+
+
+def test_stream_stream_interval_join_matches_batch(spark, events_stream):
+    """purchase_error_join (stream-stream interval join with state
+    expiry) emits exactly the pairs the equivalent batch join produces."""
+    out = jobs.purchase_error_join(events_stream)
+    jobs.run_available_now(out, "ss_join", output_mode="append")
+    got = _rows(spark.table("ss_join"), ["user_id", "p_ts", "err_ts"])
+
+    events = load_table(spark, SF_DIR, "events")
+    p = events.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    e = events.where(F.col("event_type") == "error").select(
+        F.col("user_id").alias("e_user"), F.col("ts").alias("err_ts")
+    )
+    batch = p.join(
+        e,
+        F.expr(
+            "p_user = e_user AND err_ts > p_ts "
+            "AND err_ts <= p_ts + INTERVAL 1 HOUR"
+        ),
+    ).select(F.col("p_user").alias("user_id"), "p_ts", "err_ts")
+    want = _rows(batch, ["user_id", "p_ts", "err_ts"])
+    assert got == want
+    assert len(got) > 0

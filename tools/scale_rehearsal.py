@@ -1,0 +1,157 @@
+"""Scale rehearsal: run the most expensive queries at a synthetic
+multiple of sf0.1 and check for superlinear growth.
+
+The driver ships no SF above 0.1, so this tool manufactures an
+approximately-Nx corpus from sf0.1 inside the repo scratch dir
+(.scale_tmp/, gitignored): big tables are unioned N times with key
+offsets and deterministic perturbation (texts get a per-copy suffix
+token, embeddings per-element noise, timestamps per-copy shifts) so
+dedup/LSH/bucket structures keep realistic distributions instead of
+degenerating into N-times-duplicated buckets (which would inflate
+join cost quadratically by construction, not by operator design).
+
+Usage:
+    python tools/scale_rehearsal.py [multiplier] [query ...]
+
+Prints a markdown table of sf0.1 vs scaled wall-times and the growth
+ratio per query (steady-state: best of 2 runs). Results land in
+SCALE.md by hand.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import __spark_entry__ as entrymod  # noqa: E402
+from pyspark.sql import DataFrame, functions as F  # noqa: E402
+
+from _multi_source_retail_data_integration_hub_spark.session import get_spark  # noqa: E402
+from _multi_source_retail_data_integration_hub_spark.sources.testdata import (  # noqa: E402
+    TESTDATA_TABLES,
+    load_table,
+)
+
+BASE_SF = "/root/testdata/sf0.1"
+SCRATCH = os.path.join(REPO, ".scale_tmp")
+
+DEFAULT_QUERIES = [
+    "q01_monthly_sales_trend",
+    "q22_ngram_jaccard",
+    "q23_minhash_signatures",
+    "q24_lsh_candidates",
+    "q25_simhash",
+    "q28_ann_lsh_topk",
+    "q37_cosine_neardup",
+    "q53_dup_clusters",
+    "q65_shipping_priority",
+    "q66_pricing_summary",
+]
+
+KEY_OFFSETS = {
+    "orders": ("o_orderkey", "o_custkey"),
+    "lineitem": ("l_orderkey",),
+    "events": ("event_id", "user_id"),
+    "documents": ("doc_id",),
+    "embeddings": ("vec_id",),
+}
+OFF = 10_000_000
+# documents must stay below the queries' synthetic-snapshot OFFSET
+# guard (100k, multiple of 5); 5k docs/copy x 9 copies tops out at 95k
+TABLE_OFF = {"documents": 10_000}
+
+
+def _copy_variant(df: DataFrame, table: str, k: int) -> DataFrame:
+    if k == 0:
+        return df
+    for col in KEY_OFFSETS.get(table, ()):
+        df = df.withColumn(col, F.col(col) + F.lit(k * TABLE_OFF.get(table, OFF)))
+    if table == "documents":
+        # distinct shingle/token universes per copy — near-dup structure
+        # stays sparse instead of every doc having N exact clones
+        df = df.withColumn("text", F.concat("text", F.lit(f" copytag{k}")))
+    if table == "embeddings":
+        df = df.withColumn(
+            "embedding",
+            F.transform(
+                "embedding",
+                lambda x, i: (
+                    x.cast("double")
+                    + ((F.pmod(F.col("vec_id") * 31 + i * 7 + F.lit(k * 13), 200) - 100)
+                       / 500.0)
+                ).cast("float"),
+            ),
+        )
+    if table == "events":
+        df = df.withColumn("ts", F.col("ts") + F.expr(f"INTERVAL {k} HOURS"))
+    if table == "orders":
+        df = df.withColumn("o_orderdate", F.col("o_orderdate") + F.expr(f"INTERVAL {k} HOURS"))
+    if table == "lineitem":
+        df = df.withColumn("l_shipdate", F.col("l_shipdate") + F.expr(f"INTERVAL {k} HOURS"))
+    return df
+
+
+def build_scaled(spark, mult: int) -> str:
+    out_dir = os.path.join(SCRATCH, f"sf0.1x{mult}")
+    marker = os.path.join(out_dir, "_DONE")
+    if os.path.exists(marker):
+        return out_dir
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+    for table in TESTDATA_TABLES:
+        src = load_table(spark, BASE_SF, table)
+        if table in KEY_OFFSETS:
+            parts = [_copy_variant(src, table, k) for k in range(mult)]
+            df = parts[0]
+            for p in parts[1:]:
+                df = df.unionByName(p)
+            # several row groups / files so scans split like production
+            df.repartition(32).write.mode("overwrite").parquet(
+                os.path.join(out_dir, f"{table}.parquet")
+            )
+        else:
+            src.write.mode("overwrite").parquet(os.path.join(out_dir, f"{table}.parquet"))
+    open(marker, "w").write("ok")
+    return out_dir
+
+
+def time_query(spark, fn, sf_dir: str, runs: int = 2) -> float:
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main() -> None:
+    args = sys.argv[1:]
+    mult = int(args[0]) if args else 8
+    names = args[1:] or DEFAULT_QUERIES
+    spark = get_spark("scale_rehearsal")
+    queries = entrymod.queries()
+    scaled_dir = build_scaled(spark, mult)
+
+    print(f"\n| query | sf0.1 (s) | sf0.1 x{mult} (s) | ratio | verdict |")
+    print("|---|---|---|---|---|")
+    for name in names:
+        fn = queries[name]
+        base = time_query(spark, fn, BASE_SF)
+        big = time_query(spark, fn, scaled_dir)
+        ratio = big / base if base > 0 else float("inf")
+        verdict = "OK (<= ~linear)" if ratio <= mult * 1.3 else "SUPERLINEAR"
+        # leading newline: Spark's progress bar leaves the cursor
+        # mid-line, which would glue the row onto a stage fragment
+        print(
+            f"\n| {name} | {base:.2f} | {big:.2f} | {ratio:.1f}x | {verdict} |",
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()
