@@ -884,3 +884,77 @@ def q71_fuzzy_part_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# q75 — EXISTS semi-join (TPC-H Q4 shape): orders with at least one
+# late-shipping lineitem, counted by priority. Catalyst plans the
+# EXISTS as a LeftSemi hash join — each order emits at most once no
+# matter how many lineitems match, so the join never multiplies rows
+# (the property that distinguishes semi from inner at 100 TB: the
+# build side dedups by key instead of exploding).
+# ---------------------------------------------------------------------------
+@query(
+    "q75_late_orders_semi",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_late_orders
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+    )
+    GROUP BY 1
+    """,
+)
+def q75_late_orders_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        lineitem,
+        (orders.o_orderkey == lineitem.l_orderkey)
+        & (lineitem.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("n_late_orders"))
+
+
+# ---------------------------------------------------------------------------
+# q76 — rank-distribution windows: percent_rank + cume_dist of customer
+# spend within nation (the window classes the suite hadn't exercised;
+# q54's ntile is the bucketed cousin). One shuffle on nation; ties get
+# identical ranks in both engines by definition of the functions, and
+# the DECIMAL spend makes the ordering key exact, so no tie ambiguity.
+# ---------------------------------------------------------------------------
+@query(
+    "q76_spend_percentiles",
+    oracle="""
+    WITH spend AS (
+      SELECT c.c_nationkey, c.c_custkey,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    )
+    SELECT c_nationkey, c_custkey, total_spend,
+           PERCENT_RANK() OVER (PARTITION BY c_nationkey ORDER BY total_spend)
+             AS spend_pct_rank,
+           CUME_DIST() OVER (PARTITION BY c_nationkey ORDER BY total_spend)
+             AS spend_cume_dist
+    FROM spend
+    """,
+)
+def q76_spend_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    spend = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey)
+        .groupBy("c_nationkey", "c_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("total_spend"))
+    )
+    w = Window.partitionBy("c_nationkey").orderBy("total_spend")
+    return spend.select(
+        "c_nationkey",
+        "c_custkey",
+        "total_spend",
+        F.percent_rank().over(w).alias("spend_pct_rank"),
+        F.cume_dist().over(w).alias("spend_cume_dist"),
+    )
