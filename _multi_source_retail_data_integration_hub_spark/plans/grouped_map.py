@@ -74,6 +74,27 @@ def q39_user_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def weighted_avg_grouped_agg(df: DataFrame, group_col: str, val_col: str, w_col: str) -> DataFrame:
+    """GROUPED_AGG pandas UDAF exercise: weight-averaged value per group.
+
+    The UDAF class (pandas Series in, scalar out, usable in groupBy.agg
+    and over windows) — kept as the API reference; production plans use
+    the JVM twin ``sum(v*w)/sum(w)`` (two codegen'd aggregates, partial
+    map-side combine), which tests/test_functions.py proves equal.
+    """
+    import pandas as pd  # noqa: PLC0415  (workers pickle this closure)
+    from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
+
+    @pandas_udf("double")
+    def wavg(v: pd.Series, w: pd.Series) -> float:
+        denom = w.sum()
+        return float((v * w).sum() / denom) if denom else float("nan")
+
+    return df.groupBy(group_col).agg(
+        wavg(F.col(val_col), F.col(w_col)).alias("weighted_avg")
+    )
+
+
 def user_gap_stats_grouped_map(events: DataFrame) -> DataFrame:
     """applyInPandas twin of q39 (grouped-map UDF exercise).
 

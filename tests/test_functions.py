@@ -219,3 +219,27 @@ def test_tokens_empty_text_yields_empty_array(spark):
     df = spark.createDataFrame([("",), ("   ",), ("a b",)], "text string")
     got = [r["n"] for r in df.select(F.size(tokens("text")).alias("n")).collect()]
     assert got == [0, 0, 2]
+
+
+def test_grouped_agg_udaf_matches_jvm_twin(spark):
+    """GROUPED_AGG pandas UDAF (weighted avg) equals the JVM-native
+    sum(v*w)/sum(w) plan bit-for-bit on exact-in-double inputs."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from _multi_source_retail_data_integration_hub_spark.plans.grouped_map import (
+        weighted_avg_grouped_agg,
+    )
+
+    rows = [(i % 5, float(i % 11), float(1 + i % 3)) for i in range(200)]
+    df = spark.createDataFrame(rows, "g int, v double, w double")
+    udaf = {r.g: r.weighted_avg for r in weighted_avg_grouped_agg(df, "g", "v", "w").collect()}
+    jvm = {
+        r.g: r.weighted_avg
+        for r in df.groupBy("g")
+        .agg((F.sum(F.col("v") * F.col("w")) / F.sum("w")).alias("weighted_avg"))
+        .collect()
+    }
+    assert set(udaf) == set(jvm)
+    for g in udaf:
+        assert udaf[g] == pytest.approx(jvm[g], rel=1e-12)

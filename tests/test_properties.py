@@ -296,3 +296,76 @@ def test_scd2_merge_matches_reference_state_machine(spark, snaps):
             assert (g_attr, g_start, g_current, g_version) == (
                 attr, start, current, vi,
             ), (k, got[k], versions)
+
+
+# ---------------------------------------------------------------------------
+# BMP codec: encode/decode is the identity on random images (all widths
+# exercise the 4-byte row padding), and nn_resize matches a naive
+# per-pixel Python implementation.
+# ---------------------------------------------------------------------------
+@given(
+    h=st.integers(min_value=1, max_value=12),
+    w=st.integers(min_value=1, max_value=12),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    out_h=st.integers(min_value=1, max_value=9),
+    out_w=st.integers(min_value=1, max_value=9),
+)
+@settings(**SETTINGS)
+def test_bmp_roundtrip_and_resize_properties(h, w, seed, out_h, out_w):
+    import numpy as np
+
+    from _multi_source_retail_data_integration_hub_spark.operators import (
+        multimodal as M,
+    )
+
+    img = np.random.default_rng(seed).integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    assert (M.decode_bmp(M.encode_bmp(img)) == img).all()
+
+    up = M.nn_resize(img, out_w, out_h)
+    assert up.shape == (out_h, out_w, 3)
+    for y in range(out_h):
+        for x in range(out_w):
+            sy = min(int((y + 0.5) * h / out_h), h - 1)
+            sx = min(int((x + 0.5) * w / out_w), w - 1)
+            assert (up[y, x] == img[sy, sx]).all()
+
+
+# ---------------------------------------------------------------------------
+# Chunking invariants on random token counts: chunks tile the document
+# with the declared stride, the last chunk reaches the final token, and
+# consecutive chunks overlap by exactly CHUNK_OVERLAP (when full-size).
+# ---------------------------------------------------------------------------
+@given(n_tokens=st.integers(min_value=1, max_value=400))
+@settings(**SETTINGS)
+def test_chunking_covers_document(spark, n_tokens):
+    from _multi_source_retail_data_integration_hub_spark.plans.training_data import (
+        CHUNK_OVERLAP,
+        CHUNK_TOKENS,
+        _STEP,
+    )
+
+    text = " ".join(f"t{i}" for i in range(n_tokens))
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    toks = T.tokens(F.col("text"))
+    base = docs.select("doc_id", toks.alias("toks")).withColumn("n", F.size("toks"))
+    n_chunks_col = F.when(F.col("n") <= CHUNK_TOKENS, F.lit(1)).otherwise(
+        (1 + F.ceil((F.col("n") - CHUNK_TOKENS) / F.lit(float(_STEP)))).cast("int")
+    )
+    rows = (
+        base.select(
+            F.explode(F.sequence(F.lit(0), n_chunks_col - 1)).alias("k"),
+            F.size(F.slice("toks", F.col("k") * _STEP + 1, CHUNK_TOKENS)).alias("len"),
+        )
+        .orderBy("k")
+        .collect()
+    )
+    starts = [r.k * _STEP + 1 for r in rows]
+    lens = [r.len for r in rows]
+    # last chunk reaches the final token, no chunk is empty
+    assert starts[-1] + lens[-1] - 1 == n_tokens
+    assert all(ln > 0 for ln in lens)
+    # consecutive full chunks overlap by exactly CHUNK_OVERLAP tokens
+    for i in range(len(starts) - 1):
+        assert starts[i + 1] - starts[i] == _STEP
+        if lens[i] == CHUNK_TOKENS:
+            assert starts[i] + CHUNK_TOKENS - starts[i + 1] == CHUNK_OVERLAP
