@@ -28,8 +28,6 @@ import warnings
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-HEX = "0123456789abcdef"
-
 # ---------------------------------------------------------------------------
 # Tokenization / shingling
 # ---------------------------------------------------------------------------
@@ -72,12 +70,6 @@ def normalized_text(text: Column) -> Column:
 def seeded_md5(col: Column, seed: int) -> Column:
     """One member of the md5 hash family: md5('<seed>:' || value)."""
     return F.md5(F.concat(F.lit(f"{seed}:"), col))
-
-
-def _locate(ch: Column) -> Column:
-    """Value 0..15 of one hex digit: conv(ch, 16, 10) == DuckDB
-    strpos('0123456789abcdef', ch) - 1."""
-    return F.conv(ch, 16, 10).cast("int")
 
 
 # ---------------------------------------------------------------------------

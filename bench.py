@@ -75,15 +75,25 @@ def main() -> None:
     # janino compiles, AQE machinery), so heavy-query timings reflect
     # steady-state plan cost. Registration order (priority-first for the
     # driver's correctness window) is independent of bench order.
+    # SPARK_GRAFT_BENCH_RUNS > 1 reports best-of-N (steady state) for
+    # local tuning; the driver's convention stays the default single
+    # cold-ish run, comparable with prior rounds.
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "1")))
     for name, fn in sorted(queries.items()):
-        t0 = time.perf_counter()
-        try:
-            df = fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-        except Exception as exc:  # noqa: BLE001
-            failures[name] = f"{type(exc).__name__}: {exc}"[:200]
-            continue
-        per_query[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            try:
+                df = fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+            except Exception as exc:  # noqa: BLE001
+                failures[name] = f"{type(exc).__name__}: {exc}"[:200]
+                best = None
+                break
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        if best is not None:
+            per_query[name] = round(best, 3)
 
     total = round(sum(per_query.values()), 3)
     out = {
