@@ -657,3 +657,89 @@ def q74_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(chunk).cast("int").alias("chunk_len"),
         F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-shard writer: the end-to-end sink of the curation pipeline.
+# Not a registered query (it is a WRITE, like operators/maintenance) —
+# tests/test_training_ops.py drives it and asserts the shard contract.
+# ---------------------------------------------------------------------------
+def write_training_shards(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    rows_per_shard: int = 2_000,
+) -> dict:
+    """Curate -> scrub -> chunk -> dedup -> write size-targeted shards.
+
+    The full LLM-data pipeline as one lazy plan ending in a parquet
+    sink: exact dedup picks canonical docs, low-quality docs drop,
+    digit runs are scrubbed, survivors chunk into context-window pieces
+    (q74's shape), chunk-level exact dedup drops repeated boilerplate
+    pieces, and the result lands as ``ceil(n/rows_per_shard)`` shard
+    files of near-equal size (round-robin repartition — shard count is
+    data-derived, the cluster-scale equivalent of "4k rows/file" shard
+    manifests). Returns {"n_chunks", "n_shards", "out_dir"}.
+
+    Scale notes: every stage is a hash-agg/equi-join/explode — the only
+    all-rows shuffle is the final repartition that balances shard
+    sizes, which any shard writer must pay.
+    """
+    docs = _docs(spark, sf_dir)
+    canon = T.exact_dup_clusters(docs, "text", "doc_id").select(
+        F.col("canonical_id").alias("doc_id")
+    )
+    quality = T.quality_score(docs, "text", "doc_id").where(
+        F.col("quality_band") != "low"
+    ).select("doc_id")
+    kept = (
+        docs.join(canon, "doc_id")
+        .join(quality, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            F.regexp_replace(F.col("text"), r"\d+", "<NUM>").alias("text"),
+        )
+    )
+
+    toks = T.tokens(F.col("text"))
+    base = (
+        kept.select("doc_id", "lang", toks.alias("toks"))
+        .withColumn("n", F.size("toks"))
+        .where(F.col("n") > 0)
+        .withColumn(
+            "n_chunks",
+            F.when(F.col("n") <= CHUNK_TOKENS, F.lit(1)).otherwise(
+                (1 + F.ceil((F.col("n") - CHUNK_TOKENS) / F.lit(float(_STEP)))).cast("int")
+            ),
+        )
+    )
+    chunk = F.slice("toks", F.col("chunk_id") * _STEP + 1, CHUNK_TOKENS)
+    chunks = (
+        base.select(
+            "doc_id",
+            "lang",
+            "toks",
+            F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias("chunk_id"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.col("chunk_id").cast("int").alias("chunk_id"),
+            F.concat_ws(" ", chunk).alias("chunk_text"),
+        )
+        # chunk-level exact dedup (repeated boilerplate pieces): keep the
+        # lexicographically-first (doc_id, chunk_id) owner per text
+        .withColumn("chunk_hash", F.md5("chunk_text"))
+    )
+    w = Window.partitionBy("chunk_hash").orderBy("doc_id", "chunk_id")
+    deduped = (
+        chunks.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+    n_chunks = deduped.count()
+    n_shards = max(1, -(-n_chunks // rows_per_shard))
+    deduped.repartition(n_shards).write.mode("overwrite").parquet(out_dir)
+    return {"n_chunks": n_chunks, "n_shards": n_shards, "out_dir": out_dir}

@@ -164,3 +164,33 @@ def test_lsh_topk_subset_of_exact(vecs):
     ann_ids = {r.neighbor_id for r in ann.collect()}
     exact_ids = {r.neighbor_id for r in exact.collect()}
     assert ann_ids <= exact_ids
+
+
+def test_write_training_shards_contract(spark, tmp_path):
+    """End-to-end curation sink: shard count tracks rows_per_shard, no
+    shard is empty or grossly oversized, chunk hashes are unique, and
+    every chunk text is scrubbed of digit runs."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from _multi_source_retail_data_integration_hub_spark.plans.training_data import (
+        write_training_shards,
+    )
+
+    out = str(tmp_path / "shards")
+    info = write_training_shards(spark, "/root/testdata/sf0.01", out, rows_per_shard=100)
+    assert info["n_chunks"] > 0
+    assert info["n_shards"] == -(-info["n_chunks"] // 100)
+
+    back = spark.read.parquet(out)
+    assert back.count() == info["n_chunks"]
+    # chunk-level dedup held
+    assert back.select("chunk_hash").distinct().count() == info["n_chunks"]
+    # scrubbed: no digit runs survive in any chunk
+    assert back.where(F.col("chunk_text").rlike(r"\d")).count() == 0
+    # shard files are balanced: round-robin gives near-equal rows
+    files = glob.glob(out + "/part-*.parquet")
+    assert len(files) == info["n_shards"]
+    sizes = [spark.read.parquet(f).count() for f in files]
+    assert min(sizes) > 0 and max(sizes) - min(sizes) <= 1
