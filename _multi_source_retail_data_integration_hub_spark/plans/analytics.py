@@ -832,7 +832,11 @@ def q66_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 # runs only within blocks and a per-block window keeps the single best
 # pair. At 100 TB this is the standard record-linkage plan: the blocking
 # key is the shuffle key, cost is sum(block^2), never corpus^2 — the
-# same Σ-bucket² argument as LSH candidate pairs. Levenshtein is exact
+# same Σ-bucket² argument as LSH candidate pairs, with the same knob:
+# fixed-cardinality keys mean blocks grow with the corpus, so a growing
+# catalog widens the key (add a name-prefix component) exactly as LSH
+# raises n_planes. The best-pair rank filter plans as WindowGroupLimit
+# (partial top-1 per partition before the shuffle). Levenshtein is exact
 # integer DP in both engines, so the oracle matches bit-for-bit.
 # ---------------------------------------------------------------------------
 @query(
@@ -924,6 +928,12 @@ def q75_late_orders_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q54's ntile is the bucketed cousin). One shuffle on nation; ties get
 # identical ranks in both engines by definition of the functions, and
 # the DECIMAL spend makes the ordering key exact, so no tie ambiguity.
+# Scale note: full rank distributions need the whole partition ordered
+# (one task per nation) — that is inherent to the semantics, and the
+# window input here is the POST-aggregate spend table (one row per
+# customer), orders of magnitude smaller than the fact. Corpora whose
+# per-stratum row counts overwhelm a task use approx percentiles (q49)
+# or ntile buckets (q54) instead.
 # ---------------------------------------------------------------------------
 @query(
     "q76_spend_percentiles",

@@ -555,7 +555,10 @@ def q70_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 # any engine reproduces bit-for-bit (complements q45's rate-based
 # modulo sampling: fixed COUNT per stratum vs fixed RATE per stratum).
 # One window over the stratum key; at 100 TB the hash order is as good
-# as random and the shuffle carries only (stratum, doc_id, hash).
+# as random and the shuffle carries only (stratum, doc_id, hash) —
+# AND the rank<=N filter plans as WindowGroupLimit (plan-verified):
+# each input partition keeps a local top-N before the shuffle, so a
+# 5-language corpus never funnels whole strata through single tasks.
 # ---------------------------------------------------------------------------
 SAMPLE_PER_LANG = 3
 
