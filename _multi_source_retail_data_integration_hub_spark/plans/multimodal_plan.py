@@ -10,6 +10,7 @@ recompute the same features from ``ascii(substr(text, ...))``.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators import multimodal as M
 from ..sources.testdata import fan_out, load_table
@@ -88,3 +89,103 @@ def q59_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q60_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(load_table(spark, sf_dir, "documents"))
     return M.sample_frames(M.attach_payloads(docs))
+
+
+# ---------------------------------------------------------------------------
+# q78 — REAL image codec end-to-end: synthesize an 8x6 RGB BMP per
+# document from its utf-8 bytes (deterministic), resize to 32x24 with
+# the pure-numpy nearest-neighbor path, decode the result, and report
+# dimensions + payload size. The whole encode->resize->decode loop runs
+# through operators/multimodal.py's Arrow-batched stages — no stubs —
+# and the oracle replays the output analytically: resized dims are the
+# target constants and a 24-bit 32x24 BMP is exactly 54 + 24*96 = 2358
+# bytes (96 % 4 == 0, no row padding), while mean_red checks actual
+# pixel CONTENT survived the round trip (nearest-neighbor at integer
+# upscale factors replicates pixels, so the mean over the 4x-replicated
+# grid equals the source mean; the source mean is recomputable in SQL
+# from the same utf-8 bytes the Spark side encoded).
+# ---------------------------------------------------------------------------
+_SRC_H, _SRC_W = 6, 8  # source 8x6; 8*6*3 = 144 bytes per image
+_OUT_W, _OUT_H = 32, 24  # integer 4x upscale in both axes
+_OUT_BYTES = 54 + _OUT_H * _OUT_W * 3  # 96-byte rows, 4-byte aligned
+
+
+@query(
+    "q78_image_resize",
+    oracle=f"""
+    WITH px AS (
+      SELECT doc_id, text, unnest(range(0, {_SRC_H * _SRC_W})) AS i
+      FROM documents WHERE length(text) > 0
+    ),
+    reds AS (
+      -- red channel of pixel i comes from byte 3*i of the repeated text
+      -- (documents are ASCII-only, so char indexing == byte indexing)
+      SELECT doc_id,
+             ascii(substr(repeat(text, CAST(ceil({_SRC_H * _SRC_W * 3.0}
+                                              / length(text)) AS INT)),
+                          CAST(3 * i + 1 AS INT), 1)) AS red
+      FROM px
+    )
+    SELECT doc_id AS media_id,
+           CAST({_OUT_W} AS INT) AS width,
+           CAST({_OUT_H} AS INT) AS height,
+           CAST({_OUT_BYTES} AS INT) AS n_bytes,
+           AVG(red) AS mean_red
+    FROM reds
+    GROUP BY 1
+    """,
+)
+def q78_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    docs = fan_out(load_table(spark, sf_dir, "documents")).where(
+        F.length("text") > 0
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            payloads = []
+            for text in pdf["text"]:
+                raw = text.encode("utf-8")
+                need = _SRC_H * _SRC_W * 3
+                reps = -(-need // len(raw))
+                buf = (raw * reps)[:need]
+                img = np.frombuffer(buf, dtype=np.uint8).reshape(_SRC_H, _SRC_W, 3)
+                payloads.append(M.encode_bmp(img))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].astype("int64"),
+                    "payload": payloads,
+                    "meta": [{"format": "bmp", "n_bytes": len(p)} for p in payloads],
+                }
+            )
+
+    media = docs.mapInPandas(encode, M.RESIZED_SCHEMA)
+    resized = M.resize_images(media, _OUT_W, _OUT_H)
+
+    def stats(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                img = M.decode_bmp(bytes(payload))
+                rows.append(
+                    (
+                        int(mid),
+                        img.shape[1],
+                        img.shape[0],
+                        len(bytes(payload)),
+                        float(np.mean(img[:, :, 0].astype(np.float64))),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "width", "height", "n_bytes", "mean_red"]
+            )
+
+    return resized.mapInPandas(
+        stats, "media_id long, width int, height int, n_bytes int, mean_red double"
+    )
