@@ -377,15 +377,23 @@ def lsh_bucket(qe: Column, planes: list[list[int]]) -> Column:
     def _bucket_impl(col: pd.Series) -> pd.Series:
         if len(col) == 0:
             return pd.Series([], dtype="int64")
-        Q = np.stack(col.to_numpy()).astype(np.int64, copy=False)
-        if Q.shape[1] > P.shape[1]:
-            raise ValueError(
-                f"lsh_bucket: embedding dim {Q.shape[1]} exceeds the "
-                f"{P.shape[1]}-dim hyperplane constants; pass "
-                f"planes=hyperplane_weights(dim=<embedding dim>)"
-            )
-        dots = Q @ P[:, : Q.shape[1]].T  # exact int64, (batch, n_planes)
-        return pd.Series(((dots >= 0).astype(np.int64) * weights).sum(axis=1))
+        out = pd.array([None] * len(col), dtype="Int64")  # NULL in -> NULL bucket
+        vals = col.to_numpy()
+        lens = np.array([-1 if v is None else len(v) for v in vals])
+        # one matmul per distinct dim: mixed-width batches (and NULLs)
+        # must not crash np.stack — the old Column form handled both
+        for d in np.unique(lens[lens >= 0]):
+            if d > P.shape[1]:
+                raise ValueError(
+                    f"lsh_bucket: embedding dim {d} exceeds the "
+                    f"{P.shape[1]}-dim hyperplane constants; pass "
+                    f"planes=hyperplane_weights(dim=<embedding dim>)"
+                )
+            idx = np.nonzero(lens == d)[0]
+            Q = np.stack(vals[idx]).astype(np.int64, copy=False)
+            dots = Q @ P[:, :d].T  # exact int64, (batch, n_planes)
+            out[idx] = ((dots >= 0).astype(np.int64) * weights).sum(axis=1)
+        return pd.Series(out)
 
     return pandas_udf(_bucket_impl, "bigint")(qe)
 

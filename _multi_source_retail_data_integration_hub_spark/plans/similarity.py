@@ -350,9 +350,8 @@ def q53_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q73_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    qe = F.transform(
-        "embedding", lambda x: F.floor(x.cast("double") * 1000).cast("bigint")
-    )
+    # ONE definition of the quantization convention (operators.similarity)
+    qe = S.quantized(F.col("embedding"))
     zero = F.lit(0).cast("bigint")
     stats = emb.select(
         "vec_id",

@@ -603,6 +603,41 @@ CHUNK_OVERLAP = 20
 _STEP = CHUNK_TOKENS - CHUNK_OVERLAP
 
 
+def chunk_tokens(df: DataFrame, carry: list[str]) -> DataFrame:
+    """Shared chunking core (q74 + the shard writer — ONE definition of
+    the boundary math, so the oracle-checked query and the production
+    sink can never disagree on chunk edges): tokenize ``text``, drop
+    empty docs, explode chunk ids, and return ``carry`` + chunk_id +
+    chunk_toks (the chunk's token array)."""
+    toks = T.tokens(F.col("text"))
+    base = (
+        df.select(*carry, toks.alias("_toks"))
+        .withColumn("_n", F.size("_toks"))
+        .where(F.col("_n") > 0)
+        .withColumn(
+            "_n_chunks",
+            F.when(F.col("_n") <= CHUNK_TOKENS, F.lit(1)).otherwise(
+                (
+                    1
+                    + F.ceil((F.col("_n") - CHUNK_TOKENS) / F.lit(float(_STEP)))
+                ).cast("int")
+            ),
+        )
+    )
+    return base.select(
+        *carry,
+        "_toks",
+        F.explode(F.sequence(F.lit(0), F.col("_n_chunks") - 1)).alias("chunk_id"),
+    ).select(
+        *carry,
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.slice("_toks", F.col("chunk_id") * _STEP + 1, CHUNK_TOKENS).alias(
+            "chunk_toks"
+        ),
+    )
+
+
+
 @query(
     "q74_doc_chunking",
     oracle=f"""
@@ -630,35 +665,13 @@ _STEP = CHUNK_TOKENS - CHUNK_OVERLAP
     """,
 )
 def q74_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
-    toks = T.tokens(F.col("text"))
-    base = (
-        _docs(spark, sf_dir)
-        .select("doc_id", toks.alias("toks"))
-        .withColumn("n", F.size("toks"))
-        .where(F.col("n") > 0)
-        .withColumn(
-            "n_chunks",
-            F.when(F.col("n") <= CHUNK_TOKENS, F.lit(1)).otherwise(
-                (
-                    1
-                    + F.ceil((F.col("n") - CHUNK_TOKENS) / F.lit(float(_STEP)))
-                ).cast("int")
-            ),
-        )
-    )
-    exploded = base.select(
+    ch = chunk_tokens(_docs(spark, sf_dir), ["doc_id"])
+    return ch.select(
         "doc_id",
-        "toks",
-        "n",
-        F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias("chunk_id"),
-    )
-    chunk = F.slice("toks", F.col("chunk_id") * _STEP + 1, CHUNK_TOKENS)
-    return exploded.select(
-        "doc_id",
-        F.col("chunk_id").cast("int").alias("chunk_id"),
+        "chunk_id",
         (F.col("chunk_id") * _STEP + 1).cast("int").alias("chunk_start"),
-        F.size(chunk).cast("int").alias("chunk_len"),
-        F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"),
+        F.size("chunk_toks").cast("int").alias("chunk_len"),
+        F.md5(F.concat_ws(" ", "chunk_toks")).alias("chunk_hash"),
     )
 
 
@@ -705,41 +718,26 @@ def write_training_shards(
         )
     )
 
-    toks = T.tokens(F.col("text"))
-    base = (
-        kept.select("doc_id", "lang", toks.alias("toks"))
-        .withColumn("n", F.size("toks"))
-        .where(F.col("n") > 0)
-        .withColumn(
-            "n_chunks",
-            F.when(F.col("n") <= CHUNK_TOKENS, F.lit(1)).otherwise(
-                (1 + F.ceil((F.col("n") - CHUNK_TOKENS) / F.lit(float(_STEP)))).cast("int")
-            ),
-        )
-    )
-    chunk = F.slice("toks", F.col("chunk_id") * _STEP + 1, CHUNK_TOKENS)
     chunks = (
-        base.select(
-            "doc_id",
-            "lang",
-            "toks",
-            F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias("chunk_id"),
-        )
+        chunk_tokens(kept, ["doc_id", "lang"])
         .select(
             "doc_id",
             "lang",
-            F.col("chunk_id").cast("int").alias("chunk_id"),
-            F.concat_ws(" ", chunk).alias("chunk_text"),
+            "chunk_id",
+            F.concat_ws(" ", "chunk_toks").alias("chunk_text"),
         )
         # chunk-level exact dedup (repeated boilerplate pieces): keep the
         # lexicographically-first (doc_id, chunk_id) owner per text
         .withColumn("chunk_hash", F.md5("chunk_text"))
     )
     w = Window.partitionBy("chunk_hash").orderBy("doc_id", "chunk_id")
+    # materialize ONCE: both the count and the shard write read the
+    # checkpointed result instead of re-running the whole curation plan
     deduped = (
         chunks.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
         .drop("_rn")
+        .localCheckpoint()
     )
 
     n_chunks = deduped.count()

@@ -168,6 +168,13 @@ def jdbc_write(
     ).mode(mode).save()
 
 
+def _dialect_quote(url: str) -> str:
+    """Identifier quote for the probe query, by JDBC URL scheme.
+    MySQL/MariaDB use backticks (unless ANSI_QUOTES); everything else
+    here (Derby, Postgres, Oracle, MSSQL-with-quoted-ids) is ANSI."""
+    return "`" if url.startswith(("jdbc:mysql:", "jdbc:mariadb:")) else '"'
+
+
 def jdbc_read(
     spark: SparkSession,
     url: str,
@@ -175,19 +182,25 @@ def jdbc_read(
     partition_column: str | None = None,
     num_partitions: int = 8,
     options: dict[str, str] | None = None,
+    quote: str | None = None,
 ) -> DataFrame:
     """S8: RDBMS staging scan (etl/mysql_staging.py:189-200).
 
     With ``partition_column`` the scan first probes MIN/MAX bounds with
     a one-row query, then issues ``num_partitions`` range queries in
-    parallel instead of one giant SELECT *.
+    parallel instead of one giant SELECT *. The probe quotes the
+    column with the URL's dialect quote (override with ``quote``).
     """
     lo = hi = None
     if partition_column:
         # the probe needs the SAME connection options as the real read
         # (credentials, driver class, ...) or it fails before the read
         probe_opts = jdbc_read_options(
-            url, jdbc_bounds_query(table, partition_column), options=options
+            url,
+            jdbc_bounds_query(
+                table, partition_column, quote or _dialect_quote(url)
+            ),
+            options=options,
         )
         bounds = spark.read.format("jdbc").options(**probe_opts).load().first()
         # positional: case-folding databases may return LO/HI

@@ -43,9 +43,17 @@ EVENTS_NANOS_SCHEMA = StructType(
 
 def events_parquet_ts_unit(path: str) -> str:
     """Physical ts unit of an events parquet ('ns' or 'us'), from the
-    file footer (pyarrow; no Spark job)."""
+    file footer (pyarrow; no Spark job). ``path`` may be a single file
+    or a Spark-written directory of part files."""
+    import glob
+
     import pyarrow.parquet as pq
 
+    if os.path.isdir(path):
+        parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if not parts:
+            raise FileNotFoundError(f"no parquet part files under {path}")
+        path = parts[0]
     field = pq.read_schema(path).field("ts")
     return "ns" if getattr(field.type, "unit", "us") == "ns" else "us"
 

@@ -249,7 +249,12 @@ def foreach_batch_upsert(
     ``MERGE INTO`` against Delta/Iceberg. The checkpoint makes
     redelivery safe: a re-run batch re-executes the same merge — which
     is only idempotent if the merge itself is deterministic, so
-    within-batch duplicates need a defined winner: pass ``order_col``
+    within-batch duplicates need a defined winner. Visibility caveat:
+    the drop+rename swap leaves a sub-second window per micro-batch in
+    which the live table name is unregistered — concurrent readers on
+    the same catalog must retry TABLE_OR_VIEW_NOT_FOUND (data is never
+    lost; with Delta/Iceberg the MERGE is atomic and the window
+    disappears). Pass ``order_col``
     to keep the row with the greatest value of that column per key
     (last write wins; ties break on a content hash so replays pick the
     same winner). Without ``order_col`` the stream must already be

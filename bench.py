@@ -44,7 +44,6 @@ def main() -> None:
     # first-use cost per subsystem getting misattributed to whichever
     # query touches it first — with the heavy text/ANN queries now
     # registered first, a scan-only warmup left them paying all of it.
-    import pandas as _pd  # noqa: PLC0415
     from pyspark.sql import functions as F  # noqa: PLC0415
 
     li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).limit(20_000)

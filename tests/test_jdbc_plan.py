@@ -51,3 +51,10 @@ def test_jdbc_read_options_unpartitioned_has_no_split_keys():
 def test_jdbc_read_options_partition_without_bounds_raises():
     with pytest.raises(ValueError, match="bounds"):
         sinks.jdbc_read_options(URL, "t", "sale_id")
+
+
+def test_dialect_quote_by_url():
+    assert sinks._dialect_quote("jdbc:mysql://h:3306/db") == "`"
+    assert sinks._dialect_quote("jdbc:mariadb://h/db") == "`"
+    assert sinks._dialect_quote("jdbc:derby:/tmp/db") == '"'
+    assert sinks._dialect_quote("jdbc:postgresql://h/db") == '"'

@@ -87,3 +87,41 @@ def test_ivf_stride_caps_centroid_count():
     # test-scale behavior unchanged: small corpora keep the fixed stride
     assert S.ivf_stride(500) == S.C_STRIDE
     assert S.ivf_stride(S.C_STRIDE * S.MAX_NLIST) == S.C_STRIDE
+
+
+def test_lsh_bucket_null_and_overwide_embeddings(spark):
+    """NULL embeddings get NULL buckets (not a task crash); embeddings
+    wider than the hyperplane constants raise with the dim in the
+    message; mixed dims in one batch are handled per-dim."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from _multi_source_retail_data_integration_hub_spark.operators import (
+        similarity as S,
+    )
+
+    rows = [
+        (1, [0.5] * 64),
+        (2, None),
+        (3, [0.25] * 16),  # narrower than the planes: leading-dim projection
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: r.bucket for r in S.lsh_buckets(
+        df.where(F.col("embedding").isNotNull()), "embedding", "vec_id"
+    ).collect()}
+    assert set(out) == {1, 3} and all(v is not None for v in out.values())
+
+    # NULL payloads reach the UDF when quantization runs without the
+    # not-null filter: bucket must be NULL, not a crash
+    q = df.select("vec_id", S.quantized(F.col("embedding")).alias("qe"))
+    withnull = q.select(
+        "vec_id", S.lsh_bucket(F.col("qe"), S.hyperplane_weights()).alias("bucket")
+    )
+    got = {r.vec_id: r.bucket for r in withnull.collect()}
+    assert got[2] is None and got[1] is not None
+
+    wide = spark.createDataFrame(
+        [(9, [0.5] * 80)], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(Exception, match="exceeds the 64-dim hyperplane"):
+        S.lsh_buckets(wide, "embedding", "vec_id").collect()
