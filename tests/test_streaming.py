@@ -164,3 +164,37 @@ def test_stream_stream_interval_join_matches_batch(spark, events_stream):
     want = _rows(batch, ["user_id", "p_ts", "err_ts"])
     assert got == want
     assert len(got) > 0
+
+
+def test_foreach_batch_upsert_promotes_orphaned_staging(spark, events_stream, tmp_path):
+    """Crash-window recovery: if a prior run died between DROP and
+    RENAME, the live table is missing and the fully-merged staging
+    table exists — the next merge must promote staging FIRST so prior
+    keys survive the replay."""
+    import shutil
+
+    for t in ("t_recover", "t_recover__staging"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+
+    # simulate the crash artifact: staging holds a key the stream never
+    # produces (user_id = -999), live table absent
+    spark.createDataFrame(
+        [(-999, 7, 1.5)], "user_id long, n_events long, total_value double"
+    ).write.saveAsTable("t_recover__staging")
+
+    agg = events_stream.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+    )
+    q = jobs.foreach_batch_upsert(agg, "t_recover", ["user_id"], str(tmp_path / "cp"))
+    q.awaitTermination(300)
+    spark.catalog.refreshTable("t_recover")
+
+    out = spark.table("t_recover")
+    # the orphaned staging row was promoted and survived the merge
+    assert out.where(F.col("user_id") == -999).count() == 1
+    assert not spark.catalog.tableExists("t_recover__staging")
+    # and the streamed keys are all present too
+    n_users = load_table(spark, SF_DIR, "events").select("user_id").distinct().count()
+    assert out.where(F.col("user_id") != -999).count() == n_users
