@@ -465,3 +465,47 @@ def q69_session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "session_value",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q79 — weekly retention cohorts: users grouped by first-activity week,
+# retention = distinct users active k weeks later. The canonical
+# product-analytics matrix, computed in two aggregates + one join:
+# first-week per user (min over a pre-aggregated user-week table), then
+# (cohort_week, week_offset) -> distinct users. The user-week table is
+# built ONCE and reused for both sides; all shuffles key on user_id or
+# the (cohort, offset) pair — no row explosion anywhere.
+# ---------------------------------------------------------------------------
+@query(
+    "q79_retention_cohorts",
+    oracle="""
+    WITH user_weeks AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS week
+      FROM events
+    ),
+    firsts AS (
+      SELECT user_id, MIN(week) AS cohort_week FROM user_weeks GROUP BY 1
+    )
+    SELECT f.cohort_week,
+           CAST(date_diff('day', f.cohort_week, w.week) / 7 AS INT) AS week_offset,
+           COUNT(DISTINCT w.user_id) AS n_active_users
+    FROM user_weeks w JOIN firsts f USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def q79_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    user_weeks = events.select(
+        "user_id", F.date_trunc("week", "ts").alias("week")
+    ).distinct()
+    firsts = user_weeks.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        user_weeks.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (F.datediff("week", "cohort_week") / 7).cast("int").alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").alias("n_active_users"))
+    )
