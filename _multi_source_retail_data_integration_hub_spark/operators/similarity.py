@@ -374,24 +374,38 @@ def lsh_bucket(qe: Column, planes: list[list[int]]) -> Column:
     P = np.array(planes, dtype=np.int64)
     weights = 1 << np.arange(P.shape[0], dtype=np.int64)
 
+    def _dim_check(d: int) -> None:
+        if d > P.shape[1]:
+            raise ValueError(
+                f"lsh_bucket: embedding dim {d} exceeds the "
+                f"{P.shape[1]}-dim hyperplane constants; pass "
+                f"planes=hyperplane_weights(dim=<embedding dim>)"
+            )
+
     def _bucket_impl(col: pd.Series) -> pd.Series:
         if len(col) == 0:
             return pd.Series([], dtype="int64")
-        out = pd.array([None] * len(col), dtype="Int64")  # NULL in -> NULL bucket
         vals = col.to_numpy()
-        lens = np.array([-1 if v is None else len(v) for v in vals])
-        # one matmul per distinct dim: mixed-width batches (and NULLs)
-        # must not crash np.stack — the old Column form handled both
+        lens = np.fromiter(
+            (-1 if v is None else len(v) for v in vals), np.int64, len(vals)
+        )
+        lmin, lmax = lens.min(), lens.max()
+        if lmin == lmax and lmin >= 0:
+            # fast path — the dominant case (uniform dims, no NULLs):
+            # one stack + one matmul, plain int64 out, no fancy indexing
+            _dim_check(int(lmin))
+            Q = np.stack(vals).astype(np.int64, copy=False)
+            dots = Q @ P[:, : Q.shape[1]].T  # exact int64
+            return pd.Series(((dots >= 0).astype(np.int64) * weights).sum(axis=1))
+        # slow path: NULLs -> NULL bucket, one matmul per distinct dim —
+        # mixed-width batches (and NULLs) must not crash np.stack (the
+        # old Column form handled both)
+        out = pd.array([None] * len(col), dtype="Int64")
         for d in np.unique(lens[lens >= 0]):
-            if d > P.shape[1]:
-                raise ValueError(
-                    f"lsh_bucket: embedding dim {d} exceeds the "
-                    f"{P.shape[1]}-dim hyperplane constants; pass "
-                    f"planes=hyperplane_weights(dim=<embedding dim>)"
-                )
+            _dim_check(int(d))
             idx = np.nonzero(lens == d)[0]
             Q = np.stack(vals[idx]).astype(np.int64, copy=False)
-            dots = Q @ P[:, :d].T  # exact int64, (batch, n_planes)
+            dots = Q @ P[:, : int(d)].T
             out[idx] = ((dots >= 0).astype(np.int64) * weights).sum(axis=1)
         return pd.Series(out)
 

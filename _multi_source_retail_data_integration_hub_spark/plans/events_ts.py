@@ -470,11 +470,11 @@ def q69_session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # q79 — weekly retention cohorts: users grouped by first-activity week,
 # retention = distinct users active k weeks later. The canonical
-# product-analytics matrix, computed in two aggregates + one join:
-# first-week per user (min over a pre-aggregated user-week table), then
-# (cohort_week, week_offset) -> distinct users. The user-week table is
-# built ONCE and reused for both sides; all shuffles key on user_id or
-# the (cohort, offset) pair — no row explosion anywhere.
+# product-analytics matrix. cohort_week is a min-over-window on the
+# distinct user-week table — ONE shuffle on user_id serves both the
+# window and the table it annotates (a groupBy+self-join would
+# exchange the user-week table twice); the only other shuffle is the
+# final (cohort, offset) aggregate. No row explosion anywhere.
 # ---------------------------------------------------------------------------
 @query(
     "q79_retention_cohorts",
@@ -498,9 +498,9 @@ def q79_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     user_weeks = events.select(
         "user_id", F.date_trunc("week", "ts").alias("week")
     ).distinct()
-    firsts = user_weeks.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    w = Window.partitionBy("user_id")
     return (
-        user_weeks.join(firsts, "user_id")
+        user_weeks.withColumn("cohort_week", F.min("week").over(w))
         .select(
             "user_id",
             "cohort_week",

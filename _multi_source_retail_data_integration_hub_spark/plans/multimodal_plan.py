@@ -114,8 +114,11 @@ _OUT_BYTES = 54 + _OUT_H * _OUT_W * 3  # 96-byte rows, 4-byte aligned
     "q78_image_resize",
     oracle=f"""
     WITH px AS (
+      -- the byte-for-char contract is ASSERTED, not assumed: non-ASCII
+      -- docs are excluded identically on both sides
       SELECT doc_id, text, unnest(range(0, {_SRC_H * _SRC_W})) AS i
-      FROM documents WHERE length(text) > 0
+      FROM documents
+      WHERE length(text) > 0 AND octet_length(encode(text)) = length(text)
     ),
     reds AS (
       -- red channel of pixel i comes from byte 3*i of the repeated text
@@ -139,8 +142,10 @@ def q78_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
+    # char-indexing (oracle) == byte-indexing (encode) only holds for
+    # ASCII text — enforce the contract instead of assuming it
     docs = fan_out(load_table(spark, sf_dir, "documents")).where(
-        F.length("text") > 0
+        (F.length("text") > 0) & (F.octet_length("text") == F.length("text"))
     )
 
     def encode(batches):
