@@ -744,3 +744,129 @@ def write_training_shards(
     n_shards = max(1, -(-n_chunks // rows_per_shard))
     deduped.repartition(n_shards).write.mode("overwrite").parquet(out_dir)
     return {"n_chunks": n_chunks, "n_shards": n_shards, "out_dir": out_dir}
+
+
+# ---------------------------------------------------------------------------
+# q80 — MinHash estimate AUDIT: for every LSH candidate pair, the
+# signature-agreement estimate (matching minhashes / 16) side-by-side
+# with the EXACT Jaccard of the pair's distinct shingle sets, plus the
+# absolute error. This closes the dedup-stack loop — q23 computes
+# signatures, q24 proposes candidates, q80 proves what the signatures
+# are worth — in the same exact-anchored style as the sketch contracts
+# (q35/q49). Exact Jaccard is computed ONLY for candidate pairs (the
+# documented candidate-verify pattern), never all-pairs: the shingle
+# self-join is constrained to candidate ids, so cost is bounded by the
+# LSH output, not the corpus.
+# ---------------------------------------------------------------------------
+def _q80_sql() -> str:
+    per_band = "\n      UNION\n".join(
+        f"""      SELECT a.id AS id_a, b.id AS id_b
+      FROM sigb a JOIN sigb b ON a.band{b} = b.band{b} AND a.id < b.id"""
+        for b in range(4)
+    )
+    est_terms = " + ".join(
+        f"(CASE WHEN a.mh{s:02d} = b.mh{s:02d} THEN 1 ELSE 0 END)" for s in range(16)
+    )
+    return f"""
+    WITH corpus AS ({_MUTATED_SQL}),
+    sh AS (SELECT DISTINCT id, unnest({_SHINGLES}) AS shingle FROM corpus),
+    hx AS ({_CW_HALVES}),
+    sig0 AS (
+      SELECT id,
+             {_cw_mins()}
+      FROM hx GROUP BY id
+    ),
+    sigb AS (
+      SELECT id,
+           {_band_exprs()}
+      FROM sig0
+    ),
+    cands AS (
+{per_band}
+    ),
+    est AS (
+      SELECT c.id_a, c.id_b, ({est_terms}) / 16.0 AS est_jaccard
+      FROM cands c JOIN sig0 a ON a.id = c.id_a JOIN sig0 b ON b.id = c.id_b
+    ),
+    sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS ni
+      FROM cands c
+      JOIN sh sa ON sa.id = c.id_a
+      JOIN sh sb ON sb.id = c.id_b AND sb.shingle = sa.shingle
+      GROUP BY 1, 2
+    )
+    SELECT e.id_a, e.id_b, e.est_jaccard,
+           CAST(COALESCE(i.ni, 0) AS DOUBLE)
+             / (na.n + nb.n - COALESCE(i.ni, 0)) AS exact_jaccard,
+           ABS(e.est_jaccard
+               - CAST(COALESCE(i.ni, 0) AS DOUBLE)
+                 / (na.n + nb.n - COALESCE(i.ni, 0))) AS abs_err
+    FROM est e
+    LEFT JOIN inter i ON i.id_a = e.id_a AND i.id_b = e.id_b
+    JOIN sizes na ON na.id = e.id_a
+    JOIN sizes nb ON nb.id = e.id_b
+    """
+
+
+@query("q80_minhash_accuracy", oracle=_q80_sql())
+def q80_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _mutated(spark, sf_dir)
+    # signatures materialized once (same treatment as q24) — they feed
+    # the candidate join AND both estimate sides
+    sig = T.minhash_signatures(corpus, "text", "id").localCheckpoint()
+    pairs = T.lsh_candidate_pairs(sig, "id")
+
+    a = sig.select(
+        F.col("id").alias("id_a"), *[F.col(f"mh{s:02d}").alias(f"_a{s}") for s in range(16)]
+    )
+    b = sig.select(
+        F.col("id").alias("id_b"), *[F.col(f"mh{s:02d}").alias(f"_b{s}") for s in range(16)]
+    )
+    agree = sum(
+        F.when(F.col(f"_a{s}") == F.col(f"_b{s}"), 1).otherwise(0) for s in range(16)
+    )
+    est = (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", (agree / 16.0).alias("est_jaccard"))
+    )
+
+    # exact verify constrained to candidate ids only (semi-join AFTER
+    # the explode: shingling all docs is map-parallel and cheap, while
+    # filtering first would serialize behind the full LSH candidate
+    # computation — measured 2x slower at sf0.1)
+    cand_ids = (
+        pairs.select(F.col("id_a").alias("id"))
+        .unionByName(pairs.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    sh = corpus.select(
+        "id",
+        F.explode(F.array_distinct(T.shingles(T.tokens(F.col("text"))))).alias("shingle"),
+    )
+    sh_c = sh.join(cand_ids, "id").localCheckpoint()
+    sizes = sh_c.groupBy("id").agg(F.count("*").alias("n"))
+    inter = (
+        sh_c.select(F.col("id").alias("id_a"), "shingle")
+        .join(sh_c.select(F.col("id").alias("id_b"), "shingle"), "shingle")
+        .join(pairs, ["id_a", "id_b"])  # candidates only
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("ni"))
+    )
+    exact = (
+        F.coalesce(F.col("ni"), F.lit(0)).cast("double")
+        / (F.col("na") + F.col("nb") - F.coalesce(F.col("ni"), F.lit(0)))
+    )
+    return (
+        est.join(inter, ["id_a", "id_b"], "left")
+        .join(sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "est_jaccard",
+            exact.alias("exact_jaccard"),
+            F.abs(F.col("est_jaccard") - exact).alias("abs_err"),
+        )
+    )
