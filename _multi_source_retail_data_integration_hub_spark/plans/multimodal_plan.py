@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from ..operators import multimodal as M
 from ..sources.testdata import fan_out, load_table
+from .registry import query
 
 # Python-stage pipelines (mapInPandas) amortize Arrow round trips best
 # on FEWER, larger partitions: 8-way fan-out measured ~2.5x faster than
@@ -21,7 +22,6 @@ from ..sources.testdata import fan_out, load_table
 # (per-partition worker overhead dominates tiny batches). At production
 # scale the scan's natural splits set the parallelism instead.
 _PY_FAN = 8
-from .registry import query
 
 
 @query(

@@ -314,20 +314,37 @@ _CW_HALVES = """
 """
 
 
-def _minhash_sql() -> str:
-    cols = ", ".join(f"mh{s:02d}" for s in range(16))
-    return f"""
-    WITH corpus AS ({_MUTATED_SQL}),
+def _sig_ctes() -> str:
+    """Shared oracle prefix: corpus -> distinct shingles -> md5 halves
+    -> minhash signature table sig0. ONE definition for the q23/q24/q80
+    oracles so the hash construction can never drift between them."""
+    return f"""corpus AS ({_MUTATED_SQL}),
     sh AS (SELECT DISTINCT id, unnest({_SHINGLES}) AS shingle FROM corpus),
     hx AS ({_CW_HALVES}),
-    sig AS (
+    sig0 AS (
       SELECT id,
              {_cw_mins()}
       FROM hx GROUP BY id
+    )"""
+
+
+def _per_band_union(table: str) -> str:
+    """Candidate pairs: docs sharing any of the 4 band hashes (shared
+    by the q24 and q80 oracles)."""
+    return "\n      UNION\n".join(
+        f"""      SELECT a.id AS id_a, b.id AS id_b
+      FROM {table} a JOIN {table} b ON a.band{b} = b.band{b} AND a.id < b.id"""
+        for b in range(4)
     )
+
+
+def _minhash_sql() -> str:
+    cols = ", ".join(f"mh{s:02d}" for s in range(16))
+    return f"""
+    WITH {_sig_ctes()}
     SELECT id, {cols},
            {_band_exprs()}
-    FROM sig
+    FROM sig0
     """
 
 
@@ -340,26 +357,14 @@ def q23_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q24 — LSH candidate pairs (docs sharing >= 1 of 4 minhash bands)
 # ---------------------------------------------------------------------------
 def _lsh_sql() -> str:
-    per_band = "\n      UNION\n".join(
-        f"""      SELECT a.id AS id_a, b.id AS id_b
-      FROM sig a JOIN sig b ON a.band{b} = b.band{b} AND a.id < b.id"""
-        for b in range(4)
-    )
     return f"""
-    WITH corpus AS ({_MUTATED_SQL}),
-    sh AS (SELECT DISTINCT id, unnest({_SHINGLES}) AS shingle FROM corpus),
-    hx AS ({_CW_HALVES}),
-    sig0 AS (
-      SELECT id,
-             {_cw_mins()}
-      FROM hx GROUP BY id
-    ),
-    sig AS (
+    WITH {_sig_ctes()},
+    sigb AS (
       SELECT id,
            {_band_exprs()}
       FROM sig0
     )
-{per_band}
+{_per_band_union("sigb")}
     """
 
 
@@ -759,30 +764,18 @@ def write_training_shards(
 # LSH output, not the corpus.
 # ---------------------------------------------------------------------------
 def _q80_sql() -> str:
-    per_band = "\n      UNION\n".join(
-        f"""      SELECT a.id AS id_a, b.id AS id_b
-      FROM sigb a JOIN sigb b ON a.band{b} = b.band{b} AND a.id < b.id"""
-        for b in range(4)
-    )
     est_terms = " + ".join(
         f"(CASE WHEN a.mh{s:02d} = b.mh{s:02d} THEN 1 ELSE 0 END)" for s in range(16)
     )
     return f"""
-    WITH corpus AS ({_MUTATED_SQL}),
-    sh AS (SELECT DISTINCT id, unnest({_SHINGLES}) AS shingle FROM corpus),
-    hx AS ({_CW_HALVES}),
-    sig0 AS (
-      SELECT id,
-             {_cw_mins()}
-      FROM hx GROUP BY id
-    ),
+    WITH {_sig_ctes()},
     sigb AS (
       SELECT id,
            {_band_exprs()}
       FROM sig0
     ),
     cands AS (
-{per_band}
+{_per_band_union("sigb")}
     ),
     est AS (
       SELECT c.id_a, c.id_b, ({est_terms}) / 16.0 AS est_jaccard
@@ -815,7 +808,9 @@ def q80_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     # signatures materialized once (same treatment as q24) — they feed
     # the candidate join AND both estimate sides
     sig = T.minhash_signatures(corpus, "text", "id").localCheckpoint()
-    pairs = T.lsh_candidate_pairs(sig, "id")
+    # pairs feeds THREE consumers (estimate join, candidate-id union,
+    # intersection filter) — materialize once like sig
+    pairs = T.lsh_candidate_pairs(sig, "id").localCheckpoint()
 
     a = sig.select(
         F.col("id").alias("id_a"), *[F.col(f"mh{s:02d}").alias(f"_a{s}") for s in range(16)]
@@ -847,10 +842,15 @@ def q80_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sh_c = sh.join(cand_ids, "id").localCheckpoint()
     sizes = sh_c.groupBy("id").agg(F.count("*").alias("n"))
+    # pairs-first (the oracle's own shape): each candidate pair pulls
+    # doc-a's shingles then equi-joins doc-b on (id_b, shingle) — cost
+    # is Σ_pairs |A|, bounded by the LSH output. A shingle-only
+    # self-join would instead generate ALL co-shingling candidate-doc
+    # pairs (Σ_shingle m², the exact blowup ngram_jaccard_pairs warns
+    # about) before the pair filter could prune.
     inter = (
-        sh_c.select(F.col("id").alias("id_a"), "shingle")
-        .join(sh_c.select(F.col("id").alias("id_b"), "shingle"), "shingle")
-        .join(pairs, ["id_a", "id_b"])  # candidates only
+        pairs.join(sh_c.select(F.col("id").alias("id_a"), "shingle"), "id_a")
+        .join(sh_c.select(F.col("id").alias("id_b"), "shingle"), ["id_b", "shingle"])
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("ni"))
     )
