@@ -43,29 +43,46 @@ from _multi_source_retail_data_integration_hub_spark.plans import (  # noqa: E40
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 # The driver's CORRECTNESS file records the first 50 registered queries per
-# round.  Rounds 1-2 driver-verified q01-q16, q26-q36, q38-q40, q43-q46,
-# q48-q52, q54-q55, q57-q65; this priority list leads with the queries that
-# have NOT yet had a driver-green row (q17-q25, q37, q41-q42, q47, q53,
-# q56 — judge-verified only in r2) plus every query new in round 3, then
-# backfills with already-covered ones.  All 65+ stay locally green via
-# ``tools/check_oracle.py``.
+# round, and the driver regenerates /root/testdata between rounds.  Round 3
+# spent its window on the never-driver-verified set (q17-q25, q37, q41-q42,
+# q47, q53, q56, q66-q80 — all green in CORRECTNESS_r03.json on the current
+# data generation).  This round the window rotates to the 30 queries whose
+# driver rows are from the r1/r2 testdata generations, so every query ends
+# up with a driver-green row on a current generation.  Queries new this
+# round register right after, then the r3-covered set backfills.  All 80+
+# stay locally green via ``tools/check_oracle.py``.
 _PRIORITY = [
-    # r2 judge-verified only -> need driver rows this round
-    "q17_exact_dedup",
-    "q18_token_stats",
-    "q19_quality_score",
-    "q20_lang_id_confusion",
-    "q21_fingerprint_dedup",
-    "q22_ngram_jaccard",
-    "q23_minhash_signatures",
-    "q24_lsh_candidates",
-    "q25_simhash",
-    "q37_cosine_neardup",
-    "q41_ivf_assign",
-    "q42_ann_ivf_topk",
-    "q47_top_terms",
-    "q53_dup_clusters",
-    "q56_corpus_pipeline",
+    # driver rows from r1/r2 testdata generations -> refresh this round
+    "q14_quantiles",
+    "q15_name_union",
+    "q16_pareto",
+    "q26_cosine_topk",
+    "q27_lsh_buckets",
+    "q28_ann_lsh_topk",
+    "q29_tumbling_daily",
+    "q30_sessionization",
+    "q31_sliding_weekly",
+    "q32_multimodal_features",
+    "q33_json_extract",
+    "q34_salted_agg",
+    "q35_approx_distinct",
+    "q36_asof_join",
+    "q38_rollup",
+    "q39_user_gap_stats",
+    "q40_moving_avg",
+    "q43_multiselect_kpis",
+    "q44_interval_join",
+    "q45_stratified_sample",
+    "q46_cube",
+    "q48_funnel",
+    "q49_approx_median",
+    "q50_unpivot",
+    "q51_recent_event_seq",
+    "q59_audio_features",
+    "q60_frame_samples",
+    "q61_cogroup_timelines",
+    "q62_cdc_apply",
+    "q63_median_impute",
 ]
 
 
@@ -73,14 +90,12 @@ def _ordered(mapping: dict) -> dict:
     head = [k for k in _PRIORITY if k in mapping]
     # new-this-round queries (no driver row in any prior CORRECTNESS file)
     # register after the priority block but before the backfill
-    covered_r1_r2 = {
-        *(f"q{i:02d}" for i in list(range(1, 17)) + list(range(26, 37))
-          + [38, 39, 40, 43, 44, 45, 46, 48, 49, 50, 51, 52, 54, 55]
-          + list(range(57, 66))),
+    covered_prior = {
+        *(f"q{i:02d}" for i in range(1, 81)),
     }
 
     def _is_covered(name: str) -> bool:
-        return name.split("_", 1)[0] in covered_r1_r2
+        return name.split("_", 1)[0] in covered_prior
 
     new = [k for k in mapping if k not in head and not _is_covered(k)]
     tail = [k for k in mapping if k not in head and _is_covered(k)]
