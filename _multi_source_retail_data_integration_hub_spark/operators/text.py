@@ -158,16 +158,9 @@ def minhash_signatures(
     return sig.select(F.col(id_col), *[F.col(f"mh{s:02d}") for s in range(num_hashes)], *band_cols)
 
 
-def lsh_candidate_pairs(sig: DataFrame, id_col: str, n_bands: int = 4) -> DataFrame:
-    """Candidate near-dup pairs: docs sharing any LSH band bucket.
-
-    Bands are melted to (band_id, bucket) rows so ONE self-equi-join on
-    (band_id, bucket) covers all bands — the signature pipeline feeding
-    ``sig`` is evaluated twice (join sides), not 2x per band. Never
-    compares all pairs — cost is Σ bucket_size², which LSH keeps small
-    for non-pathological corpora.
-    """
-    melted = sig.select(
+def _melt_bands(sig: DataFrame, id_col: str, n_bands: int) -> DataFrame:
+    """(id, band_id, bucket) rows — one per (doc, band)."""
+    return sig.select(
         F.col(id_col),
         F.explode(
             F.array(
@@ -178,6 +171,64 @@ def lsh_candidate_pairs(sig: DataFrame, id_col: str, n_bands: int = 4) -> DataFr
             )
         ).alias("bb"),
     ).select(id_col, F.col("bb.band_id").alias("band_id"), F.col("bb.bucket").alias("bucket"))
+
+
+def lsh_hot_buckets(
+    sig: DataFrame, id_col: str, n_bands: int = 4, max_bucket_size: int = 1000
+) -> DataFrame:
+    """Audit twin of the cap in ``lsh_candidate_pairs``: the
+    (band_id, bucket, bucket_size) rows that the cap drops.
+
+    Run this alongside a capped dedup pass to report HOW MUCH was
+    skipped (a dropped-bucket metric for pipeline logs/alerts); at
+    100 TB web scale a handful of giant boilerplate buckets is normal,
+    millions is a signal the shingling/banding parameters are wrong.
+    """
+    return (
+        _melt_bands(sig, id_col, n_bands)
+        .groupBy("band_id", "bucket")
+        .agg(F.count("*").alias("bucket_size"))
+        .where(F.col("bucket_size") > max_bucket_size)
+    )
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame,
+    id_col: str,
+    n_bands: int = 4,
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing any LSH band bucket.
+
+    Bands are melted to (band_id, bucket) rows so ONE self-equi-join on
+    (band_id, bucket) covers all bands — the signature pipeline feeding
+    ``sig`` is evaluated per consumer (callers localCheckpoint it), not
+    2x per band. Never compares all pairs — cost is Σ bucket_size².
+
+    Hot-bucket guard: real 100 TB web corpora are pathological — millions
+    of empty/boilerplate documents share identical band hashes, turning
+    one bucket into an m² join key and a straggler task that never
+    finishes. Buckets larger than ``max_bucket_size`` are therefore
+    DROPPED from the join (same shape as ``ngram_jaccard_pairs``'s
+    stop-shingle DF cap: aggregate per-key counts, semi-join the
+    survivors). Recall impact is limited by construction: a bucket that
+    big is overwhelmingly exact duplicates, which the cheaper
+    ``exact_dup_clusters`` pass catches first in the curation pipeline;
+    near-dup pairs split across several band buckets still surface via
+    their other bands. Audit what was dropped with ``lsh_hot_buckets``
+    (same cap => exactly the skipped buckets). ``max_bucket_size=None``
+    disables the guard (bench-scale audits where output must be the
+    uncapped universe).
+    """
+    melted = _melt_bands(sig, id_col, n_bands)
+    if max_bucket_size is not None:
+        ok = (
+            melted.groupBy("band_id", "bucket")
+            .agg(F.count("*").alias("bucket_size"))
+            .where(F.col("bucket_size") <= max_bucket_size)
+            .select("band_id", "bucket")
+        )
+        melted = melted.join(ok, ["band_id", "bucket"])
     a = melted.select(F.col(id_col).alias("id_a"), "band_id", "bucket")
     b = melted.select(F.col(id_col).alias("id_b"), "band_id", "bucket")
     return (

@@ -73,6 +73,40 @@ def test_lsh_candidates_contain_exact_dup_pair(docs):
     assert (1, 2) in pairs
 
 
+def test_lsh_hot_bucket_cap_bounds_degenerate_corpus(spark):
+    # 10k identical docs: one (band, bucket) key of size 10k per band.
+    # Uncapped that is 4 * 10k^2 ≈ 4e8 join rows — a straggler task that
+    # never finishes at real scale. The cap must drop those buckets and
+    # return quickly with zero pairs (exact dedup catches identical docs
+    # far earlier in the curation pipeline).
+    n = 10_000
+    corpus = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the quick brown fox jumps over the lazy dog").alias("text"),
+    )
+    sig = T.minhash_signatures(corpus, "text", "doc_id").localCheckpoint()
+    assert T.lsh_candidate_pairs(sig, "doc_id", max_bucket_size=100).count() == 0
+    hot = T.lsh_hot_buckets(sig, "doc_id", max_bucket_size=100).collect()
+    assert len(hot) == 4  # one hot bucket per band
+    assert all(r.bucket_size == n for r in hot)
+
+
+def test_lsh_cap_keeps_small_bucket_pairs(docs):
+    # spam flood in its own bucket must not affect pairs from small buckets
+    spam = docs.sparkSession.range(500).select(
+        (F.col("id") + 100).alias("doc_id"),
+        F.lit("buy now limited offer click here today").alias("text"),
+    )
+    corpus = docs.where(F.col("doc_id") <= 4).union(spam)
+    sig = T.minhash_signatures(corpus, "text", "doc_id").localCheckpoint()
+    pairs = {(r.id_a, r.id_b) for r in T.lsh_candidate_pairs(sig, "doc_id", max_bucket_size=100).collect()}
+    assert (1, 2) in pairs  # exact-dup pair from a size-2 bucket survives
+    assert not any(a >= 100 and b >= 100 for a, b in pairs)  # spam pairs dropped
+    # uncapped mode still returns the full universe
+    uncapped = T.lsh_candidate_pairs(sig, "doc_id", max_bucket_size=None)
+    assert uncapped.where((F.col("id_a") >= 100) & (F.col("id_b") >= 100)).count() > 0
+
+
 def test_ngram_jaccard_values(docs):
     pairs = {
         (r.id_a, r.id_b): r
