@@ -24,12 +24,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .checkpointing import materialize
+
 
 def connected_components(
     pairs: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(node, cluster_id) for every node appearing in ``pairs``.
 
@@ -37,16 +40,24 @@ def connected_components(
     no edges don't appear (callers union singletons back if they need
     total coverage). Raises if the propagation hasn't converged after
     ``max_iter`` rounds (diameter > max_iter — raise the budget).
+
+    ``checkpoint_dir``: unset, per-round materialization uses
+    ``localCheckpoint`` (fast; an executor loss kills the job, which
+    then restarts from the pair list — acceptable for audit queries).
+    For production dedup over a 100 TB corpus pass a reliable FS path:
+    each round's labels are then checkpointed durably, so an executor
+    loss mid-propagation re-reads the last round instead of restarting
+    the whole fixpoint. See ``operators.checkpointing``.
     """
     e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    sym = sym.distinct().localCheckpoint()
+    sym = materialize(sym.distinct(), checkpoint_dir)
 
-    labels = (
+    labels = materialize(
         sym.select(F.col("a").alias("node"))
         .distinct()
-        .withColumn("label", F.col("node"))
-        .localCheckpoint()
+        .withColumn("label", F.col("node")),
+        checkpoint_dir,
     )
     for _ in range(max_iter):
         nbr_min = (
@@ -58,7 +69,7 @@ def connected_components(
         # only ever decrease, so changed == nbr_label < label) — the
         # count below reads the checkpointed result instead of paying
         # an extra old-vs-new join + shuffle per iteration
-        new_labels = (
+        new_labels = materialize(
             labels.join(nbr_min, labels.node == nbr_min.a, "left")
             .select(
                 "node",
@@ -68,8 +79,8 @@ def connected_components(
                 (F.coalesce("nbr_label", F.col("label")) < F.col("label")).alias(
                     "chg"
                 ),
-            )
-            .localCheckpoint()
+            ),
+            checkpoint_dir,
         )
         changed = new_labels.where("chg").count()
         labels = new_labels.select("node", "label")

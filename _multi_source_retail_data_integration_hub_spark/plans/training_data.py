@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import text as T
+from ..operators.checkpointing import materialize
 from ..sources.testdata import fan_out, load_table
 from .registry import query
 
@@ -690,6 +691,7 @@ def write_training_shards(
     sf_dir: str,
     out_dir: str,
     rows_per_shard: int = 2_000,
+    checkpoint_dir: str | None = None,
 ) -> dict:
     """Curate -> scrub -> chunk -> dedup -> write size-targeted shards.
 
@@ -705,6 +707,15 @@ def write_training_shards(
     Scale notes: every stage is a hash-agg/equi-join/explode — the only
     all-rows shuffle is the final repartition that balances shard
     sizes, which any shard writer must pay.
+
+    ``checkpoint_dir``: the deduped chunk set is materialized once
+    (count + write both read it). Unset, that uses ``localCheckpoint``
+    — fine at bench scale, but on a long 100 TB production run an
+    executor loss between the materialization and the final write
+    kills the job. Pass a reliable FS path to checkpoint durably so
+    the write phase can survive executor churn and a restarted job
+    resumes from the materialized chunks. See
+    ``operators.checkpointing``.
     """
     docs = _docs(spark, sf_dir)
     canon = T.exact_dup_clusters(docs, "text", "doc_id").select(
@@ -738,11 +749,11 @@ def write_training_shards(
     w = Window.partitionBy("chunk_hash").orderBy("doc_id", "chunk_id")
     # materialize ONCE: both the count and the shard write read the
     # checkpointed result instead of re-running the whole curation plan
-    deduped = (
+    deduped = materialize(
         chunks.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
-        .drop("_rn")
-        .localCheckpoint()
+        .drop("_rn"),
+        checkpoint_dir,
     )
 
     n_chunks = deduped.count()

@@ -41,3 +41,14 @@ def test_long_chain_converges_within_budget(spark):
     chain = [(i, i + 1) for i in range(12)]
     got = _cc(spark, chain)
     assert set(got.values()) == {0}
+
+
+def test_reliable_checkpoint_path(spark, tmp_path):
+    # checkpoint_dir switches per-round materialization from
+    # localCheckpoint to reliable FS checkpoints: same fixpoint, and
+    # checkpoint files actually land under the directory.
+    ckpt = str(tmp_path / "cc_ckpt")
+    got = _cc(spark, [(2, 1), (2, 3), (10, 11)], checkpoint_dir=ckpt)
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    written = list((tmp_path / "cc_ckpt").rglob("*"))
+    assert any(p.is_file() for p in written)

@@ -228,3 +228,21 @@ def test_write_training_shards_contract(spark, tmp_path):
     assert len(files) == info["n_shards"]
     sizes = [spark.read.parquet(f).count() for f in files]
     assert min(sizes) > 0 and max(sizes) - min(sizes) <= 1
+
+
+def test_write_training_shards_reliable_checkpoint(spark, tmp_path):
+    """checkpoint_dir=... swaps localCheckpoint for a durable FS
+    checkpoint: identical output contract, checkpoint files on disk."""
+    from _multi_source_retail_data_integration_hub_spark.plans.training_data import (
+        write_training_shards,
+    )
+
+    out = str(tmp_path / "shards")
+    ckpt = tmp_path / "ckpt"
+    info = write_training_shards(
+        spark, "/root/testdata/sf0.01", out, rows_per_shard=100,
+        checkpoint_dir=str(ckpt),
+    )
+    assert info["n_chunks"] > 0
+    assert spark.read.parquet(out).count() == info["n_chunks"]
+    assert any(p.is_file() for p in ckpt.rglob("*"))
