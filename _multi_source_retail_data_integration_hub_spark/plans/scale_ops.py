@@ -19,8 +19,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import sampling, skew
-from ..sources.testdata import load_table
+from ..operators import sketches as SK
+from ..operators.text import tokens
+from ..sources.testdata import fan_out, load_table
 from .registry import query
+from .training_data import _TOKS  # shared token-list SQL fragment
 
 DEC = "decimal(18,2)"
 
@@ -202,4 +205,93 @@ def q49_approx_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "exact_median",
         within.cast("bigint").alias("within_rank_bound"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q81 — count-min heavy hitters with an exact-anchored accuracy
+# contract (operators/sketches.py), completing the sketch family
+# (q35 HLL distinct, q49 GK percentile, q81 CMS frequency).
+# Reference analogue: the dashboards' exact top-k surfaces
+# (/root/reference/streamlit_app.py:1787, sql/analytical_queries.sql:107)
+# at a scale where the exact (item -> count) table is unaffordable.
+#
+# Unlike HLL/GK (engine-internal sketches whose estimates can only be
+# bounds-checked), the CMS here is seeded-md5 — fully deterministic —
+# so the DuckDB oracle rebuilds the sketch bit-for-bit and cms_count
+# itself is value-hash-compared. Two contract columns ride along:
+# no_underestimate is the CMS theorem (estimate >= truth, always) and
+# is PINNED to 1 in the oracle — any engine drift fails the driver
+# gate; within_bound checks overestimate*width <= 3*N (a slightly
+# lenient integer-exact form of the eps*N = e*N/width paper bound,
+# e < 3) and is computed identically on both sides so the bound is
+# audited without betting the gate on a probabilistic (~1-(1/3)^depth)
+# guarantee over regenerated data.
+# ---------------------------------------------------------------------------
+CMS_TOPK = 20
+
+
+def _q81_sql() -> str:
+    def bucket(seed_expr: str, item: str) -> str:
+        return (
+            f"CAST('0x' || substr(md5('cms' || {seed_expr} || ':' || {item}), 1, 8) "
+            f"AS BIGINT) % {SK.CMS_WIDTH}"
+        )
+
+    return f"""
+    WITH toks AS (SELECT unnest({_TOKS}) AS token FROM documents),
+    tc AS (SELECT token, COUNT(*) AS exact_count FROM toks GROUP BY 1),
+    total AS (SELECT SUM(exact_count) AS n FROM tc),
+    melted AS (
+      SELECT i AS row_id, {bucket('i', 'token')} AS bucket,
+             SUM(exact_count) AS counter
+      FROM tc, (SELECT unnest(range(0, {SK.CMS_DEPTH})) AS i)
+      GROUP BY 1, 2
+    ),
+    topk AS (
+      SELECT token, exact_count FROM tc
+      ORDER BY exact_count DESC, token LIMIT {CMS_TOPK}
+    ),
+    est AS (
+      SELECT k.token, k.exact_count, MIN(m.counter) AS cms_count
+      FROM topk k
+      JOIN melted m
+        ON m.bucket = {bucket('m.row_id', 'k.token')}
+      GROUP BY 1, 2
+    )
+    SELECT e.token, e.exact_count, e.cms_count,
+           e.cms_count - e.exact_count AS overestimate,
+           CAST(1 AS BIGINT) AS no_underestimate,
+           CAST((e.cms_count - e.exact_count) * {SK.CMS_WIDTH} <= 3 * t.n
+                AS BIGINT) AS within_bound
+    FROM est e, total t
+    """
+
+
+@query("q81_heavy_hitters", oracle=_q81_sql())
+def q81_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+    # (token, exact_count) feeds three consumers (sketch build, top-k
+    # selection, total-N scalar): materialize once, same rationale as
+    # the q24/q80 signature checkpoint
+    tc = toks.groupBy("token").agg(
+        F.count("*").cast("bigint").alias("exact_count")
+    ).localCheckpoint()
+    counters = SK.cms_counters(tc, "token", weight_col="exact_count")
+    total = tc.agg(F.sum("exact_count").alias("n"))  # 1 row
+    topk = tc.orderBy(F.col("exact_count").desc(), "token").limit(CMS_TOPK)
+    est = SK.cms_estimates(topk, "token", counters)
+    over = F.col("cms_count") - F.col("exact_count")
+    return est.crossJoin(F.broadcast(total)).select(
+        "token",
+        "exact_count",
+        "cms_count",
+        over.alias("overestimate"),
+        (F.col("cms_count") >= F.col("exact_count")).cast("bigint").alias(
+            "no_underestimate"
+        ),
+        (over * SK.CMS_WIDTH <= 3 * F.col("n")).cast("bigint").alias(
+            "within_bound"
+        ),
     )

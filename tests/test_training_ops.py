@@ -246,3 +246,22 @@ def test_write_training_shards_reliable_checkpoint(spark, tmp_path):
     assert info["n_chunks"] > 0
     assert spark.read.parquet(out).count() == info["n_chunks"]
     assert any(p.is_file() for p in ckpt.rglob("*"))
+
+
+def test_cms_sketch_properties(spark):
+    from _multi_source_retail_data_integration_hub_spark.operators import sketches as SK
+
+    rows = [("a",)] * 50 + [("b",)] * 30 + [("c",)] * 5 + [("d",)] * 1
+    occ = spark.createDataFrame(rows, "token string")
+    counters = SK.cms_counters(occ, "token")
+    # sketch size bounded by depth*width regardless of input
+    assert counters.count() <= SK.CMS_DEPTH * SK.CMS_WIDTH
+    # weighted build from pre-aggregated counts == per-occurrence build
+    import pyspark.sql.functions as F
+    tc = occ.groupBy("token").agg(F.count("*").alias("cnt"))
+    weighted = SK.cms_counters(tc, "token", weight_col="cnt")
+    assert {tuple(r) for r in counters.collect()} == {tuple(r) for r in weighted.collect()}
+    # estimates never underestimate, and with 4 tokens in 1024 buckets
+    # there are no collisions: estimates are exact
+    est = {r.token: r.cms_count for r in SK.cms_estimates(tc, "token", counters).collect()}
+    assert est == {"a": 50, "b": 30, "c": 5, "d": 1}
