@@ -22,7 +22,10 @@ Contents are preserved row-for-row (tests assert exact equality).
 
 from __future__ import annotations
 
+from datetime import datetime, timedelta
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def _dir_bytes(spark: SparkSession, path: str) -> int:
@@ -51,6 +54,44 @@ def compact_parquet(
     df = spark.read.parquet(in_path)
     df.repartition(n).write.mode("overwrite").parquet(out_path)
     return n
+
+
+def prune_run_log(
+    spark: SparkSession,
+    older_than_days: int = 30,
+    database: str = "retail_dw",
+    table: str = "etl_run_log",
+    now: datetime | None = None,
+) -> int:
+    """S10 retention: drop run-log rows older than ``older_than_days``.
+
+    Completes the audit-log lifecycle that ``sources.sinks
+    .append_run_log`` starts — the analogue of the reference's
+    scheduled ``cleanup_old_logs`` task
+    (/root/reference/dags/retail_etl_dag.py:637-645), which deletes
+    ``etl_run_log`` rows past a retention window so the audit table
+    doesn't grow forever. Returns the number of rows removed.
+
+    Implementation is a filter-rewrite (read survivors, checkpoint,
+    overwrite): the plain-filesystem equivalent of the transactional
+    ``DELETE WHERE completed_at < cutoff`` this becomes on a
+    Delta/Iceberg warehouse. The checkpoint materializes the survivor
+    set BEFORE the overwrite truncates the table being read — the same
+    self-overwrite guard as ``plans.pipeline``'s SCD2 merge. Run logs
+    are one row per pipeline run, so the rewrite is trivially small at
+    any corpus scale. ``now`` pins the clock for deterministic tests.
+    """
+    full = f"{database}.{table}"
+    cutoff = (now or datetime.now()) - timedelta(days=older_than_days)
+    log = spark.table(full)
+    total = log.count()
+    kept = log.where(F.col("completed_at") >= F.lit(cutoff)).localCheckpoint(
+        eager=True
+    )
+    n_kept = kept.count()
+    if n_kept < total:
+        kept.write.mode("overwrite").saveAsTable(full)
+    return total - n_kept
 
 
 def sorted_write(

@@ -54,3 +54,37 @@ def test_sorted_write_gives_disjoint_file_ranges(spark, tmp_path):
         assert hi_prev <= lo_next
     # contents preserved
     assert spark.read.parquet(out).count() == 10_000
+
+
+def test_prune_run_log_retention(spark):
+    from datetime import datetime, timedelta
+
+    from _multi_source_retail_data_integration_hub_spark.sources.sinks import (
+        RUN_LOG_SCHEMA,
+    )
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS prune_dw")
+    spark.sql("DROP TABLE IF EXISTS prune_dw.etl_run_log")
+    now = datetime(2026, 8, 14, 12, 0, 0)
+    rows = [
+        ("old1", "success", 10, 10, 1.0, now - timedelta(days=40)),
+        ("old2", "failed", 10, 0, 1.0, now - timedelta(days=31)),
+        ("new1", "success", 10, 10, 1.0, now - timedelta(days=5)),
+        ("edge", "success", 10, 10, 1.0, now - timedelta(days=30)),  # at cutoff: kept
+    ]
+    spark.createDataFrame(rows, RUN_LOG_SCHEMA).write.mode("overwrite").saveAsTable(
+        "prune_dw.etl_run_log"
+    )
+    deleted = maintenance.prune_run_log(
+        spark, older_than_days=30, database="prune_dw", now=now
+    )
+    assert deleted == 2
+    left = {r.run_id for r in spark.table("prune_dw.etl_run_log").collect()}
+    assert left == {"new1", "edge"}
+    # idempotent when nothing is out of retention
+    assert (
+        maintenance.prune_run_log(spark, older_than_days=30, database="prune_dw", now=now)
+        == 0
+    )
+    spark.sql("DROP TABLE prune_dw.etl_run_log")
+    spark.sql("DROP DATABASE prune_dw")
