@@ -23,6 +23,7 @@ join at 100 TB scale.
 
 from __future__ import annotations
 
+import math
 import warnings
 
 from pyspark.sql import Column, DataFrame
@@ -244,12 +245,32 @@ def lsh_candidate_pairs(
 # ---------------------------------------------------------------------------
 
 
+SHINGLE_DF_CAP_FLOOR = 50
+
+
+def default_shingle_df_cap(n_docs: int) -> int:
+    """Corpus-derived stop-shingle DF cap: ``max(50, ceil(sqrt(n)))``.
+
+    Rationale: a shingle shared by f documents contributes f² rows to
+    the inverted-index self-join. Capping f at √n bounds each shingle's
+    fan-out at n rows, so worst-case join cost is O(#shingles · n) —
+    linear in corpus size per shingle — instead of the O(#shingles · n²)
+    a fixed cap degrades to as n grows past it. The floor of 50 keeps
+    legitimately common shingles (boilerplate headers in a small batch)
+    from being dropped in tiny corpora where √n would be single-digit.
+    """
+    if n_docs <= 0:
+        return SHINGLE_DF_CAP_FLOOR
+    ceil_sqrt = math.isqrt(int(n_docs) - 1) + 1  # exact ceil(sqrt(n)), no float
+    return max(SHINGLE_DF_CAP_FLOOR, ceil_sqrt)
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str,
     id_col: str,
     shingle_k: int = 3,
-    max_shingle_df: int = 1000,
+    max_shingle_df: int | None = None,
     max_docs: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard over distinct k-shingle sets for all co-shingling pairs.
@@ -263,13 +284,29 @@ def ngram_jaccard_pairs(
     Jaccard of the stop-shingle-free shingle sets (identical docs still
     score 1.0 even when they share dropped hot shingles).
 
+    ``max_shingle_df=None`` (default) derives the cap from the corpus:
+    ``default_shingle_df_cap(n) = max(50, ceil(sqrt(n)))`` — the guard
+    scales with the data instead of silently degrading past a fixed
+    constant (see that function's docstring for the cost bound). The
+    derivation costs one count job; pass an explicit cap to skip it.
+
     Exact all-pairs Jaccard is inherently ~quadratic in co-shingling
     documents — a loud one-line warning is emitted at plan-build time so
     full-corpus callers know to use the MinHash/LSH path
     (``minhash_signatures`` + ``lsh_candidate_pairs``) instead. Pass
-    ``max_docs`` to additionally fail fast (one count job) when the
+    ``max_docs`` to additionally fail fast (same count job) when the
     input exceeds an explicit document budget.
     """
+    if max_shingle_df is None or max_docs is not None:
+        n = df.count()
+        if max_docs is not None and n > max_docs:
+            raise ValueError(
+                f"ngram_jaccard_pairs: input has {n} documents, over the "
+                f"max_docs budget of {max_docs}. Sample the corpus or use "
+                "the LSH candidate path (lsh_candidate_pairs)."
+            )
+        if max_shingle_df is None:
+            max_shingle_df = default_shingle_df_cap(n)
     warnings.warn(
         "ngram_jaccard_pairs computes EXACT all-pairs Jaccard: cost grows "
         f"~quadratically with co-shingling documents (stop-shingle DF cap: "
@@ -277,14 +314,6 @@ def ngram_jaccard_pairs(
         "lsh_candidate_pairs and exact-verify only the candidates.",
         stacklevel=2,
     )
-    if max_docs is not None:
-        n = df.count()
-        if n > max_docs:
-            raise ValueError(
-                f"ngram_jaccard_pairs: input has {n} documents, over the "
-                f"max_docs budget of {max_docs}. Sample the corpus or use "
-                "the LSH candidate path (lsh_candidate_pairs)."
-            )
     # Same shuffle-free per-doc distinct as minhash_signatures (duplicate
     # shingles exist only within a document).
     sh = df.select(

@@ -260,9 +260,15 @@ def q21_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT id, unnest({_SHINGLES}) AS shingle FROM corpus
     ),
     freq AS (SELECT shingle, COUNT(*) AS doc_freq FROM sh GROUP BY 1),
+    -- corpus-derived stop-shingle cap, integer-exact twin of
+    -- operators.text.default_shingle_df_cap: f <= max(50, ceil(sqrt(n)))
+    -- expressed as f <= 50 OR (f-1)^2 < n (no float sqrt whose last ulp
+    -- could differ between engines at perfect squares)
     filtered AS (
       SELECT s.id, s.shingle FROM sh s
-      JOIN freq f USING (shingle) WHERE f.doc_freq <= 1000
+      JOIN freq f USING (shingle)
+      WHERE f.doc_freq <= 50
+         OR (f.doc_freq - 1) * (f.doc_freq - 1) < (SELECT COUNT(*) FROM corpus)
     ),
     sizes AS (SELECT id, COUNT(*) AS set_size FROM filtered GROUP BY 1),
     inter AS (

@@ -265,3 +265,28 @@ def test_cms_sketch_properties(spark):
     # there are no collisions: estimates are exact
     est = {r.token: r.cms_count for r in SK.cms_estimates(tc, "token", counters).collect()}
     assert est == {"a": 50, "b": 30, "c": 5, "d": 1}
+
+
+def test_shingle_df_cap_scales_with_corpus(spark):
+    """The derived stop-shingle cap max(50, ceil(sqrt(n))) must DROP a
+    df=60 boilerplate shingle in a 150-doc corpus (cap 50) but KEEP it
+    in a 4000-doc corpus (cap 64): the guard scales with the data."""
+    assert T.default_shingle_df_cap(150) == 50       # floor dominates
+    assert T.default_shingle_df_cap(4000) == 64      # ceil(sqrt(4000))
+    assert T.default_shingle_df_cap(1_000_000) == 1000
+    assert T.default_shingle_df_cap(2500) == 50      # sqrt boundary: exact
+
+    def corpus(n_unique):
+        sharers = spark.range(60).selectExpr(
+            "id AS doc_id", "format_string('common boiler plate x%d', id) AS text"
+        )
+        unique = spark.range(1000, 1000 + n_unique).selectExpr(
+            "id AS doc_id",
+            "format_string('u%d v%d w%d', id, id, id) AS text",
+        )
+        return sharers.union(unique)
+
+    small = T.ngram_jaccard_pairs(corpus(90), "text", "doc_id")     # n=150
+    assert small.count() == 0  # boilerplate shingle dropped at cap 50
+    big = T.ngram_jaccard_pairs(corpus(3940), "text", "doc_id")     # n=4000
+    assert big.count() == 60 * 59 // 2  # kept at cap 64 -> all sharer pairs
