@@ -382,30 +382,40 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFr
     aggregation, a single shuffle. Empty documents have no tokens and
     produce no row.
 
-    Per-token work is TWO conv() string parses (the digest's 32-bit
-    halves, materialized as bigints before the aggregate); each bit's
-    vote is then a shift+mask ALU op on those bigints — not a
-    substr+conv per bit, which round 2 showed costs ~4x at sf0.1
-    (hex digit i >= 8 <=> its nibble's high bit is set).
+    Per-token work is one conv() string parse per needed 32-bit quarter
+    of the digest (2 for the default 16 bits, up to 4 at bits=32),
+    materialized as bigints before the aggregate; each bit's vote is
+    then a shift+mask ALU op on those bigints — not a substr+conv per
+    bit, which round 2 showed costs ~4x at sf0.1 (hex digit i >= 8 <=>
+    its nibble's high bit is set).
     """
-    assert bits <= 16, "simhash packs bits from the first 16 hex digits"
+    if not 1 <= bits <= 32:
+        raise ValueError(
+            f"simhash supports 1..32 bits (one per md5 hex digit of the "
+            f"32-digit digest); got bits={bits}"
+        )
     # md5 materialized once per token row (CollapseProject keeps a
-    # non-cheap expr referenced twice from being re-inlined), then the
-    # two halves parsed once each.
+    # non-cheap expr referenced twice from being re-inlined), then each
+    # needed 8-hex-digit quarter parsed once.
+    n_quarters = -(-bits // 8)
     toks = (
         df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
         .select(F.col(id_col), F.md5("tok").alias("h"))
         .select(
             F.col(id_col),
-            F.conv(F.col("h").substr(1, 8), 16, 10).cast("bigint").alias("va"),
-            F.conv(F.col("h").substr(9, 8), 16, 10).cast("bigint").alias("vb"),
+            *[
+                F.conv(F.col("h").substr(1 + 8 * q, 8), 16, 10)
+                .cast("bigint")
+                .alias(f"v{q}")
+                for q in range(n_quarters)
+            ],
         )
     )
 
     def _bit(i: int) -> Column:
-        # high bit of hex digit i: digits 1..8 live in va, 9..16 in vb
-        src, j = ("va", i) if i <= 8 else ("vb", i - 8)
-        return F.shiftright(F.col(src), 35 - 4 * j).bitwiseAND(F.lit(1))
+        # high bit of hex digit i: digits 8q+1..8q+8 live in quarter vq
+        q, j = (i - 1) // 8, (i - 1) % 8 + 1
+        return F.shiftright(F.col(f"v{q}"), 35 - 4 * j).bitwiseAND(F.lit(1))
 
     vote_sums = toks.groupBy(id_col).agg(
         F.count("*").alias("_n"),

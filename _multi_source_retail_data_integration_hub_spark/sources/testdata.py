@@ -44,18 +44,41 @@ EVENTS_NANOS_SCHEMA = StructType(
 def events_parquet_ts_unit(path: str) -> str:
     """Physical ts unit of an events parquet ('ns' or 'us'), from the
     file footer (pyarrow; no Spark job). ``path`` may be a single file
-    or a Spark-written directory of part files."""
+    or a Spark-written directory of part files.
+
+    Fails loudly instead of guessing: an unexpected encoding (a future
+    'ms' generation, a non-timestamp ts column) raises rather than
+    being silently misread as micros, and a directory whose part files
+    disagree on the unit raises rather than trusting the first file.
+    Footer reads are metadata-only, so checking every part is cheap.
+    """
     import glob
 
     import pyarrow.parquet as pq
+
+    def _unit(p: str) -> str:
+        t = pq.read_schema(p).field("ts").type
+        unit = getattr(t, "unit", None)
+        if unit not in ("ns", "us"):
+            raise ValueError(
+                f"events parquet {p}: ts has unsupported encoding {t!r} "
+                "(expected timestamp[ns] or timestamp[us]); update "
+                "normalize_events_ts for this generation"
+            )
+        return unit
 
     if os.path.isdir(path):
         parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
         if not parts:
             raise FileNotFoundError(f"no parquet part files under {path}")
-        path = parts[0]
-    field = pq.read_schema(path).field("ts")
-    return "ns" if getattr(field.type, "unit", "us") == "ns" else "us"
+        units = {p: _unit(p) for p in parts}
+        if len(set(units.values())) > 1:
+            raise ValueError(
+                f"events parquet dir {path}: part files disagree on ts "
+                f"unit: {sorted(set(units.values()))}"
+            )
+        return units[parts[0]]
+    return _unit(path)
 
 
 def normalize_events_ts(df: DataFrame) -> DataFrame:

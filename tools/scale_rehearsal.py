@@ -89,11 +89,21 @@ def _copy_variant(df: DataFrame, table: str, k: int) -> DataFrame:
         )
     if table == "events":
         df = df.withColumn("ts", F.col("ts") + F.expr(f"INTERVAL {k} HOURS"))
+    # temporal perturbation must keep the scaled schema IDENTICAL to the
+    # base sf: on a DATE-typed generation, +INTERVAL would silently
+    # promote to TIMESTAMP and the rehearsal plans would no longer be
+    # schema-comparable with the baseline — shift by whole days there
     if table == "orders":
-        df = df.withColumn("o_orderdate", F.col("o_orderdate") + F.expr(f"INTERVAL {k} HOURS"))
+        df = df.withColumn("o_orderdate", _shift_keep_type(df, "o_orderdate", k))
     if table == "lineitem":
-        df = df.withColumn("l_shipdate", F.col("l_shipdate") + F.expr(f"INTERVAL {k} HOURS"))
+        df = df.withColumn("l_shipdate", _shift_keep_type(df, "l_shipdate", k))
     return df
+
+
+def _shift_keep_type(df: DataFrame, col: str, k: int):
+    if dict(df.dtypes)[col] == "date":
+        return F.date_add(F.col(col), k)
+    return F.col(col) + F.expr(f"INTERVAL {k} HOURS")
 
 
 def build_scaled(spark, mult: int) -> str:
