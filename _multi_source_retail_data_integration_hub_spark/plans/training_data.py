@@ -375,6 +375,39 @@ def _lsh_sql() -> str:
     """
 
 
+def _hot_buckets_sql() -> str:
+    melted = "\n      UNION ALL\n".join(
+        f"      SELECT id, {b} AS band_id, band{b} AS bucket FROM sigb"
+        for b in range(4)
+    )
+    return f"""
+    WITH {_sig_ctes()},
+    sigb AS (
+      SELECT id,
+           {_band_exprs()}
+      FROM sig0
+    ),
+    melted AS (
+{melted}
+    )
+    SELECT band_id, bucket, COUNT(*) AS bucket_size
+    FROM melted GROUP BY 1, 2 HAVING COUNT(*) > 1
+    """
+
+
+@query("q85_lsh_hot_buckets", oracle=_hot_buckets_sql())
+def q85_lsh_hot_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dropped-bucket audit surface for the capped LSH dedup path
+    (operators/text.py::lsh_hot_buckets): every (band, bucket) whose
+    population exceeds the cap, with its size. Cap is set to 1 here —
+    below the corpus's known near-dup multiplicity — so the audit
+    provably surfaces real buckets at test scale; production pipelines
+    run it with the same cap as ``lsh_candidate_pairs`` (default 1000)
+    to report exactly what the join skipped."""
+    sig = T.minhash_signatures(_mutated(spark, sf_dir), "text", "id")
+    return T.lsh_hot_buckets(sig, "id", max_bucket_size=1)
+
+
 @query("q24_lsh_candidates", oracle=_lsh_sql())
 def q24_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Materialize the signature matrix once (eager localCheckpoint)
