@@ -198,6 +198,7 @@ def lsh_candidate_pairs(
     id_col: str,
     n_bands: int = 4,
     max_bucket_size: int | None = 1000,
+    hot_bucket_mode: str = "drop",
 ) -> DataFrame:
     """Candidate near-dup pairs: docs sharing any LSH band bucket.
 
@@ -209,31 +210,70 @@ def lsh_candidate_pairs(
     Hot-bucket guard: real 100 TB web corpora are pathological — millions
     of empty/boilerplate documents share identical band hashes, turning
     one bucket into an m² join key and a straggler task that never
-    finishes. Buckets larger than ``max_bucket_size`` are therefore
-    DROPPED from the join (same shape as ``ngram_jaccard_pairs``'s
-    stop-shingle DF cap: aggregate per-key counts, semi-join the
-    survivors). Recall impact is limited by construction: a bucket that
-    big is overwhelmingly exact duplicates, which the cheaper
-    ``exact_dup_clusters`` pass catches first in the curation pipeline;
-    near-dup pairs split across several band buckets still surface via
-    their other bands. Audit what was dropped with ``lsh_hot_buckets``
-    (same cap => exactly the skipped buckets). ``max_bucket_size=None``
-    disables the guard (bench-scale audits where output must be the
-    uncapped universe).
+    finishes. Buckets larger than ``max_bucket_size`` are handled per
+    ``hot_bucket_mode`` (same count-then-join shape as
+    ``ngram_jaccard_pairs``'s stop-shingle DF cap either way):
+
+    - ``"drop"`` (default): hot buckets leave the join entirely. Recall
+      impact is limited by construction — a bucket that big is
+      overwhelmingly exact duplicates, which the cheaper
+      ``exact_dup_clusters`` pass catches first in the curation
+      pipeline; near-dup pairs split across several band buckets still
+      surface via their other bands.
+    - ``"subsplit"``: members of a hot bucket are salted into
+      ``ceil(size / max_bucket_size)`` groups (seeded-md5 of the id —
+      deterministic, engine-portable) and only within-group pairs
+      emit. Join cost for a size-m bucket falls from m² to
+      ~m * max_bucket_size (linear in m), at the price of sampling
+      ~1/g of the bucket's pairs — partial recall where "drop" has
+      none. Use when hot buckets may hold real near-dups (boilerplate
+      with small mutations) rather than exact spam clones.
+
+    Audit what the cap affected with ``lsh_hot_buckets`` (same cap =>
+    exactly the guarded buckets). ``max_bucket_size=None`` disables the
+    guard (bench-scale audits where output must be the uncapped
+    universe).
     """
-    melted = _melt_bands(sig, id_col, n_bands)
-    if max_bucket_size is not None:
-        ok = (
-            melted.groupBy("band_id", "bucket")
-            .agg(F.count("*").alias("bucket_size"))
-            .where(F.col("bucket_size") <= max_bucket_size)
-            .select("band_id", "bucket")
+    if hot_bucket_mode not in ("drop", "subsplit"):
+        raise ValueError(
+            f"hot_bucket_mode must be 'drop' or 'subsplit', got {hot_bucket_mode!r}"
         )
-        melted = melted.join(ok, ["band_id", "bucket"])
-    a = melted.select(F.col(id_col).alias("id_a"), "band_id", "bucket")
-    b = melted.select(F.col(id_col).alias("id_b"), "band_id", "bucket")
+    melted = _melt_bands(sig, id_col, n_bands)
+    join_keys = ["band_id", "bucket"]
+    if max_bucket_size is not None:
+        counts = melted.groupBy("band_id", "bucket").agg(
+            F.count("*").alias("bucket_size")
+        )
+        if hot_bucket_mode == "drop":
+            ok = counts.where(F.col("bucket_size") <= max_bucket_size).select(
+                "band_id", "bucket"
+            )
+            melted = melted.join(ok, join_keys)
+        else:
+            n_groups = F.greatest(
+                F.lit(1),
+                F.ceil(F.col("bucket_size") / F.lit(max_bucket_size)),
+            ).cast("bigint")
+            melted = (
+                melted.join(counts, join_keys)
+                .withColumn(
+                    "salt",
+                    F.pmod(
+                        F.conv(
+                            seeded_md5(F.col(id_col).cast("string"), 0).substr(1, 8),
+                            16,
+                            10,
+                        ).cast("bigint"),
+                        n_groups,
+                    ),
+                )
+                .drop("bucket_size")
+            )
+            join_keys = ["band_id", "bucket", "salt"]
+    a = melted.select(F.col(id_col).alias("id_a"), *join_keys)
+    b = melted.select(F.col(id_col).alias("id_b"), *join_keys)
     return (
-        a.join(b, ["band_id", "bucket"])
+        a.join(b, join_keys)
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()

@@ -91,6 +91,26 @@ def test_lsh_hot_bucket_cap_bounds_degenerate_corpus(spark):
     assert all(r.bucket_size == n for r in hot)
 
 
+def test_lsh_subsplit_mode_bounded_partial_recall(spark):
+    # same degenerate corpus as the drop test: subsplit must emit SOME
+    # pairs (partial recall) with join cost ~m*cap per bucket, not m^2
+    n = 2_000
+    corpus = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the quick brown fox jumps over the lazy dog").alias("text"),
+    )
+    sig = T.minhash_signatures(corpus, "text", "doc_id").localCheckpoint()
+    pairs = T.lsh_candidate_pairs(
+        sig, "doc_id", max_bucket_size=100, hot_bucket_mode="subsplit"
+    )
+    n_pairs = pairs.count()
+    assert n_pairs > 0  # partial recall where drop has none
+    # 20 salt groups of ~100 -> ~20 * C(100,2) pairs, far below C(2000,2)
+    assert n_pairs < n * (n - 1) // 2 / 5
+    with pytest.raises(ValueError, match="hot_bucket_mode"):
+        T.lsh_candidate_pairs(sig, "doc_id", hot_bucket_mode="nope")
+
+
 def test_lsh_cap_keeps_small_bucket_pairs(docs):
     # spam flood in its own bucket must not affect pairs from small buckets
     spam = docs.sparkSession.range(500).select(

@@ -51,6 +51,8 @@ DEFAULT_QUERIES = [
     "q53_dup_clusters",
     "q65_shipping_priority",
     "q66_pricing_summary",
+    "q81_heavy_hitters",
+    "q82_volume_shipping",
 ]
 
 KEY_OFFSETS = {
