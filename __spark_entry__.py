@@ -27,7 +27,7 @@ from _multi_source_retail_data_integration_hub_spark.plans import (  # noqa: E40
     QUERIES,
 )
 from _multi_source_retail_data_integration_hub_spark.plans import (  # noqa: E402,F401
-    analytics,  # registers q01..q08, q52, q54-q55, q57-q58, q64-q65, q76, q82-q84
+    analytics,  # registers q01..q08, q52, q54-q55, q57-q58, q64-q65, q76, q82-q87
     dashboard,  # registers q09..q16, q50 (incl. unpivot)
     events_ts,  # registers q29..q31, q48, q51, q62-q63 (windows, sessions, funnel, CDC, impute)
     grouped_map,  # registers q39..q40, q61 (grouped map, frame windows, cogroup)

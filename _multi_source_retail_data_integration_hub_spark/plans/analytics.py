@@ -1139,3 +1139,150 @@ def q84_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_lineitems"), rev.alias("local_revenue"))
         .orderBy("region", "nation")
     )
+
+
+# ---------------------------------------------------------------------------
+# q86 — promo revenue share by month (TPC-H Q14 shape): conditional
+# aggregation over a fact ⋈ part join. The part dim broadcasts; promo
+# and total revenue come out of ONE grouped pass (two conditional
+# decimal sums), and the share is a single double division — never a
+# second scan or a self-join.
+# ---------------------------------------------------------------------------
+@query(
+    "q86_promo_share",
+    oracle="""
+    SELECT EXTRACT(year FROM l.l_shipdate) AS ship_year,
+           EXTRACT(month FROM l.l_shipdate) AS ship_month,
+           CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                 THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l.l_discount AS DECIMAL(12,2)))
+                 ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS promo_revenue,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+             AS total_revenue,
+           CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                 THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l.l_discount AS DECIMAL(12,2)))
+                 ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+             / NULLIF(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l.l_discount AS DECIMAL(12,2)))) AS DOUBLE), 0)
+             * 100 AS promo_share_pct
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def q86_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev_expr = F.col("l_extendedprice").cast(DEC) * (
+        F.lit(1).cast("decimal(12,2)") - F.col("l_discount").cast("decimal(12,2)")
+    )
+    promo = F.sum(
+        F.when(F.col("p_type") == "PROMO", rev_expr).otherwise(F.lit(0).cast(DEC))
+    ).cast("double")
+    total = F.sum(rev_expr).cast("double")
+    return (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .groupBy(
+            F.year("l_shipdate").cast("bigint").alias("ship_year"),
+            F.month("l_shipdate").cast("bigint").alias("ship_month"),
+        )
+        .agg(
+            promo.alias("promo_revenue"),
+            total.alias("total_revenue"),
+            (promo / F.nullif(total, F.lit(0)) * 100).alias("promo_share_pct"),
+        )
+        .orderBy("ship_year", "ship_month")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q87 — supplier-nation market share per customer region and year
+# (TPC-H Q8 shape, generalized to all nations): multi-role dim joins
+# (customer side resolves region, supplier side resolves nation), one
+# grouped pass, then an unpartitioned-within-(region, year) window sum
+# turns absolute revenue into share-of-market — the aggregate is tiny
+# (regions x years x nations), so the window never touches fact rows.
+# ---------------------------------------------------------------------------
+@query(
+    "q87_market_share",
+    oracle="""
+    WITH flows AS (
+      SELECT r.r_name AS market_region,
+             EXTRACT(year FROM l.l_shipdate) AS ship_year,
+             ns.n_name AS supp_nation,
+             -- stay DECIMAL through the window sum: double summation
+             -- order differs between engines (last-ulp drift)
+             SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l.l_discount AS DECIMAL(12,2)))) AS dec_rev
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = nc.n_regionkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+      GROUP BY 1, 2, 3
+    )
+    SELECT market_region, ship_year, supp_nation,
+           CAST(dec_rev AS DOUBLE) AS nation_revenue,
+           CAST(dec_rev AS DOUBLE)
+             / NULLIF(CAST(SUM(dec_rev)
+                 OVER (PARTITION BY market_region, ship_year) AS DOUBLE), 0)
+             * 100 AS market_share_pct
+    FROM flows
+    ORDER BY 1, 2, 3
+    """,
+)
+def q87_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supplier = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    nc = nation.select(
+        F.col("n_nationkey").alias("nc_key"), F.col("n_regionkey").alias("nc_region")
+    )
+    ns = nation.select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
+    )
+    # stay DECIMAL through BOTH the grouped sum and the window sum —
+    # double summation order differs between engines (last-ulp drift);
+    # cast to double only for the final division
+    dec_rev = F.sum(
+        F.col("l_extendedprice").cast(DEC)
+        * (F.lit(1).cast("decimal(12,2)") - F.col("l_discount").cast("decimal(12,2)"))
+    )
+    flows = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
+        .join(F.broadcast(region), F.col("nc_region") == region.r_regionkey)
+        .join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
+        .groupBy(
+            F.col("r_name").alias("market_region"),
+            F.year("l_shipdate").cast("bigint").alias("ship_year"),
+            "supp_nation",
+        )
+        .agg(dec_rev.alias("dec_rev"))
+    )
+    w = Window.partitionBy("market_region", "ship_year")
+    return flows.select(
+        "market_region",
+        "ship_year",
+        "supp_nation",
+        F.col("dec_rev").cast("double").alias("nation_revenue"),
+        (
+            F.col("dec_rev").cast("double")
+            / F.nullif(F.sum("dec_rev").over(w).cast("double"), F.lit(0))
+            * 100
+        ).alias("market_share_pct"),
+    ).orderBy("market_region", "ship_year", "supp_nation")
