@@ -32,8 +32,12 @@ def test_oracles_reference_only_registered_tables():
     ident = r"[a-zA-Z_][a-zA-Z0-9_]*"
     for name, sql in entry.oracle_sql().items():
         sql = re.sub(r"--[^\n]*", "", sql)  # strip SQL comments
+        # EXTRACT(year FROM expr) is not a relation reference
+        sql = re.sub(r"EXTRACT\s*\([^()]*\)", "", sql, flags=re.IGNORECASE)
         ctes = set(re.findall(rf"({ident})\s+AS\s*\(", sql))
-        targets = re.findall(rf"(?:FROM|JOIN)\s+({ident})\b", sql, flags=re.IGNORECASE)
+        targets = re.findall(
+            rf"(?:FROM|JOIN)\s+({ident})\b(?!\s*\.)", sql, flags=re.IGNORECASE
+        )
         for t in targets:
             assert (
                 t.lower() in TESTDATA_TABLES or t in ctes or t.lower() in ("unnest",)
