@@ -36,6 +36,7 @@ from _multi_source_retail_data_integration_hub_spark.plans import (  # noqa: E40
     scale_ops,  # registers q33..q35, q45, q49 (JSON, salted agg, sketches, sampling)
     scd2_query,  # registers q77 (oracle-checked SCD2 merge)
     temporal,  # registers q36 (as-of join), q44 (interval join)
+    tpch_shapes,  # registers q88..q99 (Q2/Q9/Q11/Q13/Q15-Q22 shapes)
     similarity,  # registers q26..q28, q37, q41-q42, q53 (embedding ANN, dedup)
     training_data,  # registers q17..q25, q47, q56 (dedup, text analysis, curation)
 )
