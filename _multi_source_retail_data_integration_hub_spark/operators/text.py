@@ -590,3 +590,133 @@ def language_votes(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         pred = F.when(F.col(f"hits_{lang}") == max_hits, F.lit(lang)).otherwise(pred)
     pred = F.when(max_hits > 0, pred).otherwise(F.lit("unknown"))
     return scored.select(F.col(id_col), pred.alias("predicted_lang"))
+
+
+# ---------------------------------------------------------------------------
+# Repetition signals (Gopher-style quality filters)
+# ---------------------------------------------------------------------------
+
+
+def repetition_signals(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    top_bigram_threshold: float = 0.18,
+) -> DataFrame:
+    """Per-document repetition statistics in the style of the published
+    Gopher/MassiveText quality filters (duplicate-word fraction, most-
+    frequent-n-gram fraction, duplicate-n-gram fraction) — the standard
+    pre-training signal for catching boilerplate and degenerate
+    repetition that exact/near dedup misses because it repeats WITHIN a
+    document, not across documents.
+
+    Columns: ``n_words``, ``dup_word_frac`` (1 - distinct/total),
+    ``top_bigram_frac`` (occurrences of the most frequent bigram /
+    total bigrams), ``dup_bigram_frac`` (1 - distinct/total bigrams),
+    ``is_repetitive`` (top_bigram_frac > threshold).
+
+    Scale shape: word-level stats are per-row higher-order functions
+    (no shuffle); bigram stats explode to (doc, bigram) rows and come
+    back down through TWO partial-aggregated shuffles — (doc, bigram)
+    counts, then per-doc max/sum. Nothing is quadratic in document
+    length (a per-row mode-of-array via HOFs would be O(len²) on long
+    documents; the explode path is O(len)). Documents with fewer than
+    2 tokens have no bigrams and are excluded by contract.
+
+    Reference analogue: the cleansing/quality stage of the retail ETL
+    (/root/reference/etl/transform.py text standardization) generalized
+    to corpus-quality signals.
+    """
+    toks = tokens(F.col(text_col))
+    base = df.select(
+        F.col(id_col),
+        F.size(toks).alias("n_words"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_words"),
+        shingles(toks, 2).alias("_bigrams"),
+    ).where(F.col("n_words") >= 2)
+    bg_counts = (
+        base.select(
+            id_col, "n_words", "n_distinct_words",
+            F.explode("_bigrams").alias("bigram"),
+        )
+        .groupBy(id_col, "n_words", "n_distinct_words", "bigram")
+        .agg(F.count("*").alias("cnt"))
+    )
+    top_frac = F.max("cnt").cast("double") / F.sum("cnt")
+    return (
+        bg_counts.groupBy(id_col, "n_words", "n_distinct_words")
+        .agg(
+            top_frac.alias("top_bigram_frac"),
+            (F.lit(1.0) - F.count("*").cast("double") / F.sum("cnt")).alias(
+                "dup_bigram_frac"
+            ),
+        )
+        .select(
+            id_col,
+            "n_words",
+            (
+                F.lit(1.0)
+                - F.col("n_distinct_words").cast("double") / F.col("n_words")
+            ).alias("dup_word_frac"),
+            "top_bigram_frac",
+            "dup_bigram_frac",
+            (F.col("top_bigram_frac") > top_bigram_threshold).alias(
+                "is_repetitive"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (n-gram overlap against an eval set)
+# ---------------------------------------------------------------------------
+
+
+def contamination_overlap(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Flag corpus documents sharing at least one k-token n-gram with
+    an evaluation set — the standard pre-training decontamination pass
+    (drop training documents that leak benchmark content).
+
+    Returns one row per contaminated corpus document: ``n_doc_grams``
+    (distinct k-grams in the document), ``n_shared_grams`` (of those,
+    how many appear anywhere in the eval set), and
+    ``contamination_frac`` = shared/total.
+
+    Scale shape: both sides explode to DISTINCT (id, gram) / (gram)
+    rows; the probe is a plain equi-join on gram. The eval side is
+    deduplicated to one row per gram and broadcast — eval suites are
+    small by nature (≪ executor memory) even when the corpus is 100 TB.
+    Join output is bounded by the CORPUS gram count (each corpus gram
+    matches at most the one deduplicated eval gram), so no hot-key
+    quadratic blowup is possible by construction — unlike a doc-doc
+    similarity self-join, no cap is needed.
+    """
+    def grams(df: DataFrame, with_id: bool) -> DataFrame:
+        g = F.explode(shingles(tokens(F.col(text_col)), k)).alias("gram")
+        cols = ([F.col(id_col)] if with_id else []) + [g]
+        return df.select(*cols).distinct()
+
+    corpus_grams = grams(corpus, with_id=True)
+    eval_grams = grams(eval_set, with_id=False)
+    per_doc = corpus_grams.groupBy(id_col).agg(
+        F.count("*").alias("n_doc_grams")
+    )
+    shared = (
+        corpus_grams.join(F.broadcast(eval_grams), "gram")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_shared_grams"))
+    )
+    return shared.join(per_doc, id_col).select(
+        id_col,
+        "n_doc_grams",
+        "n_shared_grams",
+        (
+            F.col("n_shared_grams").cast("double") / F.col("n_doc_grams")
+        ).alias("contamination_frac"),
+    )

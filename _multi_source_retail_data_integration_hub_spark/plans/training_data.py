@@ -920,3 +920,89 @@ def q80_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("est_jaccard") - exact).alias("abs_err"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q100 — Gopher-style repetition signals. Capability class: intra-document
+# repetition filtering (duplicate-word / most-frequent-bigram /
+# duplicate-bigram fractions), the published MassiveText quality rule
+# family — catches boilerplate that cross-document dedup (q17/q24)
+# cannot, because the repetition is inside ONE document.
+# ---------------------------------------------------------------------------
+@query(
+    "q100_repetition_signals",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ), base AS (
+      SELECT doc_id, len(toks) AS n_words,
+             len(list_distinct(toks)) AS n_distinct_words, toks
+      FROM w WHERE len(toks) >= 2
+    ), bg AS (
+      SELECT doc_id, n_words, n_distinct_words,
+             unnest(list_transform(range(1, len(toks)),
+                    i -> array_to_string(list_slice(toks, i, i + 1), ' ')))
+               AS bigram
+      FROM base
+    ), bgc AS (
+      SELECT doc_id, n_words, n_distinct_words, bigram, COUNT(*) AS cnt
+      FROM bg GROUP BY 1, 2, 3, 4
+    )
+    SELECT doc_id, n_words,
+           1.0 - CAST(n_distinct_words AS DOUBLE) / n_words AS dup_word_frac,
+           CAST(MAX(cnt) AS DOUBLE) / SUM(cnt) AS top_bigram_frac,
+           1.0 - CAST(COUNT(*) AS DOUBLE) / SUM(cnt) AS dup_bigram_frac,
+           CAST(MAX(cnt) AS DOUBLE) / SUM(cnt) > 0.05 AS is_repetitive
+    FROM bgc GROUP BY 1, 2, 3
+    ORDER BY doc_id
+    """,
+)
+def q100_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = T.repetition_signals(
+        _docs(spark, sf_dir), "text", "doc_id", top_bigram_threshold=0.05
+    )
+    return sig.withColumn("n_words", F.col("n_words").cast("bigint")).orderBy(
+        "doc_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# q101 — benchmark decontamination. Capability class: n-gram-overlap
+# decontamination of a training corpus against an evaluation set (here
+# the 'src0' slice stands in for the benchmark suite). The eval side
+# deduplicates to bare grams and broadcasts; overlap output is bounded
+# by the corpus gram count, so the probe can never blow up on a hot
+# gram.
+# ---------------------------------------------------------------------------
+@query(
+    "q101_decontamination",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, source, {_TOKS} AS toks FROM documents
+    ), sh AS (
+      SELECT doc_id, source,
+             unnest(list_transform(range(1, len(toks) - 2),
+                    i -> array_to_string(list_slice(toks, i, i + 3), ' ')))
+               AS gram
+      FROM w WHERE len(toks) >= 4
+    ), ev AS (SELECT DISTINCT gram FROM sh WHERE source = 'src0'),
+    co AS (SELECT DISTINCT doc_id, gram FROM sh WHERE source <> 'src0'),
+    per_doc AS (SELECT doc_id, COUNT(*) AS n_doc_grams FROM co GROUP BY 1),
+    shared AS (
+      SELECT co.doc_id, COUNT(*) AS n_shared_grams
+      FROM co JOIN ev USING (gram) GROUP BY 1
+    )
+    SELECT s.doc_id, p.n_doc_grams, s.n_shared_grams,
+           CAST(s.n_shared_grams AS DOUBLE) / p.n_doc_grams
+             AS contamination_frac
+    FROM shared s JOIN per_doc p ON p.doc_id = s.doc_id
+    ORDER BY s.doc_id
+    """,
+)
+def q101_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    eval_set = docs.where(F.col("source") == "src0")
+    corpus = docs.where(F.col("source") != "src0")
+    return T.contamination_overlap(
+        corpus, eval_set, "text", "doc_id", k=4
+    ).orderBy("doc_id")

@@ -19,10 +19,10 @@ def test_every_query_has_an_oracle():
 
 
 def test_query_names_follow_convention():
-    pat = re.compile(r"^q\d{2}_[a-z0-9_]+$")
+    pat = re.compile(r"^q\d{2,3}_[a-z0-9_]+$")
     bad = [n for n in entry.queries() if not pat.match(n)]
     assert not bad, bad
-    nums = [n[1:3] for n in entry.queries()]
+    nums = [n.split("_", 1)[0] for n in entry.queries()]
     assert len(nums) == len(set(nums)), "duplicate query numbers"
 
 

@@ -321,3 +321,55 @@ def test_simhash_bits_range(docs):
     assert all(out32[k] % 2**16 == out16[k] for k in out16)
     with pytest.raises(ValueError, match="1..32 bits"):
         T.simhash(docs, "text", "doc_id", bits=33)
+
+
+def test_repetition_signals_flags_degenerate_docs(spark):
+    from _multi_source_retail_data_integration_hub_spark.operators.text import (
+        repetition_signals,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam ham " * 20),            # one bigram dominates
+            (2, "a b c d e f g h i j k l"),   # all distinct
+            (3, "x"),                         # <2 tokens: excluded
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in repetition_signals(docs, "text", "doc_id").collect()
+    }
+    assert set(rows) == {1, 2}
+    assert rows[1]["is_repetitive"] and rows[1]["top_bigram_frac"] > 0.4
+    assert not rows[2]["is_repetitive"]
+    assert rows[2]["dup_word_frac"] == 0.0
+    assert rows[1]["dup_word_frac"] > 0.9  # only 2 distinct of 40 words
+
+
+def test_contamination_overlap_exact_grams(spark):
+    from _multi_source_retail_data_integration_hub_spark.operators.text import (
+        contamination_overlap,
+    )
+
+    eval_set = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "he saw the quick brown fox run away"),  # shares 4-grams
+            (2, "completely different words here entirely now"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in contamination_overlap(
+            corpus, eval_set, "text", "doc_id", k=4
+        ).collect()
+    }
+    assert set(rows) == {1}  # doc 2 shares nothing -> absent
+    # the single shared 4-gram is 'the quick brown fox'
+    assert rows[1]["n_shared_grams"] == 1
+    assert 0 < rows[1]["contamination_frac"] <= 1.0
