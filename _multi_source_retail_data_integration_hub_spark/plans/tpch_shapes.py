@@ -625,15 +625,19 @@ def q98_sole_failing_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_suppkey", "l_returnflag"
     )
     supplier = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
-    # one pass per order: both EXISTS conditions become aggregates
-    per_order = lineitem.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supps"),
-        F.countDistinct(
-            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
-        ).alias("n_failing"),
-        F.max(
-            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
-        ).alias("failing_supp"),
+    # both EXISTS conditions become aggregates. Two-level instead of
+    # countDistinct: two distinct aggregates in one pass would plan an
+    # Expand (3x the fact rows through the first shuffle); deduping to
+    # (order, supplier) first keeps every stage map-side combined.
+    per_supp = lineitem.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max((F.col("l_returnflag") == "R").cast("int")).alias("has_r")
+    )
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supps"),
+        F.sum("has_r").alias("n_failing"),
+        F.max(F.when(F.col("has_r") == 1, F.col("l_suppkey"))).alias(
+            "failing_supp"
+        ),
     )
     culprits = per_order.where(
         (F.col("n_supps") >= 2) & (F.col("n_failing") == 1)
