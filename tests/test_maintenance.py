@@ -88,3 +88,39 @@ def test_prune_run_log_retention(spark):
     )
     spark.sql("DROP TABLE prune_dw.etl_run_log")
     spark.sql("DROP DATABASE prune_dw")
+
+
+def test_zorder_write_clusters_both_dimensions(spark, tmp_path):
+    """Z-order must give per-file locality on BOTH cluster columns; a
+    single-key sort gives locality only on its leading key (the
+    trailing column spans ~the whole domain in every file)."""
+    zdir, sdir = str(tmp_path / "zorder"), str(tmp_path / "single")
+    # two independent uniform dimensions
+    df = spark.range(0, 20_000).select(
+        (F.xxhash64("id") % 1_000).alias("x"),
+        (F.xxhash64("id", F.lit(1)) % 1_000).alias("y"),
+        F.col("id").alias("payload"),
+    )
+    maintenance.zorder_write(df, zdir, ["x", "y"], num_files=16)
+    maintenance.sorted_write(df, sdir, ["x"], num_files=16)
+
+    def mean_span(path: str, col: str) -> float:
+        spans = []
+        for f in _parquet_files(path):
+            r = spark.read.parquet(f).agg(
+                F.min(col).alias("lo"), F.max(col).alias("hi")
+            ).collect()[0]
+            if r["lo"] is not None:
+                spans.append((r["hi"] - r["lo"]) / 2_000.0)  # domain ~[-1000, 1000)
+        return sum(spans) / len(spans)
+
+    # z-order: each file covers a modest fraction of each dimension
+    assert mean_span(zdir, "x") < 0.6
+    assert mean_span(zdir, "y") < 0.6
+    # single-key sort: trailing dimension is unclustered (~full span)
+    assert mean_span(sdir, "y") > 0.8
+    # contents and schema round-trip (synthetic columns dropped)
+    z = spark.read.parquet(zdir)
+    assert set(z.columns) == {"x", "y", "payload"}
+    assert z.count() == 20_000
+    assert z.agg(F.sum("payload")).first()[0] == sum(range(20_000))
