@@ -368,3 +368,97 @@ def q73_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.filter("qe", lambda x: x > 0)).cast("bigint").alias("n_positive"),
     )
     return stats
+
+
+# ---------------------------------------------------------------------------
+# q104 — ANN recall audit: IVF top-k vs brute-force ground truth.
+# Completes the accuracy-contract family (q35 HLL, q49 approx
+# percentile, q80 MinHash, q81 count-min): every approximate operator
+# ships with an exact-anchored measurement of how approximate it is.
+# Per query vector: |IVF top-k ∩ exact top-k| / k. The exact side is
+# the q26 baseline (query-set broadcast, corpus never shuffled); the
+# audit's cost is the baseline's cost by construction, so it runs at
+# the same scale the ANN path does — on a sampled query set, never
+# all-pairs over the corpus.
+#
+# Measured on this corpus: mean recall@5 ~= 0.34 at nprobe=2 — the
+# synthetic embeddings are uniform (no cluster structure), so IVF
+# probing 2 of ~100 lists sees ~2% of the corpus and recall is
+# correspondingly low. That is the measurement working as intended:
+# on real clustered embeddings recall rises with cluster purity, and
+# a pipeline tunes nprobe against THIS number, not against hope.
+# ---------------------------------------------------------------------------
+RECALL_K = 5
+
+
+@query(
+    "q104_ann_recall",
+    oracle=f"""
+    WITH {_BASE_SQL},
+    q AS (SELECT vec_id AS query_id, qe, nsq AS qn FROM n
+          WHERE vec_id % {QUERY_STRIDE} = 0),
+    exact_ranked AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.query_id
+               ORDER BY CAST(CAST(list_dot_product(q.qe, c.qe) AS BIGINT) AS DOUBLE)
+                        / sqrt(CAST(q.qn * c.nsq AS DOUBLE)) DESC, c.vec_id
+             ) AS r
+      FROM q JOIN n c ON c.vec_id != q.query_id
+    ),
+    exact_topk AS (SELECT query_id, neighbor_id FROM exact_ranked
+                   WHERE r <= {RECALL_K}),
+    {_IVF_RANKED_ASSIGN},
+    members AS (SELECT vec_id, cid AS list_id FROM ranked_assign WHERE crank = 1),
+    probes AS (SELECT vec_id AS query_id, cid AS list_id FROM ranked_assign
+               WHERE crank <= 2 AND vec_id % {QUERY_STRIDE} = 0),
+    ann_ranked AS (
+      SELECT p.query_id, m.vec_id AS neighbor_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY p.query_id
+               ORDER BY CAST(CAST(list_dot_product(qv.qe, mv.qe) AS BIGINT) AS DOUBLE)
+                        / sqrt(CAST(qv.nsq * mv.nsq AS DOUBLE)) DESC, m.vec_id
+             ) AS r
+      FROM probes p
+      JOIN members m ON m.list_id = p.list_id AND m.vec_id != p.query_id
+      JOIN n qv ON qv.vec_id = p.query_id
+      JOIN n mv ON mv.vec_id = m.vec_id
+    ),
+    ann_topk AS (SELECT query_id, neighbor_id FROM ann_ranked
+                 WHERE r <= {RECALL_K}),
+    hits AS (
+      SELECT e.query_id, COUNT(a.neighbor_id) AS n_hits
+      FROM exact_topk e
+      LEFT JOIN ann_topk a ON a.query_id = e.query_id
+                          AND a.neighbor_id = e.neighbor_id
+      GROUP BY 1
+    )
+    SELECT query_id, n_hits,
+           CAST(n_hits AS DOUBLE) / {RECALL_K} AS recall_at_k
+    FROM hits ORDER BY query_id
+    """,
+)
+def q104_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = load_table(spark, sf_dir, "embeddings")
+    queries = _queries_df(spark, sf_dir)
+    exact = S.brute_force_topk(corpus, queries, k=RECALL_K).select(
+        "query_id", "neighbor_id"
+    )
+    ann = S.ivf_topk(corpus, queries, k=RECALL_K, nprobe=2).select(
+        F.col("query_id").alias("aq"), F.col("neighbor_id").alias("an")
+    )
+    hits = (
+        exact.join(
+            ann,
+            (F.col("query_id") == F.col("aq"))
+            & (F.col("neighbor_id") == F.col("an")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(F.count("an").alias("n_hits"))
+    )
+    return hits.select(
+        "query_id",
+        "n_hits",
+        (F.col("n_hits").cast("double") / RECALL_K).alias("recall_at_k"),
+    ).orderBy("query_id")

@@ -726,3 +726,86 @@ def q99_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("code")
     )
+
+
+# ---------------------------------------------------------------------------
+# q102 — forecast revenue change (TPC-H Q6 shape): the pure
+# filter-and-aggregate query. Everything here should reach the parquet
+# scan as pushed predicates; the aggregate is one map-side-combined
+# pass with no shuffle beyond the final 1-row combine. The floor any
+# engine pays is exactly one scan of the filtered splits.
+# ---------------------------------------------------------------------------
+@query(
+    "q102_forecast_revenue",
+    oracle="""
+    SELECT COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue_delta
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q102_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return lineitem.agg(
+        F.count("*").alias("n_items"),
+        F.sum(
+            F.col("l_extendedprice").cast(DEC)
+            * F.col("l_discount").cast("decimal(12,2)")
+        )
+        .cast("double")
+        .alias("revenue_delta"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q103 — priority mix by return status (TPC-H Q12 shape): conditional
+# two-way counts over a fact-fact join (orders classified high/low
+# priority per lineitem group — the shipmode column Q12 counts by does
+# not exist in this schema, so return flag is the grouping axis). The
+# CASE WHEN counts are plain conditional aggregates: one joined pass,
+# no pivot, no second scan.
+# ---------------------------------------------------------------------------
+@query(
+    "q103_priority_mix",
+    oracle="""
+    SELECT l.l_returnflag,
+           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+               THEN 1 ELSE 0 END) AS high_priority_items,
+           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+               THEN 0 ELSE 1 END) AS low_priority_items
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= DATE '1997-01-01' AND l.l_shipdate < DATE '1998-01-01'
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q103_priority_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+        )
+        .select("l_orderkey", "l_returnflag")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).alias("high_priority_items"),
+            F.sum(F.when(is_high, 0).otherwise(1)).alias("low_priority_items"),
+        )
+        .orderBy("l_returnflag")
+    )
