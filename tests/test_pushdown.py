@@ -49,3 +49,39 @@ def test_partition_pruning_on_partitioned_write(spark, tmp_path):
     part = plan.split("PartitionFilters")[1].split("]")[0]
     assert "status" in part
     assert df.count() == orders.where("o_orderstatus = 'F'").count()
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark):
+    """Runtime row-level filtering: a selective filter on one join side
+    should inject a bloom filter onto the fact-side scan, so shuffle
+    volume shrinks before the join — at 100 TB this is the difference
+    between shuffling the whole fact table and shuffling the ~matching
+    slice. Thresholds are lowered to trigger at test scale; production
+    keeps the defaults (the optimizer sizes the filter from stats)."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "1GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        # force a shuffle join so the runtime filter has a shuffle to prune
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        orders = load_table(spark, SF_DIR, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        lineitem = load_table(spark, SF_DIR, "lineitem")
+        joined = lineitem.join(
+            orders, lineitem.l_orderkey == orders.o_orderkey
+        ).agg(F.count("*"))
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "bloom" in plan.lower(), plan[:3000]
+        assert joined.first()[0] > 0
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
