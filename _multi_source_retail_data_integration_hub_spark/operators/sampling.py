@@ -49,3 +49,59 @@ def stratified_sample(
     for value, p in rates_pct.items():
         pct = F.when(F.col(strata_col) == value, F.lit(p)).otherwise(pct)
     return df.where(in_sample(F.col(key_col), pct, denom))
+
+
+def mixture_sampling_rates(
+    totals: DataFrame,
+    strata_col: str,
+    tokens_col: str,
+    weights_pct: dict[str, int],
+    budget_pct: int,
+    denom: int = DENOM,
+) -> DataFrame:
+    """Turn a target domain mixture into per-stratum sampling rates.
+
+    ``totals`` has one row per stratum with its token count. The token
+    budget is ``budget_pct`` percent of the corpus total; each stratum's
+    share of that budget is ``weights_pct[stratum]`` percent (training
+    mixtures a la "50% web, 30% wiki, 20% books"). The emitted
+    ``rate_pct`` (0..denom, capped at denom when a stratum is too small
+    to fill its target) plugs straight into ``stratified_sample`` /
+    ``in_sample``, keeping the actual row selection a deterministic,
+    pushdown-friendly projection.
+
+    Scale shape: ``totals`` is a per-stratum aggregate (map-side
+    combined, a handful of rows at any corpus size), the grand total is
+    an unpartitioned window over those few rows, and the result is
+    broadcast back to the fact side — the corpus itself is never
+    shuffled.
+    """
+    from pyspark.sql import Window
+
+    w_pct: Column = F.lit(None).cast("int")
+    for value, p in weights_pct.items():
+        w_pct = F.when(F.col(strata_col) == value, F.lit(p)).otherwise(w_pct)
+    return (
+        # grand total BEFORE dropping unweighted strata: the budget is a
+        # corpus-wide token fraction, not a weighted-subset fraction
+        totals.withColumn(
+            "_total", F.sum(tokens_col).over(Window.partitionBy())
+        )
+        .withColumn("_w_pct", w_pct)
+        .where(F.col("_w_pct").isNotNull())
+        .withColumn(
+            "target_tokens",
+            F.floor(
+                F.col("_total") * (F.col("_w_pct") * budget_pct) / F.lit(float(denom * denom))
+            ),
+        )
+        .drop("_total")
+        .withColumn(
+            "rate_pct",
+            F.least(
+                F.lit(denom).cast("bigint"),
+                F.floor(F.col("target_tokens") * F.lit(float(denom)) / F.col(tokens_col)),
+            ).cast("int"),
+        )
+        .drop("_w_pct")
+    )

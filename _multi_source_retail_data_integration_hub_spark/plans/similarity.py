@@ -462,3 +462,54 @@ def q104_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_hits",
         (F.col("n_hits").cast("double") / RECALL_K).alias("recall_at_k"),
     ).orderBy("query_id")
+
+
+# ---------------------------------------------------------------------------
+# q105 — int8 scalar quantization with a reconstruction-error contract.
+# Capability class: embedding compression for 100 TB vector stores —
+# float32 -> 8-bit codes is the first 4x storage/IO win before any
+# recall-sensitive machinery (PQ/OPQ). Exact-anchored like the sketch
+# contracts (q35/q49/q81): every vector's reconstruction error is
+# computed against the uncompressed original and asserted against the
+# scale/2 bound IN the result, so a quantizer regression turns into a
+# red oracle row, not silent recall loss downstream. Entirely per-row
+# map work — no shuffle anywhere in the plan.
+# ---------------------------------------------------------------------------
+@query(
+    "q105_embedding_quantization",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+      FROM embeddings WHERE embedding IS NOT NULL
+    ), s AS (
+      SELECT vec_id, dv,
+             list_aggregate(dv, 'min') AS mn,
+             (list_aggregate(dv, 'max') - list_aggregate(dv, 'min')) / 255.0
+               AS scale
+      FROM e
+    ), c AS (
+      SELECT vec_id, dv, mn, scale,
+             CASE WHEN scale = 0
+                  THEN list_transform(dv, x -> CAST(0 AS BIGINT))
+                  ELSE list_transform(dv,
+                       x -> CAST(floor((x - mn) / scale + 0.5) AS BIGINT))
+             END AS codes
+      FROM s
+    ), err AS (
+      SELECT vec_id, len(dv) AS n_dims, scale,
+             len(list_distinct(codes)) AS n_distinct_codes,
+             list_aggregate(
+               list_transform(range(1, len(dv) + 1),
+                              i -> abs(dv[i] - (mn + codes[i] * scale))),
+               'max') AS max_abs_err
+      FROM c
+    )
+    SELECT vec_id, n_dims, scale, n_distinct_codes, max_abs_err,
+           max_abs_err <= scale / 2 + 1e-12 AS within_bound
+    FROM err ORDER BY vec_id
+    """,
+)
+def q105_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = S.scalar_quantize(emb, "embedding", "vec_id", bits=8)
+    return S.dequantize_error(q).orderBy("vec_id")

@@ -1006,3 +1006,166 @@ def q101_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.contamination_overlap(
         corpus, eval_set, "text", "doc_id", k=4
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q106 — mixture-weighted sampling to a token budget. Capability class:
+# training-mixture construction — given a target domain mixture (here
+# over `lang`) and a corpus-wide token budget, derive per-stratum
+# deterministic sampling rates and report target vs achieved tokens.
+# The corpus is aggregated once (map-side combined, 5 groups), rates
+# come back as a broadcast, and row selection is the auditable
+# `doc_id % 100 < rate` projection from operators/sampling.py — the
+# corpus is never shuffled, at any scale.
+# ---------------------------------------------------------------------------
+MIXTURE_WEIGHTS_PCT = {"en": 40, "de": 15, "es": 15, "fr": 15, "zh": 15}
+MIXTURE_BUDGET_PCT = 50
+
+_MIX_CASE = "CASE lang " + " ".join(
+    f"WHEN '{k}' THEN {v}" for k, v in MIXTURE_WEIGHTS_PCT.items()
+) + " ELSE NULL END"
+
+
+@query(
+    "q106_mixture_sample",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, lang, len({_TOKS}) AS n_toks FROM documents
+    ), t AS (
+      SELECT lang, CAST(SUM(n_toks) AS BIGINT) AS lang_tokens
+      FROM d GROUP BY 1
+    ), tt AS (
+      SELECT lang, lang_tokens,
+             CAST(SUM(lang_tokens) OVER () AS BIGINT) AS total_tokens
+      FROM t
+    ), r AS (
+      SELECT lang, lang_tokens,
+             CAST(floor(total_tokens * (({_MIX_CASE}) * {MIXTURE_BUDGET_PCT})
+                        / 10000.0) AS BIGINT) AS target_tokens
+      FROM tt WHERE ({_MIX_CASE}) IS NOT NULL
+    ), r2 AS (
+      SELECT lang, lang_tokens, target_tokens,
+             CAST(least(100, floor(target_tokens * 100.0 / lang_tokens))
+                  AS INTEGER) AS rate_pct
+      FROM r
+    ), k AS (
+      SELECT d.lang, COUNT(*) AS n_docs_kept,
+             CAST(SUM(d.n_toks) AS BIGINT) AS tokens_kept
+      FROM d JOIN r2 USING (lang)
+      WHERE d.doc_id % 100 < r2.rate_pct GROUP BY 1
+    )
+    SELECT r2.lang, r2.lang_tokens, r2.target_tokens, r2.rate_pct,
+           COALESCE(k.n_docs_kept, 0) AS n_docs_kept,
+           COALESCE(k.tokens_kept, 0) AS tokens_kept,
+           CAST(COALESCE(k.tokens_kept, 0) AS DOUBLE) / target_tokens
+             AS achieved_frac
+    FROM r2 LEFT JOIN k USING (lang) ORDER BY r2.lang
+    """,
+)
+def q106_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import in_sample, mixture_sampling_rates
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "lang", F.size(T.tokens(F.col("text"))).alias("n_toks")
+    )
+    totals = d.groupBy("lang").agg(F.sum("n_toks").alias("lang_tokens"))
+    rates = mixture_sampling_rates(
+        totals, "lang", "lang_tokens", MIXTURE_WEIGHTS_PCT, MIXTURE_BUDGET_PCT
+    )
+    kept = (
+        d.join(F.broadcast(rates.select("lang", "rate_pct")), "lang")
+        .where(in_sample(F.col("doc_id"), F.col("rate_pct")))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs_kept"),
+            F.sum("n_toks").alias("tokens_kept"),
+        )
+    )
+    return (
+        rates.join(kept, "lang", "left")
+        .select(
+            "lang",
+            "lang_tokens",
+            "target_tokens",
+            "rate_pct",
+            F.coalesce("n_docs_kept", F.lit(0)).alias("n_docs_kept"),
+            F.coalesce("tokens_kept", F.lit(0)).alias("tokens_kept"),
+            (
+                F.coalesce("tokens_kept", F.lit(0)).cast("double")
+                / F.col("target_tokens")
+            ).alias("achieved_frac"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q107 — sequence packing audit (concatenate-and-split layout).
+# Capability class: packing documents into fixed-length training
+# sequences. Each source is an independent concatenation stream
+# (PARTITION BY source — per-stream cumulative sums, never one global
+# single-task window); a document starts at the stream offset given by
+# the running token total and lands in pack floor(start/L). The audit
+# reports per-pack document counts, token mass, and how many documents
+# straddle a pack boundary (the loss-masking cost of packing). At
+# 100 TB the stream key is the shard/partition id — same plan shape,
+# thousands of independent window partitions.
+# ---------------------------------------------------------------------------
+PACK_LEN = 512
+
+
+@query(
+    "q107_sequence_packing",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, source, len({_TOKS}) AS n_toks FROM documents
+    ), c AS (
+      SELECT doc_id, source, n_toks,
+             CAST(SUM(n_toks) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM d WHERE n_toks > 0
+    ), p AS (
+      SELECT source, doc_id, n_toks,
+             CAST(floor((cum - n_toks) / {PACK_LEN}.0) AS BIGINT) AS pack_id,
+             CASE WHEN CAST(floor((cum - 1) / {PACK_LEN}.0) AS BIGINT)
+                       > CAST(floor((cum - n_toks) / {PACK_LEN}.0) AS BIGINT)
+                  THEN 1 ELSE 0 END AS straddles
+      FROM c
+    )
+    SELECT source, pack_id, COUNT(*) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS pack_tokens,
+           MIN(doc_id) AS first_doc_id,
+           CAST(SUM(straddles) AS BIGINT) AS n_straddlers
+    FROM p GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q107_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "source", F.size(T.tokens(F.col("text"))).alias("n_toks")
+    ).where(F.col("n_toks") > 0)
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = d.withColumn("cum", F.sum("n_toks").over(w))
+    start_pack = F.floor((F.col("cum") - F.col("n_toks")) / F.lit(float(PACK_LEN)))
+    end_pack = F.floor((F.col("cum") - 1) / F.lit(float(PACK_LEN)))
+    p = c.select(
+        "source",
+        "doc_id",
+        "n_toks",
+        start_pack.alias("pack_id"),
+        F.when(end_pack > start_pack, 1).otherwise(0).alias("straddles"),
+    )
+    return (
+        p.groupBy("source", "pack_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_toks").alias("pack_tokens"),
+            F.min("doc_id").alias("first_doc_id"),
+            F.sum("straddles").alias("n_straddlers"),
+        )
+        .orderBy("source", "pack_id")
+    )

@@ -31,3 +31,37 @@ def test_stratified_rates_and_default(spark):
     # unlisted strata keep default_pct (0 -> dropped entirely)
     none = sampling.stratified_sample(df, "stratum", {"a": 50}, key_col="id")
     assert none.where("stratum = 'b'").count() == 0
+
+
+def test_mixture_rates_hit_targets_and_cap(spark):
+    totals = spark.createDataFrame(
+        [("web", 8000), ("wiki", 1500), ("books", 500)],
+        "stratum string, tokens long",
+    )
+    rates = {
+        r["stratum"]: r
+        for r in sampling.mixture_sampling_rates(
+            totals, "stratum", "tokens", {"web": 50, "wiki": 30, "books": 20},
+            budget_pct=50,
+        ).collect()
+    }
+    # budget = 5000 tokens; web target 2500 of 8000 -> 31%
+    assert rates["web"]["target_tokens"] == 2500
+    assert rates["web"]["rate_pct"] == 31
+    # wiki target 1500 of 1500 -> exactly 100%
+    assert rates["wiki"]["rate_pct"] == 100
+    # books target 1000 > available 500 -> capped at 100, never >100
+    assert rates["books"]["target_tokens"] == 1000
+    assert rates["books"]["rate_pct"] == 100
+
+
+def test_mixture_rates_drop_unweighted_strata(spark):
+    totals = spark.createDataFrame(
+        [("web", 100), ("junk", 900)], "stratum string, tokens long"
+    )
+    out = sampling.mixture_sampling_rates(
+        totals, "stratum", "tokens", {"web": 100}, budget_pct=10
+    ).collect()
+    assert [r["stratum"] for r in out] == ["web"]
+    # total includes ALL strata (the budget is corpus-wide): 10% of 1000
+    assert out[0]["target_tokens"] == 100

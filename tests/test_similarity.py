@@ -125,3 +125,42 @@ def test_lsh_bucket_null_and_overwide_embeddings(spark):
     )
     with pytest.raises(Exception, match="exceeds the 64-dim hyperplane"):
         S.lsh_buckets(wide, "embedding", "vec_id").collect()
+
+
+def test_scalar_quantize_reconstruction_bound(spark):
+    from _multi_source_retail_data_integration_hub_spark.operators.similarity import (
+        dequantize_error,
+        scalar_quantize,
+    )
+
+    rows = [
+        (1, [0.0, 1.0, 0.5, 0.25]),
+        (2, [-3.5, 2.5, 0.0, 1.0]),
+        (3, [7.0, 7.0, 7.0, 7.0]),  # constant vector: scale == 0
+        (4, None),  # null embeddings are dropped, not crashed on
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = dequantize_error(scalar_quantize(df, "embedding", "vec_id")).collect()
+    by = {r["vec_id"]: r for r in out}
+    assert set(by) == {1, 2, 3}
+    for r in by.values():
+        assert r["within_bound"]
+        assert r["max_abs_err"] <= r["scale"] / 2 + 1e-12
+    # constant vector: zero scale, zero error, a single code value
+    assert by[3]["scale"] == 0.0
+    assert by[3]["max_abs_err"] == 0.0
+    assert by[3]["n_distinct_codes"] == 1
+    # full-range vector uses many distinct codes (codebook actually used)
+    assert by[2]["n_distinct_codes"] == 4
+
+
+def test_scalar_quantize_rejects_bad_bits(spark):
+    import pytest
+
+    from _multi_source_retail_data_integration_hub_spark.operators.similarity import (
+        scalar_quantize,
+    )
+
+    df = spark.createDataFrame([(1, [0.0])], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="bits"):
+        scalar_quantize(df, "embedding", "vec_id", bits=20)
