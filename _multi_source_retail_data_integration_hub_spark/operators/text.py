@@ -111,6 +111,27 @@ def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 MINHASH_P = 4294967291  # largest prime < 2^32
 
 
+def distinct_shingles(
+    df: DataFrame, text_col: str, id_col: str, shingle_k: int = 3
+) -> DataFrame:
+    """(id, shingle) rows, one per DISTINCT shingle per document.
+
+    Per-doc distinct via ``array_distinct`` BEFORE the explode:
+    duplicate (id, shingle) rows can only come from repeats inside one
+    document, so this equals DISTINCT — minus the full-width shuffle a
+    row-level distinct would cost over the exploded string table.
+    Exposed so consumers that need both signatures AND the raw shingle
+    sets (q80's estimate-vs-exact audit) tokenize the corpus once and
+    share one materialized explode instead of paying it per consumer.
+    """
+    return df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(shingles(tokens(F.col(text_col)), shingle_k))
+        ).alias("shingle"),
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str,
@@ -118,6 +139,7 @@ def minhash_signatures(
     num_hashes: int = 16,
     shingle_k: int = 3,
     band_size: int = 4,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash signature matrix + LSH band hashes, one row per doc.
 
@@ -130,13 +152,13 @@ def minhash_signatures(
     partial-aggregating shuffle; max intermediate a + 15*b < 2^36 is
     exact in BIGINT for both Spark and the DuckDB oracle.
     """
-    # Per-doc distinct via array_distinct BEFORE the explode: duplicate
-    # (id, shingle) rows can only come from repeats inside one document,
-    # so this is exactly DISTINCT — minus the full-width shuffle a
-    # row-level distinct would cost over the exploded string table.
-    sh = df.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(shingles(tokens(F.col(text_col)), shingle_k))).alias("shingle"),
+    # ``shingles_df`` lets a caller that ALSO needs the raw shingle
+    # sets (q80) pass a shared, possibly materialized explode instead
+    # of tokenizing the corpus a second time.
+    sh = (
+        shingles_df
+        if shingles_df is not None
+        else distinct_shingles(df, text_col, id_col, shingle_k)
     )
     h = F.md5(F.col("shingle"))
     base = sh.select(
