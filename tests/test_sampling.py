@@ -65,3 +65,28 @@ def test_mixture_rates_drop_unweighted_strata(spark):
     assert [r["stratum"] for r in out] == ["web"]
     # total includes ALL strata (the budget is corpus-wide): 10% of 1000
     assert out[0]["target_tokens"] == 100
+
+
+def test_mixture_sample_corpus_side_never_shuffles_rows(spark):
+    """q106's scale claim, pinned: the corpus joins the per-stratum
+    rates via broadcast — no SortMergeJoin / no shuffle of corpus rows
+    on the stratum key (the only Exchanges are the tiny per-stratum
+    aggregate's partials and the final 5-row agg)."""
+    from pyspark.sql import functions as F
+
+    corpus = spark.range(10_000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 3).cast("string").alias("stratum"),
+        (F.col("id") % 50 + 1).alias("n_toks"),
+    )
+    totals = corpus.groupBy("stratum").agg(F.sum("n_toks").alias("tokens"))
+    rates = sampling.mixture_sampling_rates(
+        totals, "stratum", "tokens", {"0": 50, "1": 30, "2": 20}, budget_pct=40
+    )
+    kept = corpus.join(
+        F.broadcast(rates.select("stratum", "rate_pct")), "stratum"
+    ).where(sampling.in_sample(F.col("doc_id"), F.col("rate_pct")))
+    kept.write.format("noop").mode("overwrite").save()
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "SortMergeJoin" not in plan, plan[:2000]

@@ -164,3 +164,20 @@ def test_scalar_quantize_rejects_bad_bits(spark):
     df = spark.createDataFrame([(1, [0.0])], "vec_id long, embedding array<float>")
     with pytest.raises(ValueError, match="bits"):
         scalar_quantize(df, "embedding", "vec_id", bits=20)
+
+
+def test_scalar_quantize_plan_is_shuffle_free(spark):
+    """q105's scale claim, pinned: quantization + error audit is pure
+    per-row map work — the executed plan must contain no Exchange."""
+    from _multi_source_retail_data_integration_hub_spark.operators.similarity import (
+        dequantize_error,
+        scalar_quantize,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [float(i), float(i + 1), 0.5]) for i in range(100)],
+        "vec_id long, embedding array<float>",
+    )
+    out = dequantize_error(scalar_quantize(df, "embedding", "vec_id"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, f"quantization must not shuffle:\n{plan[:2000]}"
