@@ -1172,3 +1172,157 @@ def q107_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "pack_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q108 — crawl-snapshot diff. Capability class: incremental corpus
+# ingestion — given the previous snapshot and a new crawl, classify
+# every doc_id as added / deleted / changed / unchanged via ONE full
+# outer join on the id plus an md5 content compare, so downstream
+# dedup/curation reprocesses only added+changed instead of the whole
+# corpus. The synthetic new snapshot (mirrored in the oracle) drops
+# every 10th doc, rewrites every 7th, and adds an offset copy of every
+# 13th. At 100 TB both snapshots are id-partitioned parquet: the join
+# co-locates and the hash compare is map work; output is 4 rows.
+# ---------------------------------------------------------------------------
+_NEW_SNAPSHOT_SQL = f"""
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN text || ' [rev2]' ELSE text END AS text
+  FROM documents WHERE doc_id % 10 <> 0
+  UNION ALL
+  SELECT doc_id + {OFFSET} AS doc_id, text FROM documents WHERE doc_id % 13 = 0
+"""
+
+
+@query(
+    "q108_snapshot_diff",
+    oracle=f"""
+    WITH prev AS (SELECT doc_id, md5(text) AS h FROM documents),
+    nxt AS (SELECT doc_id, md5(text) AS h FROM ({_NEW_SNAPSHOT_SQL})),
+    d AS (
+      SELECT COALESCE(p.doc_id, n.doc_id) AS doc_id,
+             CASE WHEN p.doc_id IS NULL THEN 'added'
+                  WHEN n.doc_id IS NULL THEN 'deleted'
+                  WHEN p.h <> n.h THEN 'changed'
+                  ELSE 'unchanged' END AS status
+      FROM prev p FULL OUTER JOIN nxt n ON n.doc_id = p.doc_id
+    )
+    SELECT status, COUNT(*) AS n_docs,
+           MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+    FROM d GROUP BY 1 ORDER BY 1
+    """,
+)
+def q108_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prev = _docs(spark, sf_dir).select("doc_id", "text")
+    _guard_offset(prev)
+    nxt = (
+        prev.where(F.col("doc_id") % 10 != 0)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" [rev2]"))
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(
+            prev.where(F.col("doc_id") % 13 == 0).select(
+                (F.col("doc_id") + OFFSET).alias("doc_id"), "text"
+            )
+        )
+    )
+    p = prev.select("doc_id", F.md5("text").alias("ph"))
+    n = nxt.select(F.col("doc_id").alias("n_doc_id"), F.md5("text").alias("nh"))
+    d = p.join(n, p["doc_id"] == n["n_doc_id"], "full_outer").select(
+        F.coalesce("doc_id", "n_doc_id").alias("doc_id"),
+        F.when(F.col("doc_id").isNull(), "added")
+        .when(F.col("n_doc_id").isNull(), "deleted")
+        .when(F.col("ph") != F.col("nh"), "changed")
+        .otherwise("unchanged")
+        .alias("status"),
+    )
+    return (
+        d.groupBy("status")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .orderBy("status")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q109 — vocabulary coverage. Capability class: tokenizer design — for
+# candidate vocabulary sizes V, what fraction of all corpus token
+# occurrences is covered by the V most frequent token types? Shape:
+# one map-side-combined frequency aggregate over the corpus, then
+# top-V per candidate size via TakeOrderedAndProject (top-k over the
+# vocab table, never a global sort of it), then a 2-row summary.
+# Ties broken (count DESC, token ASC) so Spark and the oracle pick
+# identical vocabularies.
+# ---------------------------------------------------------------------------
+VOCAB_SIZES = (100, 1000)
+
+
+@query(
+    "q109_vocab_coverage",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest({_TOKS}) AS token FROM documents
+    ), freq AS (
+      SELECT token, COUNT(*) AS cnt FROM tok GROUP BY 1
+    ), tot AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS total_tokens,
+             COUNT(*) AS n_types
+      FROM freq
+    ), ranked AS (
+      SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, token ASC) AS r
+      FROM freq
+    ), cov AS (
+      SELECT v.vocab_size,
+             CAST(SUM(CASE WHEN fr.r <= v.vocab_size THEN fr.cnt END) AS BIGINT)
+               AS covered_tokens
+      FROM ranked fr,
+           (VALUES ({VOCAB_SIZES[0]}), ({VOCAB_SIZES[1]})) AS v(vocab_size)
+      GROUP BY 1
+    )
+    SELECT c.vocab_size, t.total_tokens, t.n_types, c.covered_tokens,
+           CAST(c.covered_tokens AS DOUBLE) / t.total_tokens AS coverage_frac
+    FROM cov c, tot t
+    ORDER BY c.vocab_size
+    """,
+)
+def q109_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    freq = (
+        d.select(F.explode(T.tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    freq = freq.localCheckpoint(eager=False)  # 3 consumers: totals + 2 top-V
+    totals = freq.agg(
+        F.sum("cnt").alias("total_tokens"), F.count("*").alias("n_types")
+    )
+    parts = []
+    for v in VOCAB_SIZES:
+        top = freq.orderBy(F.desc("cnt"), F.asc("token")).limit(v)
+        parts.append(
+            top.agg(F.sum("cnt").alias("covered_tokens")).select(
+                F.lit(v).alias("vocab_size"), "covered_tokens"
+            )
+        )
+    cov = parts[0].unionByName(parts[1])
+    return (
+        cov.crossJoin(F.broadcast(totals))  # 2 rows x 1 row scalar combine
+        .select(
+            "vocab_size",
+            "total_tokens",
+            "n_types",
+            "covered_tokens",
+            (F.col("covered_tokens").cast("double") / F.col("total_tokens")).alias(
+                "coverage_frac"
+            ),
+        )
+        .orderBy("vocab_size")
+    )
