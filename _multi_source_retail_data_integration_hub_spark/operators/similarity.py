@@ -498,7 +498,7 @@ def scalar_quantize(
     return out.withColumn("codes", codes)
 
 
-def dequantize_error(df: DataFrame) -> DataFrame:
+def dequantize_error(df: DataFrame, id_col: str = "vec_id") -> DataFrame:
     """Reconstruction-error columns for a ``scalar_quantize`` frame:
     per-element ``|x - (mn + code*scale)|``, reduced with order-
     independent max (never a float sum, per the registry's determinism
@@ -512,7 +512,7 @@ def dequantize_error(df: DataFrame) -> DataFrame:
     return (
         df.withColumn("errs", errs)
         .select(
-            df.columns[0],
+            id_col,
             F.size(F.col("dv")).alias("n_dims"),
             F.col("scale"),
             F.size(F.array_distinct(F.col("codes"))).alias("n_distinct_codes"),

@@ -473,7 +473,9 @@ def q104_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 # computed against the uncompressed original and asserted against the
 # scale/2 bound IN the result, so a quantizer regression turns into a
 # red oracle row, not silent recall loss downstream. Entirely per-row
-# map work — no shuffle anywhere in the plan.
+# map work — the only Exchange in the plan is the final presentation
+# ORDER BY (the operator itself is plan-asserted shuffle-free in
+# tests/test_similarity.py).
 # ---------------------------------------------------------------------------
 @query(
     "q105_embedding_quantization",

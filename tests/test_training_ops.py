@@ -373,3 +373,54 @@ def test_contamination_overlap_exact_grams(spark):
     # the single shared 4-gram is 'the quick brown fox'
     assert rows[1]["n_shared_grams"] == 1
     assert 0 < rows[1]["contamination_frac"] <= 1.0
+
+
+def test_sequence_packing_conserves_tokens(spark, monkeypatch):
+    """Packing invariants on the real query: token mass is conserved
+    across packs per source, pack ids are dense from 0, and every pack
+    except a stream's last holds >= PACK_LEN tokens (a doc only opens a
+    new pack once the running total has crossed the boundary)."""
+    from _multi_source_retail_data_integration_hub_spark.plans import training_data as td
+
+    out = td.q107_sequence_packing(spark, "/root/testdata/sf0.001").collect()
+    by_src: dict[str, list] = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    assert by_src, "no packs produced"
+    for src, packs in by_src.items():
+        ids = [p["pack_id"] for p in packs]
+        assert ids == list(range(len(ids))), f"{src}: pack ids not dense: {ids}"
+        # every pack that is not the stream's last must have filled past
+        # the boundary: its docs' token mass reaches at least PACK_LEN
+        # minus the carry-in of a straddler from the previous pack
+        total = sum(p["pack_tokens"] for p in packs)
+        cum = 0
+        for p in packs[:-1]:
+            cum += p["pack_tokens"]
+            # the next pack's first doc starts at stream offset `cum`,
+            # and it landed in pack_id+1 => cum >= (pack_id+1)*PACK_LEN
+            assert cum >= (p["pack_id"] + 1) * td.PACK_LEN, (
+                f"{src}: pack {p['pack_id']} closed before filling"
+            )
+        assert total == cum + packs[-1]["pack_tokens"]
+
+
+def test_snapshot_diff_statuses_partition_the_ids(spark):
+    """q108 invariants: the four statuses are disjoint and complete —
+    counts reconstruct both snapshot sizes exactly."""
+    from _multi_source_retail_data_integration_hub_spark.plans import training_data as td
+    from _multi_source_retail_data_integration_hub_spark.sources.testdata import load_table
+
+    sf = "/root/testdata/sf0.001"
+    out = {r["status"]: r["n_docs"] for r in td.q108_snapshot_diff(spark, sf).collect()}
+    docs = load_table(spark, sf, "documents")
+    n_prev = docs.count()
+    n_deleted = docs.where("doc_id % 10 = 0").count()
+    n_added = docs.where("doc_id % 13 = 0").count()
+    # changed docs: rewritten (%7) and still present (%10 != 0)
+    n_changed = docs.where("doc_id % 7 = 0 and doc_id % 10 != 0").count()
+    assert out.get("deleted", 0) == n_deleted
+    assert out.get("added", 0) == n_added
+    assert out.get("changed", 0) == n_changed
+    assert sum(out.values()) == n_prev + n_added  # full id universe, once each
+    assert out.get("unchanged", 0) == n_prev - n_deleted - n_changed
