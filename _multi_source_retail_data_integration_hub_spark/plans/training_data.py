@@ -1284,7 +1284,7 @@ VOCAB_SIZES = (100, 1000)
              CAST(SUM(CASE WHEN fr.r <= v.vocab_size THEN fr.cnt END) AS BIGINT)
                AS covered_tokens
       FROM ranked fr,
-           (VALUES ({VOCAB_SIZES[0]}), ({VOCAB_SIZES[1]})) AS v(vocab_size)
+           (VALUES {", ".join(f"({v})" for v in VOCAB_SIZES)}) AS v(vocab_size)
       GROUP BY 1
     )
     SELECT c.vocab_size, t.total_tokens, t.n_types, c.covered_tokens,
@@ -1312,7 +1312,9 @@ def q109_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(v).alias("vocab_size"), "covered_tokens"
             )
         )
-    cov = parts[0].unionByName(parts[1])
+    cov = parts[0]
+    for part in parts[1:]:
+        cov = cov.unionByName(part)
     return (
         cov.crossJoin(F.broadcast(totals))  # 2 rows x 1 row scalar combine
         .select(
