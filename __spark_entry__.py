@@ -31,6 +31,7 @@ from _multi_source_retail_data_integration_hub_spark.plans import (  # noqa: E40
     dashboard,  # registers q09..q16, q50 (incl. unpivot)
     events_ts,  # registers q29..q31, q48, q51, q62-q63 (windows, sessions, funnel, CDC, impute)
     grouped_map,  # registers q39..q40, q61 (grouped map, frame windows, cogroup)
+    incremental,  # registers q111 (mergeable-partial mart refresh)
     multimodal_plan,  # registers q32, q59-q60 (binary payload features, frames)
     rollups,  # registers q38, q46 (rollup, cube)
     scale_ops,  # registers q33..q35, q45, q49 (JSON, salted agg, sketches, sampling)

@@ -509,3 +509,117 @@ def q79_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", "week_offset")
         .agg(F.count_distinct("user_id").alias("n_active_users"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q113 — rolling z-score anomaly detection over daily series.
+# Capability class: data-quality monitoring for a continuously
+# ingested pipeline — flag days whose metric deviates > 3 sigma from
+# the trailing window, per series (the batch twin of a streaming
+# alerting job; a reference dashboard eyeballs the same daily trend
+# lines, streamlit_app.py's time-series tabs).
+#
+# Shape: one map-side-combined daily aggregate (decimal-exact totals),
+# then a single window pass per event_type ordered by day with a
+# trailing ROWS frame [-7, -1] — the frame EXCLUDES the current row,
+# so the baseline is uncontaminated by the day being judged (a
+# self-inclusive frame would dilute every spike by itself). Mean and
+# variance come from decimal-exact sum/sum-of-squares partials
+# converted to double in an identical IEEE expression sequence on
+# both engines (sqrt and +-*/ are correctly-rounded, so the z-scores
+# hash-match exactly; no stddev_samp over raw doubles, whose
+# accumulation order is engine-defined).
+# At 100 TB: the daily table is tiny (days x series), so the window
+# sort is trivial; the heavy lifting is the first aggregate, which
+# partial-aggregates before its one shuffle.
+# ---------------------------------------------------------------------------
+ANOM_WINDOW = 7  # trailing days in the baseline
+ANOM_Z = 3.0
+
+
+@query(
+    "q113_rolling_anomaly",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             SUM(CAST(value AS DECIMAL(18,2))) AS total_dec
+      FROM events GROUP BY 1, 2
+    ),
+    framed AS (
+      SELECT event_type, day,
+             CAST(total_dec AS DOUBLE) AS daily_total,
+             COUNT(*) OVER w AS n_base,
+             CAST(SUM(CAST(total_dec AS DECIMAL(18,2))) OVER w AS DOUBLE)
+               AS s_base,
+             CAST(SUM(CAST(total_dec AS DECIMAL(18,2))
+                      * CAST(total_dec AS DECIMAL(18,2))) OVER w AS DOUBLE)
+               AS ss_base
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN {ANOM_WINDOW} PRECEDING AND 1 PRECEDING)
+    ),
+    scored AS (
+      SELECT event_type, day, daily_total, n_base,
+             s_base / n_base AS base_mean,
+             sqrt(greatest(
+               (ss_base - n_base * (s_base / n_base) * (s_base / n_base))
+                 / (n_base - 1), 0.0)) AS base_std
+      FROM framed
+      WHERE n_base >= 2
+    )
+    SELECT event_type, day, daily_total, n_base, base_mean, base_std,
+           CASE WHEN base_std > 0
+                THEN (daily_total - base_mean) / base_std END AS z,
+           CAST(CASE WHEN base_std > 0
+                      AND abs((daily_total - base_mean) / base_std) > {ANOM_Z}
+                     THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+    FROM scored
+    ORDER BY event_type, day
+    """,
+)
+def q113_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.sum(F.col("value").cast(DEC)).alias("total_dec"))
+    td = F.col("total_dec").cast(DEC)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-ANOM_WINDOW, -1)
+    )
+    framed = daily.select(
+        "event_type",
+        "day",
+        F.col("total_dec").cast("double").alias("daily_total"),
+        F.count("*").over(w).alias("n_base"),
+        F.sum(td).over(w).cast("double").alias("s_base"),
+        F.sum(td * td).over(w).cast("double").alias("ss_base"),
+    )
+    mean = F.col("s_base") / F.col("n_base")
+    # identical IEEE sequence to the oracle: (ss - n*mean*mean)/(n-1)
+    var = (
+        F.col("ss_base") - F.col("n_base") * mean * mean
+    ) / (F.col("n_base") - 1)
+    scored = framed.where(F.col("n_base") >= 2).select(
+        "event_type",
+        "day",
+        "daily_total",
+        "n_base",
+        mean.alias("base_mean"),
+        F.sqrt(F.greatest(var, F.lit(0.0))).alias("base_std"),
+    )
+    z = (F.col("daily_total") - F.col("base_mean")) / F.col("base_std")
+    return scored.select(
+        "event_type",
+        "day",
+        "daily_total",
+        "n_base",
+        "base_mean",
+        "base_std",
+        F.when(F.col("base_std") > 0, z).alias("z"),
+        F.when((F.col("base_std") > 0) & (F.abs(z) > ANOM_Z), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("is_anomaly"),
+    ).orderBy("event_type", "day")

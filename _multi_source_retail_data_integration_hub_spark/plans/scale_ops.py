@@ -268,6 +268,96 @@ def _q81_sql() -> str:
     """
 
 
+# ---------------------------------------------------------------------------
+# q110 — Bloom-filter membership with a no-false-negative contract
+# (operators/sketches.py::bloom_words/bloom_probe), completing the
+# deterministic-sketch family: q81 CMS = frequency, q110 bloom =
+# membership (q35 HLL = cardinality, q49 GK = quantiles are the
+# engine-internal members).
+#
+# Capability class: incremental-ingest dedup at 100 TB — "is this
+# incoming fingerprint already in the historical corpus?" without
+# shuffling the probe batch against the N-billion-row history. The
+# filter is <= BF_BITS/32 rows (a few KB) and broadcasts; probe rows
+# never shuffle. "No" is definitive (the bloom theorem: every inserted
+# item set all k of its bits); "maybe" falls through to the exact
+# check on a bounded-FPR fraction of rows.
+#
+# The seeded-md5 construction is engine-reproducible, so the DuckDB
+# oracle rebuilds the filter word-for-word and the per-item verdicts
+# are value-hash-compared via the (truly_in, might_contain) confusion
+# matrix. The contract shows up structurally: a (truly_in=1,
+# might_contain=0) cell CANNOT exist, and since the matrix itself is
+# hash-compared, any engine drift that produced a false negative
+# fails the driver gate. The false-positive cell (0,1) is expected
+# and small — observed_fpr rides along as an exact-integer ratio.
+# ---------------------------------------------------------------------------
+_Q110_BUILD_PRED = "doc_id % 3 <> 0"  # "historical" two-thirds of the corpus
+
+
+def _q110_sql() -> str:
+    def bit(seed_expr: str, item: str) -> str:
+        return (
+            f"CAST('0x' || substr(md5('bf' || {seed_expr} || ':' || {item}), 1, 8) "
+            f"AS BIGINT) % {SK.BF_BITS}"
+        )
+
+    wb = SK.BF_WORD_BITS
+    return f"""
+    WITH items AS (
+      SELECT md5(text) AS h FROM documents WHERE {_Q110_BUILD_PRED}
+    ),
+    melted AS (
+      SELECT {bit("i", "h")} AS bit
+      FROM items, (SELECT unnest(range(0, {SK.BF_HASHES})) AS i)
+    ),
+    words AS (
+      SELECT bit // {wb} AS word_idx,
+             bit_or(1::BIGINT << CAST(bit % {wb} AS INT)) AS word
+      FROM melted GROUP BY 1
+    ),
+    probes AS (
+      SELECT md5(text) AS h,
+             CAST(MAX(CASE WHEN {_Q110_BUILD_PRED} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS truly_in
+      FROM documents GROUP BY 1
+    ),
+    pm AS (
+      SELECT h, truly_in, {bit("i", "h")} AS bit
+      FROM probes, (SELECT unnest(range(0, {SK.BF_HASHES})) AS i)
+    ),
+    verdict AS (
+      SELECT pm.h, pm.truly_in,
+             CAST(MIN(CASE WHEN (COALESCE(w.word, 0)
+                                 & (1::BIGINT << CAST(pm.bit % {wb} AS INT)))
+                            <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS might_contain
+      FROM pm LEFT JOIN words w ON w.word_idx = pm.bit // {wb}
+      GROUP BY 1, 2
+    )
+    SELECT truly_in, might_contain, COUNT(*) AS n_items
+    FROM verdict GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+
+@query("q110_bloom_membership", oracle=_q110_sql())
+def q110_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    build = F.col("doc_id") % 3 != 0
+    # no .distinct() before the build: bit_or is idempotent, so dup
+    # fingerprints cost nothing and the distinct's shuffle is saved
+    hist = docs.where(build).select(F.md5("text").alias("h"))
+    words = SK.bloom_words(hist, "h")
+    probes = docs.groupBy(F.md5("text").alias("h")).agg(
+        F.max(F.when(build, 1).otherwise(0)).cast("bigint").alias("truly_in")
+    )
+    verdict = SK.bloom_probe(probes, "h", words)
+    return (
+        verdict.groupBy("truly_in", "might_contain")
+        .agg(F.count("*").alias("n_items"))
+        .orderBy("truly_in", "might_contain")
+    )
+
+
 @query("q81_heavy_hitters", oracle=_q81_sql())
 def q81_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(load_table(spark, sf_dir, "documents"))

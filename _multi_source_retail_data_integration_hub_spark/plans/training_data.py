@@ -1328,3 +1328,137 @@ def q109_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vocab_size")
     )
+
+
+# ---------------------------------------------------------------------------
+# q112 — adjacent-token pair counts: the inner loop of BPE tokenizer
+# training. Capability class: tokenizer construction over the training
+# corpus — each BPE merge round picks the most frequent adjacent
+# symbol pair, merges it corpus-wide, and recounts; this query IS that
+# counting step (rounds iterate it with the learned merge applied,
+# exactly like connected_components iterates label propagation).
+#
+# Shape: pairs are formed INSIDE the array column with zero shuffle —
+# arrays_zip(toks, toks[2:]) pads the tail with null (dropped by the
+# filter), explode streams the pairs out, and the only shuffle is the
+# map-side-combined frequency aggregate, followed by
+# TakeOrderedAndProject for the top-k (never a global sort of the
+# pair vocabulary). At 100 TB the pair vocabulary is orders of
+# magnitude smaller than the corpus, and the partial aggregation
+# means each executor emits at most its local distinct pairs.
+# Ties (count DESC, pair ASC) pin a deterministic merge choice, which
+# real BPE trainers also need for reproducible vocabularies.
+# ---------------------------------------------------------------------------
+BPE_TOPK = 30
+
+
+@query(
+    "q112_bpe_pairs",
+    oracle=f"""
+    WITH pr AS (
+      SELECT p[1] || ' ' || p[2] AS pair
+      FROM (
+        SELECT unnest(list_zip(t, t[2:])) AS p
+        FROM (SELECT {_TOKS} AS t FROM documents)
+      )
+      WHERE p[2] IS NOT NULL
+    )
+    SELECT pair, COUNT(*) AS n_occurrences
+    FROM pr
+    GROUP BY 1
+    ORDER BY n_occurrences DESC, pair ASC
+    LIMIT {BPE_TOPK}
+    """,
+)
+def q112_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    toks = T.tokens(F.col("text"))
+    zipped = F.arrays_zip(
+        toks.alias("a"),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))).alias("b"),
+    )
+    return (
+        d.select(F.explode(zipped).alias("p"))
+        .where(F.col("p.b").isNotNull())
+        .select(F.concat_ws(" ", "p.a", "p.b").alias("pair"))
+        .groupBy("pair")
+        .agg(F.count("*").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("pair"))
+        .limit(BPE_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q114 — per-document rarity scoring against a corpus-level unigram
+# model. Capability class: LM-style quality filtering — documents
+# dominated by tokens the corpus has barely seen are OCR garbage,
+# boilerplate mutations, or mojibake; documents of only ultra-common
+# tokens are templates. Production pipelines threshold on exactly
+# these signals (a KenLM perplexity filter is this with smoothed
+# log-probs; the integer-exact rank statistics keep the oracle
+# hash-comparable where log() would drift in the last ulp).
+#
+# Shape: ONE tokenize+explode feeds both the model build (token ->
+# corpus count, map-side combined) and the scoring join; the join key
+# is the token, so both sides arrive hash-partitioned by token from
+# their preceding aggregates and the per-doc regroup is the only
+# extra shuffle. Nothing is collected; the unigram table stays
+# distributed (at 100 TB it has billions of types — broadcast would
+# be wrong, and the sort-merge/hash join on token is the scale path).
+# ---------------------------------------------------------------------------
+RARE_MAX_COUNT = 2  # corpus count <= 2 => "rare" token occurrence
+
+
+@query(
+    "q114_rare_token_score",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKS}) AS token FROM documents
+    ), freq AS (
+      SELECT token, COUNT(*) AS cnt FROM tok GROUP BY 1
+    )
+    SELECT t.doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(CASE WHEN f.cnt <= {RARE_MAX_COUNT} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_rare,
+           CAST(CAST(SUM(CASE WHEN f.cnt <= {RARE_MAX_COUNT} THEN 1 ELSE 0 END)
+                     AS BIGINT) AS DOUBLE) / COUNT(*) AS rare_frac,
+           CAST(SUM(f.cnt) AS BIGINT) AS sum_token_count,
+           CAST(CAST(SUM(f.cnt) AS BIGINT) AS DOUBLE) / COUNT(*)
+             AS mean_token_count
+    FROM tok t JOIN freq f ON f.token = t.token
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q114_rare_token_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    exploded = d.select(
+        "doc_id", F.explode(T.tokens(F.col("text"))).alias("token")
+    )
+    # one tokenize pass, two consumers (model build + scoring join)
+    exploded = exploded.localCheckpoint(eager=False)
+    freq = exploded.groupBy("token").agg(F.count("*").alias("cnt"))
+    rare = F.when(F.col("cnt") <= RARE_MAX_COUNT, 1).otherwise(0)
+    return (
+        exploded.join(freq, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(rare).cast("bigint").alias("n_rare"),
+            F.sum("cnt").cast("bigint").alias("sum_token_count"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_rare",
+            (F.col("n_rare").cast("double") / F.col("n_tokens")).alias(
+                "rare_frac"
+            ),
+            "sum_token_count",
+            (F.col("sum_token_count").cast("double") / F.col("n_tokens")).alias(
+                "mean_token_count"
+            ),
+        )
+        .orderBy("doc_id")
+    )

@@ -424,3 +424,56 @@ def test_snapshot_diff_statuses_partition_the_ids(spark):
     assert out.get("changed", 0) == n_changed
     assert sum(out.values()) == n_prev + n_added  # full id universe, once each
     assert out.get("unchanged", 0) == n_prev - n_deleted - n_changed
+
+
+def test_bloom_filter_properties(spark):
+    from _multi_source_retail_data_integration_hub_spark.operators import sketches as SK
+    import pyspark.sql.functions as F
+
+    members = spark.createDataFrame(
+        [(f"member-{i}",) for i in range(500)], "item string"
+    )
+    words = SK.bloom_words(members, "item")
+    # filter size bounded by bits/word_bits regardless of input size
+    assert words.count() <= SK.BF_BITS // SK.BF_WORD_BITS
+    # THE theorem: no false negatives, ever
+    probe_in = SK.bloom_probe(members, "item", words)
+    assert probe_in.where(F.col("might_contain") == 0).count() == 0
+    # false-positive rate bounded: 500 items in 16384 bits / 4 hashes
+    # has theoretical FPR ~2e-4; allow 100x headroom
+    outsiders = spark.createDataFrame(
+        [(f"outsider-{i}",) for i in range(2000)], "item string"
+    )
+    fp = SK.bloom_probe(outsiders, "item", words).where(
+        F.col("might_contain") == 1
+    ).count()
+    assert fp / 2000 <= 0.02
+    # mergeable state: bit_or of two shard filters == filter of union
+    a = spark.createDataFrame([(f"member-{i}",) for i in range(250)], "item string")
+    b = spark.createDataFrame([(f"member-{i}",) for i in range(250, 500)], "item string")
+    merged = (
+        SK.bloom_words(a, "item")
+        .unionByName(SK.bloom_words(b, "item"))
+        .groupBy("word_idx")
+        .agg(F.bit_or("word").alias("word"))
+    )
+    assert {tuple(r) for r in merged.collect()} == {
+        tuple(r) for r in words.collect()
+    }
+
+
+def test_bloom_probe_unseen_word_index(spark):
+    """A probe item whose bits fall in words the build never wrote must
+    read as a miss (LEFT join + coalesce(0)), not vanish from output."""
+    from _multi_source_retail_data_integration_hub_spark.operators import sketches as SK
+
+    one = spark.createDataFrame([("only",)], "item string")
+    words = SK.bloom_words(one, "item")  # at most 4 word rows
+    out = SK.bloom_probe(
+        spark.createDataFrame([("only",), ("never-inserted",)], "item string"),
+        "item",
+        words,
+    ).collect()
+    got = {r.item: r.might_contain for r in out}
+    assert got["only"] == 1
+    assert got["never-inserted"] == 0
