@@ -58,19 +58,42 @@ def partial_order_mart(orders: DataFrame) -> DataFrame:
     )
 
 
-def merge_order_mart(base: DataFrame, delta: DataFrame) -> DataFrame:
-    """Cell-wise merge of two partial states (full outer union-merge:
-    groups present only in one side pass through unchanged)."""
+#: combine function per partial-state column kind (every one a
+#: commutative monoid, which is what makes the state mergeable)
+_COMBINE = {"sum": F.sum, "min": F.min, "max": F.max}
+
+
+def merge_partials(
+    base: DataFrame,
+    delta: DataFrame,
+    keys: list[str],
+    merges: dict[str, str],
+) -> DataFrame:
+    """Cell-wise merge of two partial aggregate states (full outer
+    union-merge: groups present only in one side pass through
+    unchanged). ``merges`` maps each partial column to its combine
+    op: counts and sums merge with 'sum', extrema with 'min'/'max'.
+    Shared by the batch refresh (q111) and the streaming
+    foreachBatch mart sink (streaming/jobs.py::foreach_batch_mart_merge).
+    """
     return (
         base.unionByName(delta)
-        .groupBy("order_month", "order_status")
-        .agg(
-            F.sum("n_orders").alias("n_orders"),
-            F.sum("sum_price").alias("sum_price"),
-            F.min("min_price").alias("min_price"),
-            F.max("max_price").alias("max_price"),
-        )
+        .groupBy(*keys)
+        .agg(*[_COMBINE[op](c).alias(c) for c, op in merges.items()])
     )
+
+
+ORDER_MART_KEYS = ["order_month", "order_status"]
+ORDER_MART_MERGES = {
+    "n_orders": "sum",
+    "sum_price": "sum",
+    "min_price": "min",
+    "max_price": "max",
+}
+
+
+def merge_order_mart(base: DataFrame, delta: DataFrame) -> DataFrame:
+    return merge_partials(base, delta, ORDER_MART_KEYS, ORDER_MART_MERGES)
 
 
 @query(

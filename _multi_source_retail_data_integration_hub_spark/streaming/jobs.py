@@ -334,3 +334,90 @@ def write_stream_parquet(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     return writer.start()
+
+
+def apply_mart_batch(
+    spark: SparkSession,
+    table: str,
+    delta_partials: DataFrame,
+    batch_id: int,
+    merge_fn,
+) -> bool:
+    """Idempotent, exactly-once application of one micro-batch's PARTIAL
+    aggregates to a stored mart table. Returns False when the batch was
+    already applied (checkpoint replay after a post-commit crash).
+
+    Unlike foreach_batch_upsert (whose anti-join merge is naturally
+    idempotent — replaying a batch upserts the same rows), a
+    partial-aggregate merge is NOT: replaying a batch would add its
+    counts and sums twice. The guard is the standard foreachBatch
+    transactionality pattern: the applied batch id is committed
+    ATOMICALLY with the data (an ``_applied_batch`` column on every
+    row, swapped in with the same stage-then-swap as the data), so
+    whatever snapshot a replay observes, the guard and the data agree.
+    Crash before the swap -> replay re-merges against the old snapshot
+    (old id) and applies; crash after -> replay sees its own id and
+    skips. On Delta/Iceberg the same body is one MERGE + a txn
+    property.
+    """
+    staging = f"{table}__staging"
+    if not spark.catalog.tableExists(table) and spark.catalog.tableExists(staging):
+        # crashed between drop and rename: staging IS the committed
+        # snapshot (its _applied_batch proves which batch it includes)
+        spark.sql(f"ALTER TABLE {staging} RENAME TO {table}")
+    if spark.catalog.tableExists(table):
+        current = spark.table(table)
+        last = current.agg(F.max("_applied_batch")).first()[0]
+        if last is not None and last >= batch_id:
+            return False  # replayed batch: already folded into state
+        merged = merge_fn(current.drop("_applied_batch"), delta_partials)
+    else:
+        merged = delta_partials
+    stamped = merged.withColumn("_applied_batch", F.lit(batch_id).cast("bigint"))
+    stamped = stamped.localCheckpoint()  # break self-reference before overwrite
+    stamped.write.mode("overwrite").saveAsTable(staging)
+    if spark.catalog.tableExists(table):
+        spark.sql(f"DROP TABLE {table}")
+    spark.sql(f"ALTER TABLE {staging} RENAME TO {table}")
+    spark.catalog.refreshTable(table)
+    return True
+
+
+def foreach_batch_mart_merge(
+    stream_df: DataFrame,
+    table: str,
+    checkpoint_dir: str,
+    partial_fn,
+    merge_fn,
+) -> "object":
+    """Streaming materialized-view maintenance: keep an aggregate mart
+    fresh under continuous ingest by merging each micro-batch's partial
+    aggregates into stored state — the streaming twin of the batch
+    refresh in plans/incremental.py (q111), built from the same
+    merge function.
+
+    ``partial_fn(batch_df)`` computes the mergeable partial state of
+    one micro-batch (count / decimal-exact sum / min / max per group);
+    ``merge_fn(base, delta)`` is the cell-wise combine
+    (plans/incremental.py::merge_partials). Each batch therefore costs
+    O(|batch| + |mart|), never O(|history|) — the 100 TB contract: the
+    raw fact stream is touched exactly once per row, forever.
+
+    Exactly-once: see apply_mart_batch (batch-id stamped atomically
+    with the data; checkpoint replays skip).
+    """
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        apply_mart_batch(
+            batch_df.sparkSession, table, partial_fn(batch_df), batch_id, merge_fn
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(_merge)
+        .option(
+            "checkpointLocation", os.path.join(checkpoint_dir, f"cp_mart_{table}")
+        )
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )

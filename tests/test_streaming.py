@@ -198,3 +198,78 @@ def test_foreach_batch_upsert_promotes_orphaned_staging(spark, events_stream, tm
     # and the streamed keys are all present too
     n_users = load_table(spark, SF_DIR, "events").select("user_id").distinct().count()
     assert out.where(F.col("user_id") != -999).count() == n_users
+
+
+def _event_partials(df):
+    return df.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+        F.min(F.col("value").cast("decimal(18,2)")).alias("min_value"),
+        F.max(F.col("value").cast("decimal(18,2)")).alias("max_value"),
+    )
+
+
+def _event_merge(base, delta):
+    from _multi_source_retail_data_integration_hub_spark.plans.incremental import (
+        merge_partials,
+    )
+
+    return merge_partials(
+        base,
+        delta,
+        keys=["event_type"],
+        merges={
+            "n_events": "sum",
+            "sum_value": "sum",
+            "min_value": "min",
+            "max_value": "max",
+        },
+    )
+
+
+def test_streaming_mart_merge_matches_batch(spark, tmp_path):
+    """Multi-batch streaming mart maintenance == one-shot batch
+    aggregate: two files drained one per micro-batch, partials merged
+    into stored state, final mart identical to the full aggregate."""
+    events = load_table(spark, SF_DIR, "events")
+    src = str(tmp_path / "src")
+    half = F.col("event_id") % 2
+    events.where(half == 0).write.mode("overwrite").parquet(src + "/a.parquet")
+    events.where(half == 1).write.mode("overwrite").parquet(src + "/b.parquet")
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    q = jobs.foreach_batch_mart_merge(
+        stream, "mart_events_t", str(tmp_path / "cp"), _event_partials, _event_merge
+    )
+    assert q.awaitTermination(300)
+    got = spark.table("mart_events_t")
+    # multiple micro-batches actually merged (not one big batch)
+    assert got.agg(F.max("_applied_batch")).first()[0] >= 1
+    cols = ["event_type", "n_events", "sum_value", "min_value", "max_value"]
+    want = _event_partials(events)
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_apply_mart_batch_replay_is_noop(spark):
+    """Replaying an already-committed batch id (crash-after-commit
+    recovery) must change nothing; the next id applies normally."""
+    d1 = _event_partials(
+        spark.createDataFrame(
+            [("click", 1.0), ("click", 3.0)], "event_type string, value double"
+        )
+    )
+    applied = jobs.apply_mart_batch(spark, "mart_replay_t", d1, 0, _event_merge)
+    assert applied
+    cols = ["event_type", "n_events", "sum_value", "min_value", "max_value"]
+    snap = _rows(spark.table("mart_replay_t"), cols)
+    # replay of batch 0: skipped, state unchanged
+    assert not jobs.apply_mart_batch(spark, "mart_replay_t", d1, 0, _event_merge)
+    assert _rows(spark.table("mart_replay_t"), cols) == snap
+    # batch 1 applies: counts double
+    assert jobs.apply_mart_batch(spark, "mart_replay_t", d1, 1, _event_merge)
+    row = spark.table("mart_replay_t").collect()[0]
+    assert row.n_events == 4 and float(row.sum_value) == 8.0
