@@ -33,6 +33,7 @@ from _multi_source_retail_data_integration_hub_spark.plans import (  # noqa: E40
     grouped_map,  # registers q39..q40, q61 (grouped map, frame windows, cogroup)
     incremental,  # registers q111 (mergeable-partial mart refresh)
     multimodal_plan,  # registers q32, q59-q60 (binary payload features, frames)
+    quality,  # registers q115 (declarative data-quality expectations)
     rollups,  # registers q38, q46 (rollup, cube)
     scale_ops,  # registers q33..q35, q45, q49 (JSON, salted agg, sketches, sampling)
     scd2_query,  # registers q77 (oracle-checked SCD2 merge)
