@@ -227,10 +227,22 @@ def _event_merge(base, delta):
     )
 
 
+def _drop_managed(spark, *tables):
+    """Catalog entries die with the session but spark-warehouse dirs
+    persist — remove BOTH or a rerun's RENAME hits
+    LOCATION_ALREADY_EXISTS (same hygiene as the upsert tests)."""
+    import shutil
+
+    for t in tables:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+
+
 def test_streaming_mart_merge_matches_batch(spark, tmp_path):
     """Multi-batch streaming mart maintenance == one-shot batch
     aggregate: two files drained one per micro-batch, partials merged
     into stored state, final mart identical to the full aggregate."""
+    _drop_managed(spark, "mart_events_t", "mart_events_t__staging")
     events = load_table(spark, SF_DIR, "events")
     src = str(tmp_path / "src")
     half = F.col("event_id") % 2
@@ -257,6 +269,7 @@ def test_streaming_mart_merge_matches_batch(spark, tmp_path):
 def test_apply_mart_batch_replay_is_noop(spark):
     """Replaying an already-committed batch id (crash-after-commit
     recovery) must change nothing; the next id applies normally."""
+    _drop_managed(spark, "mart_replay_t", "mart_replay_t__staging")
     d1 = _event_partials(
         spark.createDataFrame(
             [("click", 1.0), ("click", 3.0)], "event_type string, value double"
