@@ -369,3 +369,77 @@ def test_chunking_covers_document(spark, n_tokens):
         assert starts[i + 1] - starts[i] == _STEP
         if lens[i] == CHUNK_TOKENS:
             assert starts[i] + CHUNK_TOKENS - starts[i + 1] == CHUNK_OVERLAP
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter: no false negatives on ANY member set; outsiders only
+# ever false-positive (never dropped). merge_partials: any split of
+# the rows into base/delta merges to the full aggregate.
+# ---------------------------------------------------------------------------
+items_strategy = st.lists(
+    st.text(alphabet="abcdefgh0123456789", min_size=1, max_size=12),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(members=items_strategy, probes=items_strategy)
+@settings(**SETTINGS)
+def test_bloom_never_false_negative(spark, members, probes):
+    from _multi_source_retail_data_integration_hub_spark.operators import (
+        sketches as SK,
+    )
+
+    mdf = spark.createDataFrame([(m,) for m in members], "item string")
+    words = SK.bloom_words(mdf, "item")
+    out = SK.bloom_probe(
+        spark.createDataFrame([(p,) for p in set(members) | set(probes)], "item string"),
+        "item",
+        words,
+    )
+    got = {r.item: r.might_contain for r in out.collect()}
+    # every probe row surfaced, and every true member says "maybe"
+    assert set(got) == set(members) | set(probes)
+    assert all(got[m] == 1 for m in members)
+
+
+sales_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=59),  # day offset within 2 months
+        st.sampled_from(["O", "F", "P"]),
+        st.floats(min_value=0.01, max_value=9999, allow_nan=False),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(rows=sales_strategy, split=st.integers(min_value=0, max_value=40))
+@settings(**SETTINGS)
+def test_merge_partials_equals_full_on_any_split(spark, rows, split):
+    import datetime as dt
+
+    from _multi_source_retail_data_integration_hub_spark.plans.incremental import (
+        merge_order_mart,
+        partial_order_mart,
+    )
+
+    def df(rws):
+        return spark.createDataFrame(
+            [
+                (dt.date(1995, 1, 1) + dt.timedelta(days=d), s, round(p, 2))
+                for d, s, p in rws
+            ],
+            "o_orderdate date, o_orderstatus string, o_totalprice double",
+        )
+
+    base, delta = rows[:split], rows[split:]
+    full = partial_order_mart(df(rows))
+    # an empty side must be a clean no-op of the merge (df([]) with an
+    # explicit schema gives empty partials, not a special case)
+    merged = merge_order_mart(
+        partial_order_mart(df(base)), partial_order_mart(df(delta))
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, full.collect())
+    )
