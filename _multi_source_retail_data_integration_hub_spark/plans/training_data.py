@@ -1462,3 +1462,93 @@ def q114_rare_token_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q116 — near-dup DEDUP APPLY: the materialization step every training
+# pipeline runs after the detection machinery. q24 finds candidate
+# pairs, q53 shows clustering, q19 scores quality — this query composes
+# them into the actual decision: per near-dup cluster keep exactly one
+# SURVIVOR, chosen by quality score (tie-broken on id so the choice is
+# reproducible across engines and reruns), and mark the rest for drop.
+# "Keep best" rather than q17/q56's "keep min-id": for NEAR-dups the
+# cluster members differ (truncations, boilerplate mutations) and
+# production pipelines keep the highest-quality variant, not an
+# arbitrary one.
+#
+# Shape: signatures materialized once -> banded LSH self-join (capped)
+# -> iterative min-label propagation -> one shuffle to join scores ->
+# one per-cluster window for the survivor rank. Output is restricted
+# to clustered docs (singletons are implicitly kept; at 100 TB the
+# drop-list join back to the corpus is a broadcast-or-shuffle semi
+# join on id). The DuckDB twin replays the whole composition —
+# signatures, banding, a recursive-CTE fixpoint, scoring, and the
+# survivor window — so the driver's hash compare audits the dedup
+# DECISION, not just its ingredients.
+# ---------------------------------------------------------------------------
+def _keep_best_sql() -> str:
+    return f"""
+    WITH RECURSIVE {_sig_ctes()},
+    sigb AS (
+      SELECT id,
+           {_band_exprs()}
+      FROM sig0
+    ),
+    cand AS (
+{_per_band_union("sigb")}
+    ),
+    edges AS (SELECT id_a AS a, id_b AS b FROM cand
+              UNION SELECT id_b, id_a FROM cand),
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    walk AS (
+      SELECT node, node AS reach FROM nodes
+      UNION
+      SELECT w.node, e.b AS reach FROM walk w JOIN edges e ON e.a = w.reach
+    ),
+    labels AS (SELECT node, MIN(reach) AS cluster_id FROM walk GROUP BY 1),
+    m AS (
+      SELECT id,
+             least(length(text) / 500.0, 1.0) AS len_credit,
+             len(list_distinct({_TOKS})) / NULLIF(len({_TOKS}), 0) AS diversity,
+             least(len(list_filter({_TOKS},
+                     t -> lower(t) IN ('the','a','of','and','to'))) / NULLIF(len({_TOKS}), 0) * 5,
+                   1.0) AS stop_credit
+      FROM corpus
+    ),
+    scored AS (
+      SELECT l.node AS id, l.cluster_id,
+             (m.len_credit + m.diversity + m.stop_credit) / 3 AS quality_score
+      FROM labels l JOIN m ON m.id = l.node
+    )
+    SELECT id, cluster_id, quality_score,
+           CAST(ROW_NUMBER() OVER (
+                  PARTITION BY cluster_id
+                  ORDER BY quality_score DESC, id ASC) = 1 AS BIGINT) AS kept
+    FROM scored
+    ORDER BY cluster_id, id
+    """
+
+
+@query("q116_neardup_keep_best", oracle=_keep_best_sql())
+def q116_neardup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import connected_components
+
+    corpus = _mutated(spark, sf_dir)
+    sig = T.minhash_signatures(corpus, "text", "id").localCheckpoint()
+    pairs = T.lsh_candidate_pairs(sig, "id")
+    labels = connected_components(pairs, "id_a", "id_b")
+    quality = T.quality_score(corpus, "text", "id")
+    scored = labels.join(
+        quality, labels["node"] == quality["id"]
+    ).select(
+        quality["id"], labels["cluster_id"], quality["quality_score"]
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("quality_score"), F.asc("id")
+    )
+    return (
+        scored.withColumn(
+            "kept", (F.row_number().over(w) == 1).cast("bigint")
+        )
+        .orderBy("cluster_id", "id")
+    )
