@@ -85,3 +85,34 @@ def test_runtime_bloom_filter_prunes_fact_side(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_bloom_probe_plan_broadcasts_filter(spark):
+    """q110's scale contract: the bloom words table broadcasts and the
+    probe side joins it without a shuffle of the probe rows."""
+    from _multi_source_retail_data_integration_hub_spark.plans.scale_ops import (
+        q110_bloom_membership,
+    )
+
+    df = q110_bloom_membership(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # LEFT outer: a missing word row must read as bit=0, not drop rows
+    assert "LeftOuter" in plan
+
+
+def test_bpe_pairs_plan_is_topk_not_global_sort(spark):
+    """q112's scale contract: pair formation happens inside the array
+    column (no shuffle before the frequency aggregate) and the top-k is
+    TakeOrderedAndProject, never a global sort of the pair vocabulary."""
+    from _multi_source_retail_data_integration_hub_spark.plans.training_data import (
+        q112_bpe_pairs,
+    )
+
+    df = q112_bpe_pairs(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    # exactly two exchanges: the fan-out repartition + the frequency
+    # aggregate's partial->final shuffle; a third would mean the pair
+    # formation itself shuffled
+    assert plan.count("Exchange") <= 2
