@@ -52,14 +52,14 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # data generation).  This round the window rotates to the 30 queries whose
 # driver rows are from the r1/r2 testdata generations, so every query ends
 # up with a driver-green row on a current generation.  Queries new this
-# round register right after, then the r3-covered set backfills.  With 35
+# round register right after, then the r3-covered set backfills.  With 36
 # new queries this round, the window (30 stale + 20 new) cannot hold all
-# of them: q89-q99 (classic TPC-H shapes, the lowest-novelty members)
-# plus q102-q105 overflow and get their first driver rows next round;
-# the window's 20 new slots go to the novel operators (sketches,
-# incremental maintenance, corpus ops, expectations).  All 115 are
+# of them: q88-q99 (classic TPC-H shapes, the lowest-novelty members)
+# plus q102-q105 overflow and get their first driver rows next
+# round; the window's 20 new slots go to the novel operators (sketches,
+# incremental maintenance, corpus ops, expectations).  All 116 are
 # green via ``tools/check_oracle.py`` on current sf0.01 data (run it
-# to reproduce; the full sweep takes ~9 min).
+# to reproduce; the full sweep takes ~10 min).
 _PRIORITY = [
     # driver rows from r1/r2 testdata generations -> refresh this round
     "q14_quantiles",
