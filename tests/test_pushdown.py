@@ -116,3 +116,28 @@ def test_bpe_pairs_plan_is_topk_not_global_sort(spark):
     # aggregate's partial->final shuffle; a third would mean the pair
     # formation itself shuffled
     assert plan.count("Exchange") <= 2
+
+
+def test_dynamic_partition_pruning_on_fact_dim_join(spark, tmp_path):
+    """DPP: when the dim-side filter is only known at runtime, the fact
+    scan must still prune partitions — Catalyst plants a dynamic-pruning
+    subquery on the fact's partition column (the flagship star-schema
+    scan optimization at 100 TB: a month-filtered dim prunes years of
+    fact partitions before any fact bytes are read)."""
+    fact_path = str(tmp_path / "fact")
+    spark.range(0, 20_000).select(
+        F.col("id"),
+        (F.col("id") % 20).alias("date_key"),
+        (F.col("id") % 7).cast("double").alias("amount"),
+    ).write.partitionBy("date_key").mode("overwrite").parquet(fact_path)
+    fact = spark.read.parquet(fact_path)
+    dim = spark.range(0, 20).select(
+        F.col("id").alias("date_key"), (F.col("id") % 4).alias("month")
+    )
+    joined = fact.join(F.broadcast(dim), "date_key").where(F.col("month") == 2)
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    # and the answer matches the statically-filtered equivalent
+    keys = [r.date_key for r in dim.where(F.col("month") == 2).collect()]
+    want = fact.where(F.col("date_key").isin(keys)).count()
+    assert joined.count() == want
