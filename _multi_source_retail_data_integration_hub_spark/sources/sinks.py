@@ -85,10 +85,52 @@ def write_parquet(
     df: DataFrame, path: str, mode: str = "overwrite", partition_by: tuple[str, ...] = ()
 ) -> None:
     """File-based variant of S5 for catalogless deployments."""
-    writer = df.write.mode(mode)
+    write_files(df, path, "parquet", mode, partition_by)
+
+
+#: built-in columnar/row formats this engine round-trips without extra
+#: jars. Delta/Iceberg/Hudi need their connectors on the classpath —
+#: absent in this container, so they stay out of the supported set
+#: rather than behind silently-broken options.
+FILE_FORMATS = ("parquet", "orc", "json", "csv")
+
+
+def write_files(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: tuple[str, ...] = (),
+) -> None:
+    """Format-parameterized file sink (parquet/ORC stay columnar with
+    statistics + pushdown; JSON/CSV are the interchange row formats —
+    CSV writes a header so the read side reconstructs column names).
+    """
+    if fmt not in FILE_FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; one of {FILE_FORMATS}")
+    writer = df.write.mode(mode).format(fmt)
+    if fmt == "csv":
+        writer = writer.option("header", "true")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
-    writer.parquet(path)
+    writer.save(path)
+
+
+def read_files(spark, path: str, fmt: str = "parquet", schema=None) -> DataFrame:
+    """Format-parameterized scan twin of ``write_files``. Pass the
+    explicit ``schema`` for JSON/CSV in production — inference scans the
+    data once extra and can mis-type sparse columns; parquet/ORC carry
+    their schema in the footer."""
+    if fmt not in FILE_FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; one of {FILE_FORMATS}")
+    reader = spark.read.format(fmt)
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif fmt in ("json", "csv"):
+        reader = reader.option("inferSchema", "true")
+    if fmt == "csv":
+        reader = reader.option("header", "true")
+    return reader.load(path)
 
 
 def jdbc_write_options(
