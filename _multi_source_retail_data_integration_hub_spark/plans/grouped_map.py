@@ -291,3 +291,26 @@ def cogroup_timelines_grouped(purchases: DataFrame, errors: DataFrame) -> DataFr
     return purchases.groupBy("user_id").cogroup(errors.groupBy("user_id")).applyInPandas(
         compare, out_schema
     )
+
+
+def word_positions_udtf():
+    """Python UDTF exercise (Spark 4 API class: one input row -> many
+    typed output rows, usable from both DataFrame code and
+    ``spark.sql`` after ``spark.udtf.register``). Completes the Python
+    API matrix alongside scalar pandas UDF / grouped map / cogrouped
+    map / grouped agg / map_in_pandas / stateful.
+
+    NOT a hot-path operator: tokenization stays on the JVM everywhere
+    it matters (operators/text.py's posexplode+split plan) — the test
+    proves this UDTF is row-for-row equivalent to that native plan,
+    the same treatment as the other API exercises in this module.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word: string, pos: int")
+    class WordPositions:
+        def eval(self, text: str):
+            for i, w in enumerate((text or "").split()):
+                yield w, i
+
+    return WordPositions

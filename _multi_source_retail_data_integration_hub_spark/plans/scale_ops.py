@@ -385,3 +385,47 @@ def q81_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "within_bound"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# q117 — VARIANT-typed semi-structured extraction (Spark 4). q33 pulls
+# one path per access with get_json_object — each access re-parses the
+# JSON string. The scale pattern for wide/repeated access is parse ONCE
+# into the binary VARIANT encoding and extract typed fields with
+# variant_get: parsing cost is paid once per row regardless of how many
+# paths are read, and the binary form pushes through shuffles smaller
+# than the source text. The DuckDB twin reads the same stats off
+# json_extract — the engines' parse paths differ, the answers must not.
+# ---------------------------------------------------------------------------
+@query(
+    "q117_variant_props_stats",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           COUNT(CAST(json_extract(props, '$.k') AS BIGINT)) AS n_with_k,
+           MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+           MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS sum_k
+    FROM events
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q117_variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    parsed = events.select(
+        "event_type", F.parse_json("props").alias("v")
+    )
+    k = F.variant_get("v", "$.k", "bigint")
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count(k).alias("n_with_k"),
+            F.min(k).alias("min_k"),
+            F.max(k).alias("max_k"),
+            F.sum(k).cast("bigint").alias("sum_k"),
+        )
+        .orderBy("event_type")
+    )

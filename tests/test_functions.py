@@ -243,3 +243,43 @@ def test_grouped_agg_udaf_matches_jvm_twin(spark):
     assert set(udaf) == set(jvm)
     for g in udaf:
         assert udaf[g] == pytest.approx(jvm[g], rel=1e-12)
+
+
+def test_word_positions_udtf_matches_native_plan(spark):
+    """The Spark-4 Python UDTF exercise is row-for-row identical to the
+    JVM posexplode(split()) plan the engine actually uses for
+    tokenization (plans/grouped_map.py::word_positions_udtf)."""
+    from _multi_source_retail_data_integration_hub_spark.plans.grouped_map import (
+        word_positions_udtf,
+    )
+
+    WordPositions = word_positions_udtf()
+    spark.udtf.register("word_positions", WordPositions)
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, ""), (3, None), (4, "one")],
+        "id long, text string",
+    )
+    docs.createOrReplaceTempView("udtf_docs")
+    got = spark.sql(
+        """
+        SELECT d.id, w.word, w.pos
+        FROM udtf_docs d, LATERAL word_positions(d.text) w
+        ORDER BY d.id, w.pos
+        """
+    ).collect()
+    want = (
+        docs.select(
+            "id",
+            F.posexplode(
+                F.when(
+                    F.length(F.trim("text")) > 0, F.split(F.trim("text"), r"\s+")
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("pos", "word"),
+        )
+        .select("id", "word", "pos")
+        .orderBy("id", "pos")
+        .collect()
+    )
+    assert [(r.id, r.word, r.pos) for r in got] == [
+        (r.id, r.word, r.pos) for r in want
+    ]
