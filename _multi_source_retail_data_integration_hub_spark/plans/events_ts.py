@@ -623,3 +623,128 @@ def q113_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("is_anomaly"),
     ).orderBy("event_type", "day")
+
+
+# ---------------------------------------------------------------------------
+# q119 — consecutive-day purchase streaks via NATIVE RECURSIVE CTE
+# (Spark 4 WITH RECURSIVE — a SQL operator class this engine gains over
+# Spark 3; DuckDB runs the identical recursion, so the fixpoint itself
+# is differentially verified). The recursion follows FUNCTIONAL edges —
+# each (user, day) has at most one successor (user, day+1) — so depth
+# equals the longest streak and rows grow linearly (no transitive
+# blow-up; Spark refuses UNION-distinct recursion, and with edges like
+# these none is needed).
+#
+# Scale notes: gaps-and-islands via window functions (q30) is the
+# preferred O(one shuffle) plan for unbounded streak lengths; the
+# recursive form is the right tool when each step must CONSULT other
+# tables or apply non-monoidal logic per hop (pricing chains,
+# escalation policies). Depth is bounded by
+# spark.sql.cteRecursionLevelLimit (default 100; observed max streak is
+# 9 at sf0.1 and grows ~logarithmically with events per user — raise
+# the conf for pathological bot cohorts).
+# ---------------------------------------------------------------------------
+@query(
+    "q119_purchase_streaks",
+    oracle="""
+    WITH RECURSIVE daily AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events WHERE event_type = 'purchase'
+    ),
+    starts AS (
+      SELECT d.user_id, d.day
+      FROM daily d LEFT JOIN daily p
+        ON p.user_id = d.user_id AND p.day = d.day - 1
+      WHERE p.day IS NULL
+    ),
+    chain AS (
+      SELECT user_id, day AS start_day, day AS cur_day, 1 AS len FROM starts
+      UNION ALL
+      SELECT c.user_id, c.start_day, n.day, c.len + 1
+      FROM chain c JOIN daily n
+        ON n.user_id = c.user_id AND n.day = c.cur_day + 1
+    ),
+    streaks AS (
+      SELECT user_id, start_day, MAX(len) AS streak_len
+      FROM chain GROUP BY 1, 2
+    )
+    SELECT user_id,
+           COUNT(*) AS n_streaks,
+           CAST(MAX(streak_len) AS BIGINT) AS longest_streak,
+           CAST(SUM(streak_len) AS BIGINT) AS purchase_days
+    FROM streaks GROUP BY 1 ORDER BY 1
+    """,
+)
+def q119_purchase_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    events.where(F.col("event_type") == "purchase").select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).distinct().createOrReplaceTempView("q119_daily")
+    return spark.sql(
+        """
+        WITH RECURSIVE starts AS (
+          SELECT d.user_id, d.day
+          FROM q119_daily d LEFT JOIN q119_daily p
+            ON p.user_id = d.user_id AND p.day = date_sub(d.day, 1)
+          WHERE p.day IS NULL
+        ),
+        chain AS (
+          SELECT user_id, day AS start_day, day AS cur_day, 1 AS len
+          FROM starts
+          UNION ALL
+          SELECT c.user_id, c.start_day, n.day, c.len + 1
+          FROM chain c JOIN q119_daily n
+            ON n.user_id = c.user_id AND n.day = date_add(c.cur_day, 1)
+        ),
+        streaks AS (
+          SELECT user_id, start_day, MAX(len) AS streak_len
+          FROM chain GROUP BY 1, 2
+        )
+        SELECT user_id,
+               COUNT(*) AS n_streaks,
+               CAST(MAX(streak_len) AS BIGINT) AS longest_streak,
+               CAST(SUM(streak_len) AS BIGINT) AS purchase_days
+        FROM streaks GROUP BY 1 ORDER BY 1
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# q118 — LATERAL correlated subquery top-k (Spark 4 SQL surface): the
+# per-group top-k expressed as a correlated LATERAL (ORDER BY .. LIMIT
+# k per outer row) instead of the window row_number()<=k plan (q06/q16
+# family). Catalyst decorrelates it into a join + per-group limit —
+# the test of record is the DuckDB twin running the IDENTICAL lateral
+# SQL. Ties pinned (acctbal DESC, custkey ASC) so both engines pick
+# the same two customers per nation.
+# ---------------------------------------------------------------------------
+@query(
+    "q118_lateral_topk",
+    oracle="""
+    SELECT n.n_name AS nation, t.c_name, t.c_acctbal
+    FROM nation n,
+    LATERAL (
+      SELECT c_name, c_acctbal, c_custkey
+      FROM customer c
+      WHERE c.c_nationkey = n.n_nationkey
+      ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+    ) t
+    ORDER BY nation, t.c_acctbal DESC, t.c_name
+    """,
+)
+def q118_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation_lat_v")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_lat_v")
+    return spark.sql(
+        """
+        SELECT n.n_name AS nation, t.c_name, t.c_acctbal
+        FROM nation_lat_v n,
+        LATERAL (
+          SELECT c_name, c_acctbal, c_custkey
+          FROM customer_lat_v c
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+        ) t
+        ORDER BY nation, t.c_acctbal DESC, t.c_name
+        """
+    )
