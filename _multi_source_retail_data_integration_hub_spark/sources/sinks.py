@@ -289,3 +289,36 @@ def append_run_log(
 
 def current_run_id() -> str:
     return f"run_{int(time.time() * 1000)}"
+
+
+def observed_write(
+    df: DataFrame,
+    path: str,
+    metrics: dict[str, "F.Column"] | None = None,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: tuple[str, ...] = (),
+) -> dict:
+    """Write ``df`` and collect audit metrics from the SAME job via the
+    Observation API — zero extra passes over the data.
+
+    The reference's ETL pays separate COUNT actions for its run-log
+    numbers (etl/mysql_staging.py:98-109 logs rows_extracted /
+    rows_loaded after the load); at 100 TB a second pass over the fact
+    table just to count it doubles the scan bill. ``df.observe``
+    attaches aggregate expressions to the write's own execution — the
+    metrics are computed by the tasks that are already streaming the
+    rows to the sink and arrive on the driver with job completion.
+
+    ``metrics`` maps metric name -> aggregate Column (default: row
+    count). Returns the observed values; feed them straight to
+    ``append_run_log``.
+    """
+    from pyspark.sql import Observation
+
+    if metrics is None:
+        metrics = {"n_rows": F.count(F.lit(1))}
+    obs = Observation()
+    observed = df.observe(obs, *[c.alias(n) for n, c in metrics.items()])
+    write_files(observed, path, fmt, mode, partition_by)
+    return obs.get

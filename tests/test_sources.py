@@ -45,3 +45,30 @@ def test_file_format_round_trips(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         sinks.write_files(df, str(tmp_path / "x"), "avro")
+
+
+def test_observed_write_collects_metrics_in_one_pass(spark, tmp_path):
+    """observed_write: the run-log numbers come from the write job
+    itself (Observation API) — values match a separate aggregation but
+    cost zero extra scans."""
+    import pyspark.sql.functions as F
+
+    from _multi_source_retail_data_integration_hub_spark.sources import sinks
+
+    df = spark.range(0, 1_000).select(
+        "id", (F.col("id") % 5).cast("double").alias("v")
+    )
+    out = str(tmp_path / "obs")
+    got = sinks.observed_write(
+        df,
+        out,
+        metrics={
+            "n_rows": F.count(F.lit(1)),
+            "sum_v": F.sum(F.col("v").cast("decimal(18,2)")).cast("double"),
+            "n_null_v": F.sum(F.when(F.col("v").isNull(), 1).otherwise(0)),
+        },
+    )
+    assert got["n_rows"] == 1_000
+    assert got["sum_v"] == 2_000.0  # 0+1+2+3+4 repeated 200x
+    assert got["n_null_v"] == 0
+    assert spark.read.parquet(out).count() == 1_000
