@@ -80,3 +80,21 @@ def fetch_products_rest(spark: SparkSession, url: str, timeout: int = 30, extrac
     with urllib.request.urlopen(url, timeout=timeout) as resp:  # noqa: S310
         records = json.loads(resp.read().decode())
     return products_from_records(spark, records, extracted_at)
+
+
+def with_file_lineage(df: DataFrame) -> DataFrame:
+    """Per-ROW provenance from the scan itself: the hidden ``_metadata``
+    struct every file source carries (file path, name, size, mtime).
+    Finishes what ``_with_lineage``'s job-level ``_source`` stamp starts
+    — at 100 TB, "which input file produced this bad row" must come
+    from the reader for free, not from a bookkeeping join. Zero cost
+    until selected (constant-folded per input split), and it survives
+    only until the first shuffle unless projected — so call this
+    directly after the read, like the lineage stamp.
+    """
+    return df.withColumns(
+        {
+            "_source_file": F.col("_metadata.file_path"),
+            "_source_mtime": F.col("_metadata.file_modification_time"),
+        }
+    )

@@ -72,3 +72,28 @@ def test_observed_write_collects_metrics_in_one_pass(spark, tmp_path):
     assert got["sum_v"] == 2_000.0  # 0+1+2+3+4 repeated 200x
     assert got["n_null_v"] == 0
     assert spark.read.parquet(out).count() == 1_000
+
+
+def test_file_metadata_lineage_columns(spark, tmp_path):
+    """with_file_lineage surfaces the scan's hidden _metadata struct:
+    every row knows its input file — split-file writes must yield
+    exactly the file set on disk, and re-written rows re-resolve."""
+    import pyspark.sql.functions as F
+
+    from _multi_source_retail_data_integration_hub_spark.sources.retail import (
+        with_file_lineage,
+    )
+
+    p = str(tmp_path / "in")
+    spark.range(0, 100).repartition(3).write.parquet(p)
+    df = with_file_lineage(spark.read.parquet(p))
+    files = {r._source_file for r in df.select("_source_file").distinct().collect()}
+    import os
+
+    on_disk = {
+        "file:" + os.path.join(p, f)
+        for f in os.listdir(p)
+        if f.endswith(".parquet")
+    }
+    assert files == on_disk
+    assert df.where(F.col("_source_mtime").isNull()).count() == 0

@@ -63,3 +63,40 @@ def test_sql_joins_and_windows_over_views(spark):
     # the LAG chain is consistent: row N's prev_rev == row N-1's rev
     for prev, cur in zip(rows, rows[1:]):
         assert cur["prev_rev"] == prev["rev"]
+
+
+def test_pipe_syntax_matches_dataframe_plan(spark):
+    """Spark 4 SQL pipe syntax (FROM ... |> WHERE ... |> AGGREGATE)
+    produces exactly the classic plan's results."""
+    from _multi_source_retail_data_integration_hub_spark.sources.testdata import (
+        load_table,
+    )
+
+    load_table(spark, SF_DIR, "orders").createOrReplaceTempView("orders_pipe_v")
+    piped = spark.sql(
+        """
+        FROM orders_pipe_v
+        |> WHERE o_orderstatus = 'F'
+        |> AGGREGATE COUNT(*) AS n,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                       AS total
+           GROUP BY o_orderpriority
+        |> ORDER BY o_orderpriority
+        """
+    ).collect()
+    import pyspark.sql.functions as F
+
+    want = (
+        load_table(spark, SF_DIR, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+        .orderBy("o_orderpriority")
+        .collect()
+    )
+    assert [tuple(r) for r in piped] == [tuple(r) for r in want]
