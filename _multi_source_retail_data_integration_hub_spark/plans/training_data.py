@@ -1552,3 +1552,85 @@ def q116_neardup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id", "id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q120 — CROSS-document n-gram duplication: the exact-substring dedup
+# signal (Lee et al. 2022's "deduplicating training data" class) as a
+# bounded k-gram statistic. Distinct from q100 (repetition WITHIN one
+# doc) and q101 (overlap vs an EVAL set): here every doc is scored by
+# how much of it recurs verbatim elsewhere IN the training corpus —
+# boilerplate, license headers, syndicated passages. Pipelines drop or
+# down-weight high shared_frac docs before training.
+#
+# Shape: one shingle explode (linear in corpus tokens, the q23 cost
+# model), per-doc DISTINCT grams, one partial-agg shuffle for corpus
+# document frequency, then a gram-keyed join back — both sides arrive
+# hash-partitioned by gram from their aggregates. No pairwise join at
+# all: a gram shared by f docs costs f rows, never f² (the full
+# suffix-array construction would find arbitrary-length repeats;
+# fixed-k grams are the linear-cost scale approximation, and k=8
+# words ~ the 50-BPE-token threshold the paper uses).
+# ---------------------------------------------------------------------------
+XDOC_K = 8  # tokens per gram
+
+
+def _xdoc_grams_sql() -> str:
+    k = XDOC_K
+    return (
+        f"list_transform(range(1, len({_TOKS}) - {k - 2}), "
+        f"i -> array_to_string(list_slice({_TOKS}, i, i + {k - 1}), ' '))"
+    )
+
+
+@query(
+    "q120_crossdoc_dups",
+    oracle=f"""
+    WITH g AS (
+      SELECT DISTINCT doc_id, unnest({_xdoc_grams_sql()}) AS gram
+      FROM documents
+    ),
+    df AS (
+      SELECT gram, COUNT(*) AS n_docs FROM g GROUP BY 1
+    )
+    SELECT g.doc_id,
+           COUNT(*) AS n_grams,
+           CAST(SUM(CASE WHEN df.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared,
+           CAST(CAST(SUM(CASE WHEN df.n_docs >= 2 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS DOUBLE) / COUNT(*) AS shared_frac
+    FROM g JOIN df ON df.gram = g.gram
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q120_crossdoc_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    grams = (
+        d.select(
+            "doc_id",
+            F.explode(T.shingles(T.tokens(F.col("text")), XDOC_K)).alias("gram"),
+        )
+        .distinct()
+    )
+    # one explode, two consumers (corpus df + per-doc join back)
+    grams = grams.localCheckpoint(eager=False)
+    df_tab = grams.groupBy("gram").agg(F.count("*").alias("n_docs"))
+    shared = F.when(F.col("n_docs") >= 2, 1).otherwise(0)
+    return (
+        grams.join(df_tab, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(shared).cast("bigint").alias("n_shared"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_shared",
+            (F.col("n_shared").cast("double") / F.col("n_grams")).alias(
+                "shared_frac"
+            ),
+        )
+        .orderBy("doc_id")
+    )
