@@ -52,14 +52,15 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # data generation).  This round the window rotates to the 30 queries whose
 # driver rows are from the r1/r2 testdata generations, so every query ends
 # up with a driver-green row on a current generation.  Queries new this
-# round register right after, then the r3-covered set backfills.  With 36
+# round register right after, then the r3-covered set backfills.  With 40
 # new queries this round, the window (30 stale + 20 new) cannot hold all
-# of them: q88-q99 (classic TPC-H shapes, the lowest-novelty members)
-# plus q102-q105 overflow and get their first driver rows next
-# round; the window's 20 new slots go to the novel operators (sketches,
-# incremental maintenance, corpus ops, expectations).  All 116 are
-# green via ``tools/check_oracle.py`` on current sf0.01 data (run it
-# to reproduce; the full sweep takes ~10 min).
+# of them; _NEW_PRIORITY spends the 20 new slots on the novel operator
+# classes (sketches, incremental maintenance, expectations, dedup
+# apply, variant/lateral/recursive SQL, corpus ops) and lets the
+# classic TPC-H shapes (q82-q84, q86-q99, q102-q103) plus q109
+# overflow to next round's rotation.  All 120 are green via
+# ``tools/check_oracle.py`` on current sf0.01 data (run it to
+# reproduce; the full sweep takes ~10 min).
 _PRIORITY = [
     # driver rows from r1/r2 testdata generations -> refresh this round
     "q14_quantiles",
@@ -94,6 +95,33 @@ _PRIORITY = [
     "q63_median_impute",
 ]
 
+# Order of never-driver-verified queries: the 20 slots left in the
+# window go to the most novel operator classes; anything after
+# position 20 here (and any new query not listed) overflows to the
+# next round's rotation.
+_NEW_PRIORITY = [
+    "q81_heavy_hitters",
+    "q110_bloom_membership",
+    "q111_incremental_mart",
+    "q115_data_expectations",
+    "q116_neardup_keep_best",
+    "q117_variant_props_stats",
+    "q118_lateral_topk",
+    "q119_purchase_streaks",
+    "q120_crossdoc_dups",
+    "q112_bpe_pairs",
+    "q113_rolling_anomaly",
+    "q114_rare_token_score",
+    "q85_lsh_hot_buckets",
+    "q100_repetition_signals",
+    "q101_decontamination",
+    "q104_ann_recall",
+    "q105_embedding_quantization",
+    "q106_mixture_sample",
+    "q107_sequence_packing",
+    "q108_snapshot_diff",
+]
+
 
 def _ordered(mapping: dict) -> dict:
     head = [k for k in _PRIORITY if k in mapping]
@@ -107,6 +135,11 @@ def _ordered(mapping: dict) -> dict:
         return name.split("_", 1)[0] in covered_prior
 
     new = [k for k in mapping if k not in head and not _is_covered(k)]
+    new.sort(
+        key=lambda k: (
+            _NEW_PRIORITY.index(k) if k in _NEW_PRIORITY else len(_NEW_PRIORITY),
+        )
+    )
     tail = [k for k in mapping if k not in head and _is_covered(k)]
     return {k: mapping[k] for k in head + new + tail}
 
