@@ -76,6 +76,13 @@ def merge_partials(
     Shared by the batch refresh (q111) and the streaming
     foreachBatch mart sink (streaming/jobs.py::foreach_batch_mart_merge).
     """
+    unknown = [op for op in merges.values() if op not in _COMBINE]
+    if unknown:
+        raise ValueError(
+            f"merge_partials: unknown combine op(s) {unknown}; supported: "
+            f"{sorted(_COMBINE)} (avg is not mergeable — store sum+count "
+            "partials and derive it at read time)"
+        )
     return (
         base.unionByName(delta)
         .groupBy(*keys)

@@ -443,3 +443,63 @@ def test_merge_partials_equals_full_on_any_split(spark, rows, split):
     assert sorted(map(tuple, merged.collect())) == sorted(
         map(tuple, full.collect())
     )
+
+
+# ---------------------------------------------------------------------------
+# Expectations engine: violation counts on ANY random dirty table must
+# equal a pure-Python recount.
+# ---------------------------------------------------------------------------
+dirty_rows = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.integers(min_value=0, max_value=5)),   # id
+        st.one_of(st.none(), st.sampled_from(["O", "F", "P", "X", "y"])),
+        st.one_of(
+            st.none(),
+            st.floats(min_value=-10, max_value=10, allow_nan=False),
+        ),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(rows=dirty_rows)
+@settings(**SETTINGS)
+def test_expect_summary_matches_python_recount(spark, rows):
+    from _multi_source_retail_data_integration_hub_spark.operators import (
+        expectations as E,
+    )
+
+    df = spark.createDataFrame(rows, "id int, status string, price double")
+    out = {
+        r.rule: r
+        for r in E.expect_summary(
+            df,
+            rules=[
+                E.not_null("id"),
+                E.accepted_values("status", ["O", "F", "P"]),
+                E.positive("price"),
+                E.in_range("price", -5, 5),
+            ],
+            unique_cols=["id"],
+        ).collect()
+    }
+    n = len(rows)
+    want = {
+        "id_not_null": sum(1 for r in rows if r[0] is None),
+        "status_accepted_values": sum(
+            1 for r in rows if r[1] is None or r[1] not in ("O", "F", "P")
+        ),
+        "price_positive": sum(1 for r in rows if r[2] is None or r[2] <= 0),
+        "price_in_range": sum(
+            1 for r in rows if r[2] is None or not (-5 <= r[2] <= 5)
+        ),
+        "id_unique": (lambda ids: len(ids) - len(set(ids)))(
+            [r[0] for r in rows if r[0] is not None]
+        ),
+    }
+    for rule, expect in want.items():
+        got = out[rule]
+        assert got.n_rows == n, rule
+        assert got.n_violations == expect, rule
+        assert got.passed == (1 if expect == 0 else 0), rule
