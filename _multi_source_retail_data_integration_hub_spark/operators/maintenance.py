@@ -85,9 +85,13 @@ def prune_run_log(
     cutoff = (now or datetime.now()) - timedelta(days=older_than_days)
     log = spark.table(full)
     total = log.count()
-    kept = log.where(F.col("completed_at") >= F.lit(cutoff)).localCheckpoint(
-        eager=True
-    )
+    # NULL completed_at = in-flight / failed-run rows with no finish
+    # stamp: age unknown, so retention must NOT delete them (a bare
+    # `>= cutoff` filter silently drops NULLs regardless of age)
+    kept = log.where(
+        (F.col("completed_at") >= F.lit(cutoff))
+        | F.col("completed_at").isNull()
+    ).localCheckpoint(eager=True)
     n_kept = kept.count()
     if n_kept < total:
         kept.write.mode("overwrite").saveAsTable(full)
@@ -149,6 +153,13 @@ def zorder_write(
     cast to double before scaling; the synthetic columns are dropped
     before write, so contents round-trip row-for-row.
     """
+    if not cluster_cols:
+        raise ValueError("zorder_write needs at least one cluster column")
+    # the interleaved code must fit in 63 bits (bit 63 is the sign bit
+    # and Spark's shiftleft wraps mod 64, which would corrupt the
+    # ordering silently): with many dimensions, trade per-dimension
+    # resolution for correctness
+    bits = min(bits, 63 // len(cluster_cols))
     scaled_names: list[str] = []
     scaled = df
     bounds = df.agg(
@@ -164,6 +175,8 @@ def zorder_write(
     top = (1 << bits) - 1
     for c in cluster_cols:
         lo, hi = bounds[f"__min_{c}"], bounds[f"__max_{c}"]
+        if lo is None:  # empty input or all-NULL column: rank everything 0
+            lo, hi = 0.0, 0.0
         span = (hi - lo) or 1.0
         name = f"__z_{c}"
         scaled_names.append(name)
@@ -172,7 +185,12 @@ def zorder_write(
             F.least(
                 F.lit(top),
                 F.floor(
-                    (F.col(c).cast("double") - F.lit(lo)) / F.lit(span) * top
+                    # NULL values rank 0 (lowest) instead of poisoning
+                    # the Morton code to NULL and piling into one range
+                    # partition
+                    (F.coalesce(F.col(c).cast("double"), F.lit(lo)) - F.lit(lo))
+                    / F.lit(span)
+                    * top
                 ).cast("int"),
             ),
         )

@@ -54,21 +54,30 @@ def cms_bucket(item: Column, row_id: int, width: int = CMS_WIDTH) -> Column:
 
 
 def _melt(df: DataFrame, item_col: str, depth: int, width: int) -> DataFrame:
-    """One row per (item row, hash row): item, row_id, bucket."""
+    """One row per (item row, hash row): item, __cms_row_id, __cms_bucket.
+
+    Working columns are double-underscore-prefixed so an input frame
+    that legitimately carries ``row_id``/``bucket`` columns (the public
+    names of the counter table) cannot collide with them.
+    """
     return df.select(
         "*",
         F.explode(
             F.array(
                 *[
                     F.struct(
-                        F.lit(i).alias("row_id"),
-                        cms_bucket(F.col(item_col), i, width).alias("bucket"),
+                        F.lit(i).alias("r"),
+                        cms_bucket(F.col(item_col), i, width).alias("b"),
                     )
                     for i in range(depth)
                 ]
             )
-        ).alias("rb"),
-    ).select("*", "rb.row_id", "rb.bucket").drop("rb")
+        ).alias("__cms_rb"),
+    ).select(
+        "*",
+        F.col("__cms_rb.r").alias("__cms_row_id"),
+        F.col("__cms_rb.b").alias("__cms_bucket"),
+    ).drop("__cms_rb")
 
 
 def cms_counters(
@@ -88,7 +97,10 @@ def cms_counters(
     melted = _melt(items.select(item_col, *( [weight_col] if weight_col else [] )),
                    item_col, depth, width)
     return (
-        melted.groupBy("row_id", "bucket")
+        melted.groupBy(
+            F.col("__cms_row_id").alias("row_id"),
+            F.col("__cms_bucket").alias("bucket"),
+        )
         .agg(F.sum(w).cast("bigint").alias("counter"))
     )
 
@@ -109,10 +121,15 @@ def cms_estimates(
     """
     melted = _melt(queries, item_col, depth, width)
     others = [c for c in queries.columns if c != item_col]
+    cells = counters.select(
+        F.col("row_id").alias("__cms_row_id"),
+        F.col("bucket").alias("__cms_bucket"),
+        F.col("counter").alias("__cms_counter"),
+    )
     return (
-        melted.join(F.broadcast(counters), ["row_id", "bucket"])
+        melted.join(F.broadcast(cells), ["__cms_row_id", "__cms_bucket"])
         .groupBy(item_col, *others)
-        .agg(F.min("counter").alias("cms_count"))
+        .agg(F.min("__cms_counter").alias("cms_count"))
     )
 
 
@@ -157,16 +174,21 @@ def bf_bit(item: Column, hash_id: int, bits: int = BF_BITS) -> Column:
 
 
 def _bf_melt(df: DataFrame, item_col: str, hashes: int, bits: int) -> DataFrame:
-    """One row per (input row, hash): adds word_idx + single-bit mask."""
+    """One row per (input row, hash): adds __bf_word_idx + __bf_mask.
+
+    Working columns are double-underscore-prefixed so probe frames that
+    legitimately carry ``word_idx``/``word``/``mask``/``bit`` columns
+    cannot collide with them.
+    """
     bit = F.explode(
         F.array(*[bf_bit(F.col(item_col), i, bits) for i in range(hashes)])
-    ).alias("bit")
+    ).alias("__bf_bit")
     return df.select("*", bit).select(
         "*",
-        F.expr(f"bit div {BF_WORD_BITS}").alias("word_idx"),
+        F.expr(f"__bf_bit div {BF_WORD_BITS}").alias("__bf_word_idx"),
         F.expr(
-            f"shiftleft(CAST(1 AS BIGINT), CAST(bit % {BF_WORD_BITS} AS INT))"
-        ).alias("mask"),
+            f"shiftleft(CAST(1 AS BIGINT), CAST(__bf_bit % {BF_WORD_BITS} AS INT))"
+        ).alias("__bf_mask"),
     )
 
 
@@ -182,7 +204,9 @@ def bloom_words(
     word as 0). Duplicate items are harmless — OR is idempotent.
     """
     melted = _bf_melt(items.select(item_col), item_col, hashes, bits)
-    return melted.groupBy("word_idx").agg(F.bit_or("mask").alias("word"))
+    return melted.groupBy(
+        F.col("__bf_word_idx").alias("word_idx")
+    ).agg(F.bit_or("__bf_mask").alias("word"))
 
 
 def bloom_probe(
@@ -202,12 +226,17 @@ def bloom_probe(
     """
     melted = _bf_melt(queries, item_col, hashes, bits)
     others = [c for c in queries.columns if c != item_col]
+    wtab = words.select(
+        F.col("word_idx").alias("__bf_word_idx"),
+        F.col("word").alias("__bf_word"),
+    )
     hit = (
-        F.coalesce(F.col("word"), F.lit(0)).bitwiseAND(F.col("mask")) != 0
+        F.coalesce(F.col("__bf_word"), F.lit(0)).bitwiseAND(F.col("__bf_mask"))
+        != 0
     ).cast("bigint")
     return (
-        melted.join(F.broadcast(words), "word_idx", "left")
-        .select(item_col, *others, hit.alias("hit"))
+        melted.join(F.broadcast(wtab), "__bf_word_idx", "left")
+        .select(item_col, *others, hit.alias("__bf_hit"))
         .groupBy(item_col, *others)
-        .agg(F.min("hit").alias("might_contain"))
+        .agg(F.min("__bf_hit").alias("might_contain"))
     )

@@ -215,11 +215,18 @@ def lsh_hot_buckets(
     )
 
 
+#: default hot-bucket cap for lsh_candidate_pairs; the registered
+#: queries' DuckDB oracles apply the SAME cap (plans/training_data.py
+#: _per_band_union) so the differential gate stays aligned even on a
+#: corpus with genuinely hot buckets
+LSH_MAX_BUCKET_SIZE = 1000
+
+
 def lsh_candidate_pairs(
     sig: DataFrame,
     id_col: str,
     n_bands: int = 4,
-    max_bucket_size: int | None = 1000,
+    max_bucket_size: int | None = LSH_MAX_BUCKET_SIZE,
     hot_bucket_mode: str = "drop",
 ) -> DataFrame:
     """Candidate near-dup pairs: docs sharing any LSH band bucket.

@@ -337,10 +337,16 @@ def _sig_ctes() -> str:
 
 def _per_band_union(table: str) -> str:
     """Candidate pairs: docs sharing any of the 4 band hashes (shared
-    by the q24 and q80 oracles)."""
+    by the q24/q80/q116 oracles). Mirrors the Spark side's hot-bucket
+    cap (operators/text.py LSH_MAX_BUCKET_SIZE, drop mode): a band
+    bucket holding more docs than the cap leaves the join on BOTH
+    engines, so a regenerated corpus with genuinely hot buckets cannot
+    diverge the differential gate."""
     return "\n      UNION\n".join(
         f"""      SELECT a.id AS id_a, b.id AS id_b
-      FROM {table} a JOIN {table} b ON a.band{b} = b.band{b} AND a.id < b.id"""
+      FROM {table} a JOIN {table} b ON a.band{b} = b.band{b} AND a.id < b.id
+      WHERE a.band{b} IN (SELECT band{b} FROM {table}
+                          GROUP BY 1 HAVING COUNT(*) <= {T.LSH_MAX_BUCKET_SIZE})"""
         for b in range(4)
     )
 

@@ -124,3 +124,83 @@ def test_zorder_write_clusters_both_dimensions(spark, tmp_path):
     assert set(z.columns) == {"x", "y", "payload"}
     assert z.count() == 20_000
     assert z.agg(F.sum("payload")).first()[0] == sum(range(20_000))
+
+
+def test_prune_run_log_keeps_unstamped_rows(spark):
+    """NULL completed_at = in-flight/failed-run rows of unknown age:
+    retention must never delete them."""
+    import datetime as dt
+
+    import pyspark.sql.functions as F
+
+    from _multi_source_retail_data_integration_hub_spark.operators.maintenance import (
+        prune_run_log,
+    )
+    from _multi_source_retail_data_integration_hub_spark.sources.sinks import (
+        RUN_LOG_SCHEMA,
+    )
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS prune_null_db")
+    spark.sql("DROP TABLE IF EXISTS prune_null_db.etl_run_log")
+    now = dt.datetime(2026, 8, 14, 12, 0, 0)
+    rows = [
+        ("old", "success", 1, 1, 1.0, now - dt.timedelta(days=40)),
+        ("new", "success", 1, 1, 1.0, now - dt.timedelta(days=1)),
+        ("inflight", "running", 0, 0, 0.0, None),
+    ]
+    spark.createDataFrame(rows, RUN_LOG_SCHEMA).write.mode("overwrite").saveAsTable(
+        "prune_null_db.etl_run_log"
+    )
+    deleted = prune_run_log(
+        spark, older_than_days=30, database="prune_null_db", now=now
+    )
+    assert deleted == 1  # only the 40-day-old stamped row
+    left = {r.run_id for r in spark.table("prune_null_db.etl_run_log").collect()}
+    assert left == {"new", "inflight"}
+
+
+def test_zorder_write_many_dims_and_degenerate_inputs(spark, tmp_path):
+    """4+ cluster columns must not overflow the 63-bit Morton code
+    (z-values stay non-negative, resolution auto-reduces), and empty /
+    all-NULL inputs must not crash."""
+    import pyspark.sql.functions as F
+
+    from _multi_source_retail_data_integration_hub_spark.operators.maintenance import (
+        _zvalue,
+        zorder_write,
+    )
+
+    df = spark.range(0, 2_000).select(
+        (F.col("id") % 7).alias("a"),
+        (F.col("id") % 11).alias("b"),
+        (F.col("id") % 13).alias("c"),
+        (F.col("id") % 17).alias("d"),
+        F.col("id").alias("payload"),
+    )
+    out4 = str(tmp_path / "z4")
+    zorder_write(df, out4, ["a", "b", "c", "d"], num_files=4)
+    back = spark.read.parquet(out4)
+    assert back.count() == 2_000
+    assert set(back.columns) == {"a", "b", "c", "d", "payload"}
+    # the interleaved code itself never goes negative at reduced bits
+    z = df.select(
+        *[
+            F.least(F.lit((1 << 15) - 1), F.col(c).cast("int")).alias(f"__z_{c}")
+            for c in ("a", "b", "c", "d")
+        ]
+    ).select(_zvalue(["__z_a", "__z_b", "__z_c", "__z_d"], 63 // 4).alias("z"))
+    assert z.where(F.col("z") < 0).count() == 0
+
+    # empty input: no crash, empty output dir readable
+    empty = df.where(F.lit(False))
+    out_e = str(tmp_path / "ze")
+    zorder_write(empty, out_e, ["a", "b"], num_files=2)
+    assert spark.read.parquet(out_e).count() == 0
+
+    # all-NULL cluster column: rows survive, single rank
+    nulls = spark.range(0, 10).select(
+        F.lit(None).cast("double").alias("a"), F.col("id").alias("payload")
+    )
+    out_n = str(tmp_path / "zn")
+    zorder_write(nulls, out_n, ["a"], num_files=2)
+    assert spark.read.parquet(out_n).count() == 10

@@ -477,3 +477,28 @@ def test_bloom_probe_unseen_word_index(spark):
     got = {r.item: r.might_contain for r in out}
     assert got["only"] == 1
     assert got["never-inserted"] == 0
+
+
+def test_sketch_helpers_tolerate_colliding_column_names(spark):
+    """Probe/build frames that already carry the sketches' public
+    column names (row_id/bucket/word_idx/word/mask/bit) must not break
+    the internal melt joins."""
+    import pyspark.sql.functions as F
+
+    from _multi_source_retail_data_integration_hub_spark.operators import sketches as SK
+
+    occ = spark.createDataFrame(
+        [("a", 1, 9), ("a", 2, 9), ("b", 3, 9)], "token string, row_id int, bucket int"
+    )
+    counters = SK.cms_counters(occ.select("token"), "token")
+    est = SK.cms_estimates(occ, "token", counters).collect()
+    got = {(r.token, r.row_id): r.cms_count for r in est}
+    assert got[("a", 1)] == 2 and got[("b", 3)] == 1
+
+    members = spark.createDataFrame([("m1",), ("m2",)], "item string")
+    words = SK.bloom_words(members, "item")
+    probes = spark.createDataFrame(
+        [("m1", 7, 8), ("nope", 7, 8)], "item string, word_idx int, word int"
+    )
+    out = {r.item: r.might_contain for r in SK.bloom_probe(probes, "item", words).collect()}
+    assert out["m1"] == 1 and out["nope"] == 0
