@@ -140,8 +140,13 @@ def test_prune_run_log_keeps_unstamped_rows(spark):
         RUN_LOG_SCHEMA,
     )
 
+    import shutil
+
     spark.sql("CREATE DATABASE IF NOT EXISTS prune_null_db")
     spark.sql("DROP TABLE IF EXISTS prune_null_db.etl_run_log")
+    # catalog entries die with the session but warehouse dirs persist:
+    # a leftover location blocks saveAsTable on a fresh session
+    shutil.rmtree("spark-warehouse/prune_null_db.db/etl_run_log", ignore_errors=True)
     now = dt.datetime(2026, 8, 14, 12, 0, 0)
     rows = [
         ("old", "success", 1, 1, 1.0, now - dt.timedelta(days=40)),
