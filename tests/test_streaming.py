@@ -342,3 +342,29 @@ def test_tws_plan_builds_without_protobuf(spark, events_stream):
         "struct<user_id:bigint,n_events:bigint,total_value:double>"
     )
     assert "transformWithState" in df._jdf.queryExecution().analyzed().toString()
+
+
+def test_apply_mart_batch_promotes_orphaned_staging(spark):
+    """Crash between DROP and RENAME: the live mart is missing and the
+    fully-merged staging table (stamped with its batch id) exists. The
+    next apply must promote staging FIRST — and then the batch-id guard
+    must see the promoted stamp, so a replay of the committed batch is
+    a no-op while the next batch merges on top."""
+    _drop_managed(spark, "mart_heal_t", "mart_heal_t__staging")
+    d = _event_partials(
+        spark.createDataFrame([("click", 2.0)], "event_type string, value double")
+    )
+    # simulate the crash artifact: staging IS the committed batch-5 state
+    d.withColumn("_applied_batch", F.lit(5).cast("bigint")).write.saveAsTable(
+        "mart_heal_t__staging"
+    )
+    # replay of batch 5: healed (staging promoted) AND skipped
+    assert not jobs.apply_mart_batch(spark, "mart_heal_t", d, 5, _event_merge)
+    assert spark.catalog.tableExists("mart_heal_t")
+    assert not spark.catalog.tableExists("mart_heal_t__staging")
+    row = spark.table("mart_heal_t").collect()[0]
+    assert row.n_events == 1  # NOT doubled by the replay
+    # the next batch applies on top of the promoted state
+    assert jobs.apply_mart_batch(spark, "mart_heal_t", d, 6, _event_merge)
+    row = spark.table("mart_heal_t").collect()[0]
+    assert row.n_events == 2 and float(row.sum_value) == 4.0
