@@ -22,6 +22,12 @@ from .registry import query
 
 SESSION_GAP_US = 12 * 3600 * 1_000_000  # 12 hours of inactivity ends a session
 
+# monotonically increasing suffix for per-call temp-view names (SQL-surface
+# queries must be safe under concurrent invocation, tests/test_concurrency.py)
+import itertools as _itertools  # noqa: E402
+
+_VIEW_SEQ = _itertools.count()
+
 DEC = "decimal(18,2)"
 
 
@@ -677,14 +683,17 @@ def q113_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q119_purchase_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
+    # per-call view name: concurrent callers (possibly with different
+    # sf_dirs) must not race on a shared temp-view registration
+    daily_v = f"q119_daily_{next(_VIEW_SEQ)}"
     events.where(F.col("event_type") == "purchase").select(
         "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
-    ).distinct().createOrReplaceTempView("q119_daily")
+    ).distinct().createOrReplaceTempView(daily_v)
     return spark.sql(
-        """
+        f"""
         WITH RECURSIVE starts AS (
           SELECT d.user_id, d.day
-          FROM q119_daily d LEFT JOIN q119_daily p
+          FROM {daily_v} d LEFT JOIN {daily_v} p
             ON p.user_id = d.user_id AND p.day = date_sub(d.day, 1)
           WHERE p.day IS NULL
         ),
@@ -693,7 +702,7 @@ def q119_purchase_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM starts
           UNION ALL
           SELECT c.user_id, c.start_day, n.day, c.len + 1
-          FROM chain c JOIN q119_daily n
+          FROM chain c JOIN {daily_v} n
             ON n.user_id = c.user_id AND n.day = date_add(c.cur_day, 1)
         ),
         streaks AS (
@@ -733,15 +742,17 @@ def q119_purchase_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q118_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation_lat_v")
-    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_lat_v")
+    seq = next(_VIEW_SEQ)
+    nation_v, customer_v = f"nation_lat_v{seq}", f"customer_lat_v{seq}"
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView(nation_v)
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(customer_v)
     return spark.sql(
-        """
+        f"""
         SELECT n.n_name AS nation, t.c_name, t.c_acctbal
-        FROM nation_lat_v n,
+        FROM {nation_v} n,
         LATERAL (
           SELECT c_name, c_acctbal, c_custkey
-          FROM customer_lat_v c
+          FROM {customer_v} c
           WHERE c.c_nationkey = n.n_nationkey
           ORDER BY c_acctbal DESC, c_custkey LIMIT 2
         ) t

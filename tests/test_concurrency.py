@@ -16,6 +16,7 @@ NAMES = [
     "q33_json_extract",
     "q64_revenue_by_nation",
     "q110_bloom_membership",
+    "q118_lateral_topk",  # SQL-surface query: per-call temp views under concurrency
 ]
 
 
