@@ -287,6 +287,49 @@ def test_cms_sketch_properties(spark):
     assert est == {"a": 50, "b": 30, "c": 5, "d": 1}
 
 
+def test_sketch_working_columns_never_collide(spark):
+    """Regression pin for the r4 fix (commit 12e20d6): CMS/bloom melt
+    helpers originally used bare ``row_id``/``bucket``/``word_idx``
+    working columns, which collided when the INPUT frame legitimately
+    carried columns of those names (q81's occurrence frame carries a
+    ``row_id``; the counter table's public schema is exactly
+    (row_id, bucket, counter)).  The helpers now prefix working columns
+    with ``__cms_``/``__bf_``; this pins that an input frame carrying
+    every public name still sketches and probes correctly."""
+    import pyspark.sql.functions as F
+
+    from _multi_source_retail_data_integration_hub_spark.operators import sketches as SK
+
+    rows = [("a",)] * 7 + [("b",)] * 3
+    occ = (
+        spark.createDataFrame(rows, "token string")
+        # poison columns: every public/working-adjacent name the melt
+        # could have collided with pre-fix
+        .withColumn("row_id", F.lit(99))
+        .withColumn("bucket", F.lit(-1))
+        .withColumn("counter", F.lit(12345))
+        .withColumn("word_idx", F.lit(7))
+        .withColumn("word", F.lit(0))
+    )
+    counters = SK.cms_counters(occ.select("token", "row_id", "bucket"), "token")
+    assert set(counters.columns) == {"row_id", "bucket", "counter"}
+    est = SK.cms_estimates(
+        occ.select("token", "row_id", "counter").distinct(), "token", counters
+    )
+    got = {(r.token, r.row_id, r.counter): r.cms_count for r in est.collect()}
+    # passthrough columns survive untouched; estimates exact (2 tokens,
+    # 1024 buckets -> no cell collisions)
+    assert got == {("a", 99, 12345): 7, ("b", 99, 12345): 3}
+
+    words = SK.bloom_words(occ.select("token"), "token")
+    assert set(words.columns) == {"word_idx", "word"}
+    probes = occ.select("token", "word_idx", "word").distinct().union(
+        spark.createDataFrame([("zzz-not-inserted", 7, 0)], "token string, word_idx int, word int")
+    )
+    verdicts = {r.token: r.might_contain for r in SK.bloom_probe(probes, "token", words).collect()}
+    assert verdicts["a"] == 1 and verdicts["b"] == 1  # no false negatives, ever
+
+
 def test_shingle_df_cap_scales_with_corpus(spark):
     """The derived stop-shingle cap max(50, ceil(sqrt(n))) must DROP a
     df=60 boilerplate shingle in a 150-doc corpus (cap 50) but KEEP it
