@@ -75,20 +75,40 @@ def expect_summary(
     for name, pred in rules:
         names.append(name)
         aggs.append(
-            F.sum(F.when(pred, 1).otherwise(0)).cast("bigint").alias(name)
+            # coalesce: SUM over an EMPTY table is NULL; an empty table
+            # violates nothing, so the count must read 0 (passed=1)
+            F.coalesce(F.sum(F.when(pred, 1).otherwise(0)), F.lit(0))
+            .cast("bigint")
+            # positional alias: the rule NAME is emitted only as a
+            # string literal (a quote/backtick in it is data, not an
+            # attribute name Spark would have to parse)
+            .alias(f"_r{len(names) - 1}")
         )
     for col in unique_cols or []:
-        name = f"{col}_unique"
-        names.append(name)
+        names.append(f"{col}_unique")
         aggs.append(
             (F.count(col) - F.count_distinct(F.col(col)))
             .cast("bigint")
-            .alias(name)
+            .alias(f"_r{len(names) - 1}")
         )
+    if not names:
+        raise ValueError(
+            "expect_summary: no rules given (rules=[] and no unique_cols) — "
+            "pass at least one rule or column set"
+        )
+    if len(set(names)) != len(names):
+        dupes = sorted({n for n in names if names.count(n) > 1})
+        raise ValueError(f"expect_summary: duplicate rule names {dupes}")
     row = df.agg(*aggs)
-    stack_args = ", ".join(f"'{n}', `{n}`" for n in names)
-    melted = row.selectExpr(
-        "_n", f"stack({len(names)}, {stack_args}) AS (rule, n_violations)"
+    # Column-API stack (no SQL-string interpolation): rule names with
+    # quotes/backticks are plain string literals, never parsed as SQL.
+    stack_args: list[Column] = []
+    for i, n in enumerate(names):
+        stack_args.append(F.lit(n))
+        stack_args.append(row[f"_r{i}"])
+    melted = row.select(
+        "_n",
+        F.stack(F.lit(len(names)), *stack_args).alias("rule", "n_violations"),
     )
     return melted.select(
         "rule",

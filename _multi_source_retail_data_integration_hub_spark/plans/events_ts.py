@@ -689,8 +689,9 @@ def q119_purchase_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     events.where(F.col("event_type") == "purchase").select(
         "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
     ).distinct().createOrReplaceTempView(daily_v)
-    return spark.sql(
-        f"""
+    try:
+        return spark.sql(
+            f"""
         WITH RECURSIVE starts AS (
           SELECT d.user_id, d.day
           FROM {daily_v} d LEFT JOIN {daily_v} p
@@ -715,7 +716,12 @@ def q119_purchase_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(SUM(streak_len) AS BIGINT) AS purchase_days
         FROM streaks GROUP BY 1 ORDER BY 1
         """
-    )
+        )
+    finally:
+        # spark.sql analyzes eagerly, so the returned DataFrame no
+        # longer needs the catalog entry — drop it or a long-lived
+        # shared session leaks one view per call (ADVICE r4)
+        spark.catalog.dropTempView(daily_v)
 
 
 # ---------------------------------------------------------------------------
@@ -746,8 +752,9 @@ def q118_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation_v, customer_v = f"nation_lat_v{seq}", f"customer_lat_v{seq}"
     load_table(spark, sf_dir, "nation").createOrReplaceTempView(nation_v)
     load_table(spark, sf_dir, "customer").createOrReplaceTempView(customer_v)
-    return spark.sql(
-        f"""
+    try:
+        return spark.sql(
+            f"""
         SELECT n.n_name AS nation, t.c_name, t.c_acctbal
         FROM {nation_v} n,
         LATERAL (
@@ -758,4 +765,8 @@ def q118_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) t
         ORDER BY nation, t.c_acctbal DESC, t.c_name
         """
-    )
+        )
+    finally:
+        # analyzed eagerly by spark.sql — drop or leak per call
+        spark.catalog.dropTempView(nation_v)
+        spark.catalog.dropTempView(customer_v)

@@ -336,12 +336,34 @@ def write_stream_parquet(
     return writer.start()
 
 
+def _streaming_app_id(checkpoint_path: str) -> str | None:
+    """The durable identity of the streaming query owning a checkpoint.
+
+    Structured Streaming persists the query id in
+    ``<checkpoint>/metadata`` at first start and reuses it across
+    restarts; deleting/recreating the checkpoint mints a NEW id. That
+    is exactly the epoch an exactly-once guard must be scoped to
+    (batch ids alone restart at 0 with a fresh checkpoint) — the same
+    role Delta's ``txnAppId`` plays. Returns None when the metadata is
+    not readable (non-local checkpoint FS); callers then fall back to
+    the batch-id-only guard with a loud anomaly error.
+    """
+    import json
+
+    try:
+        with open(os.path.join(checkpoint_path, "metadata")) as fh:
+            return str(json.load(fh)["id"])
+    except Exception:
+        return None
+
+
 def apply_mart_batch(
     spark: SparkSession,
     table: str,
     delta_partials: DataFrame,
     batch_id: int,
     merge_fn,
+    app_id: str | None = None,
 ) -> bool:
     """Idempotent, exactly-once application of one micro-batch's PARTIAL
     aggregates to a stored mart table. Returns False when the batch was
@@ -351,14 +373,25 @@ def apply_mart_batch(
     idempotent — replaying a batch upserts the same rows), a
     partial-aggregate merge is NOT: replaying a batch would add its
     counts and sums twice. The guard is the standard foreachBatch
-    transactionality pattern: the applied batch id is committed
-    ATOMICALLY with the data (an ``_applied_batch`` column on every
-    row, swapped in with the same stage-then-swap as the data), so
-    whatever snapshot a replay observes, the guard and the data agree.
-    Crash before the swap -> replay re-merges against the old snapshot
-    (old id) and applies; crash after -> replay sees its own id and
-    skips. On Delta/Iceberg the same body is one MERGE + a txn
-    property.
+    transactionality pattern: the applied (app id, batch id) pair is
+    committed ATOMICALLY with the data (``_applied_app`` /
+    ``_applied_batch`` columns on every row, swapped in with the same
+    stage-then-swap as the data), so whatever snapshot a replay
+    observes, the guard and the data agree. Crash before the swap ->
+    replay re-merges against the old snapshot (old id) and applies;
+    crash after -> replay sees its own id and skips. On Delta/Iceberg
+    the same body is one MERGE + txnAppId/txnVersion properties.
+
+    Batch ids are scoped to ONE streaming checkpoint: a recreated
+    checkpoint (or a second query adopting an existing mart) restarts
+    them at 0. ``app_id`` (the checkpoint's durable query id, see
+    ``_streaming_app_id``) disambiguates: a batch from a DIFFERENT app
+    than the one stamped on the mart is a new writer epoch and is
+    APPLIED (stamping the new app), never silently skipped. Without an
+    ``app_id`` (legacy callers / unreadable checkpoint FS) only an
+    exact replay of the last applied batch is skipped; a batch id
+    strictly below the stored one raises instead of freezing the mart
+    silently.
     """
     staging = f"{table}__staging"
     if not spark.catalog.tableExists(table) and spark.catalog.tableExists(staging):
@@ -367,13 +400,46 @@ def apply_mart_batch(
         spark.sql(f"ALTER TABLE {staging} RENAME TO {table}")
     if spark.catalog.tableExists(table):
         current = spark.table(table)
-        last = current.agg(F.max("_applied_batch")).first()[0]
-        if last is not None and last >= batch_id:
-            return False  # replayed batch: already folded into state
-        merged = merge_fn(current.drop("_applied_batch"), delta_partials)
+        guard_cols = [c for c in ("_applied_batch", "_applied_app") if c in current.columns]
+        stored_app = None
+        if "_applied_app" in guard_cols:
+            row = current.agg(
+                F.max("_applied_batch").alias("b"), F.max("_applied_app").alias("a")
+            ).first()
+            last, stored_app = row["b"], row["a"]
+        else:  # mart written before the app-id guard existed
+            last = current.agg(F.max("_applied_batch")).first()[0]
+        if last is not None:
+            same_epoch = (
+                app_id is not None and stored_app is not None and app_id == stored_app
+            )
+            if same_epoch:
+                if last >= batch_id:
+                    return False  # replayed batch: already folded into state
+            elif app_id is not None and stored_app is not None:
+                pass  # new writer epoch adopting the mart: apply, restamp
+            else:
+                # app identity unknown on one side: only the exact
+                # post-commit replay is safe to skip; anything further
+                # back means a reset checkpoint or a foreign writer.
+                if last == batch_id:
+                    return False
+                if last > batch_id:
+                    raise ValueError(
+                        f"apply_mart_batch: batch {batch_id} for table "
+                        f"{table!r} is behind the stored _applied_batch "
+                        f"{last} and no app id is available to prove a new "
+                        "writer epoch — refusing to silently skip (a "
+                        "recreated checkpoint would freeze this mart). "
+                        "Pass app_id (see _streaming_app_id) or reset the "
+                        "mart's guard columns explicitly."
+                    )
+        merged = merge_fn(current.drop(*guard_cols), delta_partials)
     else:
         merged = delta_partials
-    stamped = merged.withColumn("_applied_batch", F.lit(batch_id).cast("bigint"))
+    stamped = merged.withColumn(
+        "_applied_batch", F.lit(batch_id).cast("bigint")
+    ).withColumn("_applied_app", F.lit(app_id).cast("string"))
     stamped = stamped.localCheckpoint()  # break self-reference before overwrite
     stamped.write.mode("overwrite").saveAsTable(staging)
     if spark.catalog.tableExists(table):
@@ -407,16 +473,23 @@ def foreach_batch_mart_merge(
     with the data; checkpoint replays skip).
     """
 
+    cp_path = os.path.join(checkpoint_dir, f"cp_mart_{table}")
+
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         apply_mart_batch(
-            batch_df.sparkSession, table, partial_fn(batch_df), batch_id, merge_fn
+            batch_df.sparkSession,
+            table,
+            partial_fn(batch_df),
+            batch_id,
+            merge_fn,
+            # read per batch, not at wiring time: the metadata file is
+            # written by query start, before the first batch runs
+            app_id=_streaming_app_id(cp_path),
         )
 
     return (
         stream_df.writeStream.foreachBatch(_merge)
-        .option(
-            "checkpointLocation", os.path.join(checkpoint_dir, f"cp_mart_{table}")
-        )
+        .option("checkpointLocation", cp_path)
         .outputMode("update")
         .trigger(availableNow=True)
         .start()

@@ -77,3 +77,37 @@ def test_referential_integrity(spark):
     assert row.n_rows == 4
     assert row.n_violations == 2  # orphan 3 + NULL fk
     assert row.passed == 0
+
+
+def test_edge_cases_empty_rules_empty_input_weird_names(spark):
+    """ADVICE r4 pins: (a) no rules at all must raise a clear error,
+    not emit invalid ``stack(0, )`` SQL; (b) an EMPTY input table
+    violates nothing — counts 0, passed 1, never NULL; (c) rule names
+    containing quotes/backticks are data, not SQL (the melt uses the
+    Column API)."""
+    import pytest
+
+    df = spark.createDataFrame([(1,)], "id int")
+    with pytest.raises(ValueError, match="no rules"):
+        E.expect_summary(df, rules=[])
+    with pytest.raises(ValueError, match="duplicate rule names"):
+        E.expect_summary(df, rules=[E.not_null("id"), E.not_null("id")])
+
+    empty = spark.createDataFrame([], "id int, price double")
+    got = _summary_map(
+        E.expect_summary(
+            empty, rules=[E.not_null("id"), E.positive("price")], unique_cols=["id"]
+        )
+    )
+    assert got["id_not_null"] == (0, 0, 1)
+    assert got["price_positive"] == (0, 0, 1)
+    assert got["id_unique"] == (0, 0, 1)
+
+    weird = "has'quote `backtick` -- comment"
+    out = E.expect_summary(
+        spark.createDataFrame([(None,)], "id int"),
+        rules=[(weird, F.col("id").isNull())],
+    )
+    rows = out.collect()
+    assert len(rows) == 1
+    assert rows[0].rule == weird and rows[0].n_violations == 1 and rows[0].passed == 0

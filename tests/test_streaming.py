@@ -288,6 +288,98 @@ def test_apply_mart_batch_replay_is_noop(spark):
     assert row.n_events == 4 and float(row.sum_value) == 8.0
 
 
+def test_apply_mart_batch_app_scoped_guard(spark):
+    """Batch ids are scoped to one streaming checkpoint (ADVICE r4):
+    a recreated checkpoint or a second query writing to an existing
+    mart restarts ids at 0.  With app ids the guard must treat a
+    different app as a NEW writer epoch (apply + restamp), never a
+    silent skip; same-app replays still skip."""
+    _drop_managed(spark, "mart_epoch_t", "mart_epoch_t__staging")
+    d1 = _event_partials(
+        spark.createDataFrame(
+            [("click", 1.0), ("click", 3.0)], "event_type string, value double"
+        )
+    )
+    assert jobs.apply_mart_batch(spark, "mart_epoch_t", d1, 7, _event_merge, app_id="app-A")
+    # same app, replayed/older id: skipped
+    assert not jobs.apply_mart_batch(spark, "mart_epoch_t", d1, 7, _event_merge, app_id="app-A")
+    assert not jobs.apply_mart_batch(spark, "mart_epoch_t", d1, 3, _event_merge, app_id="app-A")
+    # DIFFERENT app, id restarted at 0: new epoch — applied + restamped
+    assert jobs.apply_mart_batch(spark, "mart_epoch_t", d1, 0, _event_merge, app_id="app-B")
+    got = spark.table("mart_epoch_t")
+    row = got.collect()[0]
+    assert row.n_events == 4 and float(row.sum_value) == 8.0
+    assert got.agg(F.max("_applied_app")).first()[0] == "app-B"
+    assert got.agg(F.max("_applied_batch")).first()[0] == 0
+    # the new epoch's own replay of batch 0 now skips
+    assert not jobs.apply_mart_batch(spark, "mart_epoch_t", d1, 0, _event_merge, app_id="app-B")
+
+
+def test_apply_mart_batch_legacy_anomaly_raises(spark):
+    """Without an app id, a batch id strictly behind the stored one is
+    ambiguous (reset checkpoint vs foreign writer) and must raise
+    loudly instead of silently freezing the mart."""
+    import pytest
+
+    _drop_managed(spark, "mart_anom_t", "mart_anom_t__staging")
+    d1 = _event_partials(
+        spark.createDataFrame([("click", 1.0)], "event_type string, value double")
+    )
+    assert jobs.apply_mart_batch(spark, "mart_anom_t", d1, 5, _event_merge)
+    # exact post-commit replay: safe skip
+    assert not jobs.apply_mart_batch(spark, "mart_anom_t", d1, 5, _event_merge)
+    with pytest.raises(ValueError, match="behind the stored"):
+        jobs.apply_mart_batch(spark, "mart_anom_t", d1, 2, _event_merge)
+
+
+def test_streaming_mart_checkpoint_recreation_heals(spark, tmp_path):
+    """End-to-end ADVICE scenario: drain a stream into a mart, DELETE
+    the checkpoint, re-run the same source from scratch (batch ids
+    restart at 0 under a new query id).  The app-scoped guard must
+    detect the new epoch and re-apply instead of silently skipping
+    every batch — the mart ends up re-derived from the replayed
+    stream, not frozen."""
+    import shutil
+
+    _drop_managed(spark, "mart_requeue_t", "mart_requeue_t__staging")
+    events = load_table(spark, SF_DIR, "events").limit(200)
+    src = str(tmp_path / "src")
+    events.write.mode("overwrite").parquet(src + "/a.parquet")
+    stream_schema = events.schema
+
+    def run_once() -> None:
+        stream = (
+            spark.readStream.schema(stream_schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+        q = jobs.foreach_batch_mart_merge(
+            stream, "mart_requeue_t", str(tmp_path / "cp"), _event_partials, _event_merge
+        )
+        assert q.awaitTermination(300)
+
+    run_once()
+    cols = ["event_type", "n_events", "sum_value", "min_value", "max_value"]
+    first_app = spark.table("mart_requeue_t").agg(F.max("_applied_app")).first()[0]
+    assert first_app is not None  # guard actually read the checkpoint id
+    # checkpoint wiped -> new query id, batch ids restart at 0
+    shutil.rmtree(str(tmp_path / "cp"))
+    run_once()
+    # the swap ran in the foreachBatch cloned session; this session read
+    # the table pre-swap, so its file listing is stale — refresh first
+    spark.catalog.refreshTable("mart_requeue_t")
+    got = spark.table("mart_requeue_t")
+    second_app = got.agg(F.max("_applied_app")).first()[0]
+    assert second_app is not None and second_app != first_app
+    # batch 0 of the new epoch was APPLIED (old behavior: silent skip,
+    # mart frozen forever at the old stamp).  The new writer's data
+    # merges on top of the existing state — re-feeding the same source
+    # without resetting the mart is the operator's call; the guard's
+    # contract is only "never silently freeze".
+    want = _event_partials(events)
+    assert _rows(got, cols) == _rows(_event_merge(want, want), cols)
+
+
 def test_stateful_running_totals_tws(spark, events_stream):
     """transformWithStateInPandas twin of the v1 stateful job: same
     per-user totals, Spark-4 typed-state API, RocksDB provider.
