@@ -645,10 +645,15 @@ def q113_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 # preferred O(one shuffle) plan for unbounded streak lengths; the
 # recursive form is the right tool when each step must CONSULT other
 # tables or apply non-monoidal logic per hop (pricing chains,
-# escalation policies). Depth is bounded by
-# spark.sql.cteRecursionLevelLimit (default 100; observed max streak is
-# 9 at sf0.1 and grows ~logarithmically with events per user — raise
-# the conf for pathological bot cohorts).
+# escalation policies). Recursion runs one job per level with depth =
+# the LONGEST streak (9 at sf0.1, ~log-growing) — a pathological
+# corpus (one bot with a 10k-day streak) would run 10k jobs. The
+# ``max_depth`` option guards that: one cheap gaps-and-islands window
+# pass (the q30 plan shape) measures the actual longest streak first
+# and the function fails fast with a pointer to the islands plan when
+# it exceeds the cap, instead of launching an unbounded job chain.
+# Spark's own spark.sql.cteRecursionLevelLimit (default 100) remains
+# the engine-level backstop.
 # ---------------------------------------------------------------------------
 @query(
     "q119_purchase_streaks",
@@ -681,14 +686,40 @@ def q113_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM streaks GROUP BY 1 ORDER BY 1
     """,
 )
-def q119_purchase_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q119_purchase_streaks(
+    spark: SparkSession, sf_dir: str, max_depth: int | None = None
+) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.where(F.col("event_type") == "purchase")
+        .select("user_id", F.to_date(F.date_trunc("day", "ts")).alias("day"))
+        .distinct()
+    )
+    if max_depth is not None:
+        # guard pass: ONE gaps-and-islands window shuffle (q30 shape)
+        # measures the longest streak = the recursion depth the CTE
+        # below would need; refuse to launch an unbounded job chain
+        w = Window.partitionBy("user_id").orderBy("day")
+        island = F.date_sub("day", F.row_number().over(w))
+        longest = (
+            daily.withColumn("island", island)
+            .groupBy("user_id", "island")
+            .count()
+            .agg(F.max("count"))
+            .first()[0]
+        ) or 0
+        if longest > max_depth:
+            raise ValueError(
+                f"q119_purchase_streaks: longest streak is {longest} days, "
+                f"above max_depth={max_depth} — the recursive plan would "
+                f"run {longest} sequential jobs. Use the gaps-and-islands "
+                "window plan (q30_sessionization shape) for unbounded "
+                "streak lengths, or raise max_depth."
+            )
     # per-call view name: concurrent callers (possibly with different
     # sf_dirs) must not race on a shared temp-view registration
     daily_v = f"q119_daily_{next(_VIEW_SEQ)}"
-    events.where(F.col("event_type") == "purchase").select(
-        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")
-    ).distinct().createOrReplaceTempView(daily_v)
+    daily.createOrReplaceTempView(daily_v)
     try:
         return spark.sql(
             f"""

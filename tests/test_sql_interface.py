@@ -100,3 +100,42 @@ def test_pipe_syntax_matches_dataframe_plan(spark):
         .collect()
     )
     assert [tuple(r) for r in piped] == [tuple(r) for r in want]
+
+
+def test_q119_streak_depth_guard(spark, tmp_path):
+    """max_depth guards the recursive-CTE streak query: the recursion
+    runs one job per level with depth = longest streak, so a
+    pathological corpus (a 10k-day streak) must fail fast after ONE
+    window pass instead of launching 10k jobs. Within the cap the
+    result is unchanged."""
+    import datetime as dt
+
+    import pytest
+
+    from _multi_source_retail_data_integration_hub_spark.plans.events_ts import (
+        q119_purchase_streaks,
+    )
+
+    rows = []
+    # user 1: a 6-day streak; user 2: two singleton days
+    for i in range(6):
+        rows.append((1, dt.datetime(2024, 1, 1 + i, 12, 0), "purchase", i, 1.0))
+    rows.append((2, dt.datetime(2024, 1, 1, 9, 0), "purchase", 100, 1.0))
+    rows.append((2, dt.datetime(2024, 1, 5, 9, 0), "purchase", 101, 1.0))
+    events = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string, event_id long, value double"
+    )
+    sf = str(tmp_path / "sf")
+    events.write.mode("overwrite").parquet(sf + "/events.parquet")
+
+    # over the cap: refuses before any recursive job
+    with pytest.raises(ValueError, match="longest streak is 6"):
+        q119_purchase_streaks(spark, sf, max_depth=3)
+    # within the cap: identical to the unguarded run
+    got = {r.user_id: r for r in q119_purchase_streaks(spark, sf, max_depth=10).collect()}
+    assert got[1].longest_streak == 6 and got[1].n_streaks == 1
+    assert got[2].longest_streak == 1 and got[2].n_streaks == 2
+    unguarded = {r.user_id: r for r in q119_purchase_streaks(spark, sf).collect()}
+    assert {k: tuple(v) for k, v in got.items()} == {
+        k: tuple(v) for k, v in unguarded.items()
+    }
