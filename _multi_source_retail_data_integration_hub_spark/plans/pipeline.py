@@ -147,8 +147,16 @@ def run_pipeline(
     thresholds: dict[str, int] | None = None,
     skip_load: bool = False,
     incremental: bool = False,
+    log_retention_days: int | None = None,
 ) -> PipelineResult:
     """Extract -> transform -> gate -> load -> gate -> audit log.
+
+    ``log_retention_days`` opts into the run-log retention post-stage:
+    after the run's own audit row is appended, run-log rows older than
+    the window are pruned (operators.maintenance.prune_run_log) — the
+    analogue of the reference DAG's every-run ``cleanup_old_logs``
+    task (/root/reference/dags/retail_etl_dag.py:637-645). Pruned
+    count lands in ``result.counts['run_log_pruned']``.
 
     With ``incremental=True``, SCD2 dimensions that already exist in the
     warehouse are merged (expire/carry/insert, versions increment,
@@ -226,6 +234,12 @@ def run_pipeline(
                 duration_seconds=time.perf_counter() - t0,
                 database=database,
             )
+            if log_retention_days is not None:
+                from ..operators.maintenance import prune_run_log
+
+                result.counts["run_log_pruned"] = prune_run_log(
+                    spark, older_than_days=log_retention_days, database=database
+                )
             result.durations["load"] = time.perf_counter() - t2
     finally:
         # release caches even when a gate or write fails — a retrying

@@ -109,6 +109,26 @@ def main() -> None:
     }
     if failures:
         out["failures"] = failures
+    # Full machine-readable artifact on disk (the driver's BENCH_r{N}
+    # capture can truncate to the stdout tail — r4 recorded
+    # parsed:null that way). bench_latest.json always holds ALL
+    # per-query entries + run provenance; a per-round copy is
+    # committed as bench_r{N}.json.
+    artifact = dict(
+        out,
+        run_config={
+            "sf_dir": sf_dir,
+            "runs": runs,
+            "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+            "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
+            "suite_order": "sorted(name)",
+        },
+    )
+    out_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT", os.path.join(REPO, "bench_latest.json")
+    )
+    with open(out_path, "w") as fh:
+        json.dump(artifact, fh, indent=1, sort_keys=True)
     print(json.dumps(out))
 
 

@@ -205,3 +205,39 @@ def test_partitioned_overwrite_replaces_only_touched_partitions(spark):
     assert rows[20240102] == (3, 99.0)  # touched partition replaced
     assert rows[20240103] == (4, 30.0)  # new partition added
     spark.sql("DROP DATABASE IF EXISTS dynp_dw CASCADE")
+
+
+def test_run_log_retention_post_stage(spark, raw):
+    """log_retention_days wires prune_run_log into the pipeline as the
+    reference DAG's every-run cleanup task: an end-to-end run appends
+    its own audit row, then prunes rows past the window — old
+    completed rows go, NULL-stamped and fresh rows stay."""
+    import datetime as dt
+
+    from _multi_source_retail_data_integration_hub_spark.sources.sinks import (
+        RUN_LOG_SCHEMA,
+    )
+
+    raw_sales, raw_products, cats = raw
+    spark.sql("DROP TABLE IF EXISTS test_dw.etl_run_log")
+    import shutil
+    shutil.rmtree("spark-warehouse/test_dw.db/etl_run_log", ignore_errors=True)
+    spark.sql("CREATE DATABASE IF NOT EXISTS test_dw")
+    seed = spark.createDataFrame(
+        [
+            ("run_old", "success", 10, 10, 1.0, dt.datetime.now() - dt.timedelta(days=90)),
+            ("run_inflight", "running", 5, 0, 0.0, None),  # age unknown: keep
+        ],
+        RUN_LOG_SCHEMA,
+    )
+    seed.write.mode("append").saveAsTable("test_dw.etl_run_log")
+
+    res = pipeline.run_pipeline(
+        spark, raw_sales, raw_products, cats, database="test_dw",
+        run_ts=RUN_TS, thresholds=THRESHOLDS, log_retention_days=30,
+    )
+    assert res.status == "success"
+    assert res.counts["run_log_pruned"] == 1  # only run_old
+    ids = {r.run_id for r in spark.table("test_dw.etl_run_log").collect()}
+    assert "run_old" not in ids
+    assert "run_inflight" in ids and res.run_id in ids
