@@ -105,3 +105,43 @@ def mixture_sampling_rates(
         )
         .drop("_w_pct")
     )
+
+
+def priority_sample(
+    df: DataFrame,
+    weight_col: str,
+    key_col: str,
+    k: int,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via priority sampling
+    (Duffield-Lund-Thorup): top-k rows by priority = weight / u, with
+    u a seeded uniform derived from the row's stable key.
+
+    Rows are included with probability ~proportional to weight —  the
+    primitive behind weighted corpus mixing ("sample 10M docs, long
+    docs proportionally more often") — and, unlike A-ES exponential
+    jittering (u^(1/w)), needs NO transcendental functions: u is an
+    exact dyadic rational (first 32 md5 bits / 2^32) and priority is
+    one IEEE division, so every engine computes bit-identical
+    priorities and the sample is reproducible across engines, reruns
+    and repartitions (same property as ``deterministic_sample``).
+
+    Scale shape: priority is a pure projection; top-k is Spark's
+    TakeOrderedAndProject (per-partition heads, never a global sort).
+    Ties cannot occur across distinct keys (md5 collisions aside) —
+    ordering is total and deterministic.
+    """
+    # +1 keeps u in (0, 1]: the all-zero hash word would otherwise
+    # divide by zero (expected once per ~4e9 rows — a real event at
+    # corpus scale). Still an exact dyadic rational.
+    u = (
+        F.conv(F.md5(F.col(key_col).cast("string")).substr(1, 8), 16, 10)
+        .cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float(2**32))
+    pri = F.col(weight_col).cast("double") / u
+    return (
+        df.withColumn("priority", pri)
+        .orderBy(F.desc("priority"), key_col)
+        .limit(k)
+    )

@@ -429,3 +429,105 @@ def q117_variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q123 — PageRank over the customer-supplier trading graph
+# (operators/graph.py::pagerank_fixed_point): the second iterative
+# graph algorithm next to q53's connected components. Reference
+# analogue: the dashboards rank suppliers by raw revenue
+# (sql/analytical_queries.sql top-k surfaces); PageRank ranks them by
+# STRUCTURE — a supplier is important if important customers trade
+# with it — the recommendation/influence primitive raw sums can't
+# express.
+#
+# Graph: symmetric edges between customers and the suppliers they
+# bought from (orders ⋈ lineitem, distinct pairs; symmetric so rank
+# mass actually circulates — one-directional bipartite edges would
+# converge after a single hop). 3 fixed iterations, damping 0.85.
+#
+# Differential verification of an ITERATIVE algorithm: ranks are held
+# in BIGINT micro-units (see pagerank_fixed_point — truncating
+# divisions and exact integer sums make every round bit-deterministic
+# in any engine), so the DuckDB twin simply UNROLLS the three rounds
+# as CTEs r0 -> r1 -> r2 -> r3 and the driver hash-compares the exact
+# fixed-point ranks — no float tolerance anywhere.
+# ---------------------------------------------------------------------------
+PR_ITER = 3
+PR_SCALE = 1_000_000
+PR_TOPK = 30
+
+
+def _q123_sql() -> str:
+    def round_sql(prev: str, name: str) -> str:
+        return f"""
+    {name} AS (
+      SELECT n.node,
+             CAST(150000 + (85 * COALESCE(SUM({prev}.r // d.deg), 0)) // 100
+                  AS BIGINT) AS r
+      FROM nodes n
+      LEFT JOIN dir e ON e.dst = n.node
+      LEFT JOIN {prev} ON {prev}.node = e.src
+      LEFT JOIN outdeg d ON d.src = e.src
+      GROUP BY 1
+    )"""
+
+    return f"""
+    WITH pairs AS (
+      SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ),
+    dir AS (
+      SELECT 'c' || c AS src, 's' || s AS dst FROM pairs
+      UNION ALL
+      SELECT 's' || s AS src, 'c' || c AS dst FROM pairs
+    ),
+    outdeg AS (SELECT src, COUNT(*) AS deg FROM dir GROUP BY 1),
+    nodes AS (
+      SELECT DISTINCT src AS node FROM dir
+      UNION
+      SELECT DISTINCT dst AS node FROM dir
+    ),
+    r0 AS (SELECT node, CAST({PR_SCALE} AS BIGINT) AS r FROM nodes),
+    {','.join(round_sql(f'r{i}', f'r{i + 1}') for i in range(PR_ITER))}
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY r DESC, node) AS BIGINT) AS rank,
+           node AS supplier_node,
+           r AS rank_fp
+    FROM r{PR_ITER}
+    WHERE node LIKE 's%'
+    ORDER BY rank
+    LIMIT {PR_TOPK}
+    """
+
+
+@query("q123_supplier_pagerank", oracle=_q123_sql())
+def q123_supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.graph import pagerank_fixed_point
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    pairs = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("c"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    ranks = pagerank_fixed_point(edges, iterations=PR_ITER, scale=PR_SCALE)
+    w = Window.orderBy(F.desc("rank_fp"), "node")
+    return (
+        ranks.where(F.col("node").startswith("s"))
+        .select(
+            F.row_number().over(w).cast("bigint").alias("rank"),
+            F.col("node").alias("supplier_node"),
+            "rank_fp",
+        )
+        .orderBy("rank")
+        .limit(PR_TOPK)
+    )

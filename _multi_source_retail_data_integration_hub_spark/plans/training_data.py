@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators import sampling
 from ..operators import text as T
 from ..operators.checkpointing import materialize
 from ..sources.testdata import fan_out, load_table
@@ -1640,3 +1641,169 @@ def q120_crossdoc_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q122 — BM25 keyword retrieval (Okapi BM25, Lucene idf variant): the
+# classic sparse-retrieval scorer, completing the text-search story
+# next to the dense side (q26 cosine / q28 LSH / q42 IVF). Reference
+# analogue: the dashboards' keyword filter boxes
+# (/root/reference/streamlit_app.py search inputs) do substring
+# matching; a corpus-scale engine needs ranked relevance.
+#
+# Scale shape: the QUERY is tiny (a handful of terms) and broadcasts;
+# tf comes from one filtered tokenize pass (term IN query pushes into
+# the scan side before the groupBy), df/N/avgdl are scalar-sized
+# aggregates. Nothing pairwise, nothing quadratic — cost is one pass
+# over the corpus tokens plus a per-matching-doc pivot.
+#
+# Float determinism: BM25 sums per-term float contributions, and a
+# float SUM's addition ORDER is engine-chosen — the one source of
+# cross-engine drift. With a bounded query-term list the sum is
+# instead expressed as a FIXED left-to-right fold over per-term
+# pivoted columns (((t1 + t2) + t3)), so Spark and DuckDB evaluate the
+# identical IEEE expression tree; the final score is rounded to 9
+# decimals on both sides to absorb any last-ulp libm ln() difference.
+# ---------------------------------------------------------------------------
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TERMS = ["spark", "vector", "merge"]  # fixed benchmark query
+BM25_TOPK = 20
+
+
+def _bm25_sql() -> str:
+    terms_list = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    contrib = []
+    for i, t in enumerate(BM25_TERMS):
+        contrib.append(
+            f"COALESCE(MAX(CASE WHEN term = '{t}' THEN "
+            f"ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * "
+            f"(tf * {BM25_K1 + 1}) / "
+            f"(tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl / avgdl)) "
+            f"END), 0.0)"
+        )
+    folded = contrib[0]
+    for c in contrib[1:]:
+        folded = f"({folded} + {c})"
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+    stats AS (
+      SELECT COUNT(*) AS n_docs, SUM(dl) * 1.0 / COUNT(*) AS avgdl FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks
+      WHERE term IN ({terms_list}) GROUP BY 1, 2
+    ),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    scored AS (
+      SELECT t.doc_id,
+             COUNT(*) AS n_matched,
+             ROUND({folded}, 9) AS score
+      FROM tf t
+      JOIN df USING (term)
+      JOIN dl USING (doc_id)
+      CROSS JOIN stats
+      GROUP BY t.doc_id
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+             AS rank,
+           doc_id, CAST(n_matched AS BIGINT) AS n_matched, score
+    FROM scored
+    ORDER BY rank
+    LIMIT {BM25_TOPK}
+    """
+
+
+@query("q122_bm25_search", oracle=_bm25_sql())
+def q122_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(_docs(spark, sf_dir))
+    toks = docs.select(
+        "doc_id", F.explode(T.tokens(F.col("text"))).alias("term")
+    )
+    # one tokenize pass feeds dl (all terms) and tf (query terms only)
+    toks = toks.localCheckpoint(eager=False)
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl") * 1.0 / F.count("*")).alias("avgdl"),
+    )
+    tf = (
+        toks.where(F.col("term").isin(BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_counts = tf.groupBy("term").agg(F.count("*").alias("df"))
+    joined = (
+        tf.join(F.broadcast(df_counts), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    sat = (F.col("tf") * (BM25_K1 + 1)) / (
+        F.col("tf")
+        + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    per_term = joined.withColumn("contrib", idf * sat)
+    # pivot to one column per query term, then a FIXED-order fold (see
+    # header: float sum order must match the oracle's expression tree)
+    pivot_aggs = [
+        F.coalesce(
+            F.max(F.when(F.col("term") == t, F.col("contrib"))), F.lit(0.0)
+        ).alias(f"_c{i}")
+        for i, t in enumerate(BM25_TERMS)
+    ]
+    scored = per_term.groupBy("doc_id").agg(
+        F.count("*").alias("n_matched"), *pivot_aggs
+    )
+    folded = F.col("_c0")
+    for i in range(1, len(BM25_TERMS)):
+        folded = folded + F.col(f"_c{i}")
+    w = Window.orderBy(F.desc("score"), "doc_id")
+    return (
+        scored.select(
+            "doc_id",
+            F.col("n_matched").cast("bigint").alias("n_matched"),
+            F.round(folded, 9).alias("score"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .orderBy("rank")
+        .limit(BM25_TOPK)
+        .select("rank", "doc_id", "n_matched", "score")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q124 — weighted sampling WITHOUT replacement (priority sampling,
+# operators/sampling.py::priority_sample): completes the sampling
+# family — q45 stratified rates, q72 per-group reservoir, q106
+# mixture-to-budget, and now weight-proportional selection ("long /
+# high-quality docs proportionally more often"), the primitive behind
+# weighted corpus mixing. Deterministic by construction: u is an exact
+# dyadic rational from md5(doc_id), priority = n_chars / u is one IEEE
+# division — both engines compute bit-identical priorities, so the
+# DuckDB twin reproduces the exact sample and the driver hash-compares
+# the priorities themselves (floats, but never summed or transcended).
+# ---------------------------------------------------------------------------
+PRIORITY_K = 25
+
+
+@query(
+    "q124_priority_sample",
+    oracle=f"""
+    SELECT doc_id, n_chars,
+           n_chars * 1.0 /
+             ((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                    AS BIGINT) + 1.0) / 4294967296.0) AS priority
+    FROM documents
+    ORDER BY priority DESC, doc_id
+    LIMIT {PRIORITY_K}
+    """,
+)
+def q124_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    return sampling.priority_sample(
+        docs, weight_col="n_chars", key_col="doc_id", k=PRIORITY_K
+    ).select("doc_id", "n_chars", "priority")

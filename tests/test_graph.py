@@ -52,3 +52,43 @@ def test_reliable_checkpoint_path(spark, tmp_path):
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
     written = list((tmp_path / "cc_ckpt").rglob("*"))
     assert any(p.is_file() for p in written)
+
+
+def test_pagerank_fixed_point_semantics(spark):
+    """Fixed-point PageRank: deterministic integer ranks; a node with
+    more in-links from well-connected neighbors outranks the rest; a
+    star hub beats its leaves; repeated runs are bit-identical."""
+    from _multi_source_retail_data_integration_hub_spark.operators.graph import (
+        pagerank_fixed_point,
+    )
+
+    # star: hub h <-> leaves l1..l4 (symmetric edges)
+    edges = []
+    for leaf in ["l1", "l2", "l3", "l4"]:
+        edges.append(("h", leaf))
+        edges.append((leaf, "h"))
+    df = spark.createDataFrame(edges, "src string, dst string")
+    r1 = {r.node: r.rank_fp for r in pagerank_fixed_point(df, iterations=3).collect()}
+    r2 = {r.node: r.rank_fp for r in pagerank_fixed_point(df, iterations=3).collect()}
+    assert r1 == r2  # bit-deterministic
+    assert all(r1["h"] > r1[leaf] for leaf in ["l1", "l2", "l3", "l4"])
+    # leaves are symmetric -> identical ranks
+    assert len({r1[leaf] for leaf in ["l1", "l2", "l3", "l4"]}) == 1
+    # damping floor: every node keeps at least the base mass
+    assert all(v >= 150_000 for v in r1.values())
+
+
+def test_pagerank_dangling_and_isolated_direction(spark):
+    """Directed edges only: a pure sink accumulates, a pure source
+    drains to the damping floor after its mass leaks out."""
+    from _multi_source_retail_data_integration_hub_spark.operators.graph import (
+        pagerank_fixed_point,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "b"), ("c", "b")], "src string, dst string"
+    )
+    r = {x.node: x.rank_fp for x in pagerank_fixed_point(df, iterations=3).collect()}
+    assert r["b"] > r["a"] == r["c"]
+    # sources have no in-links: rank = base after one round
+    assert r["a"] == 150_000

@@ -90,3 +90,18 @@ def test_mixture_sample_corpus_side_never_shuffles_rows(spark):
     plan = kept._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan[:2000]
     assert "SortMergeJoin" not in plan, plan[:2000]
+
+
+def test_priority_sample_weight_bias_and_determinism(spark):
+    """Priority sampling: reruns give the identical sample; heavy rows
+    are overrepresented vs light rows at equal population counts."""
+    rows = [(i, 1000 if i % 2 == 0 else 1) for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    s1 = sampling.priority_sample(df, "w", "doc_id", 100).collect()
+    s2 = sampling.priority_sample(df, "w", "doc_id", 100).collect()
+    assert [tuple(r) for r in s1] == [tuple(r) for r in s2]
+    heavy = sum(1 for r in s1 if r.w == 1000)
+    assert heavy > 90  # 1000x weight -> overwhelmingly heavy rows
+    # priorities are exact and positive; ordering is total
+    pris = [r.priority for r in s1]
+    assert pris == sorted(pris, reverse=True) and pris[-1] > 0
