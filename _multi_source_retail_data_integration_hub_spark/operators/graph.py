@@ -134,7 +134,9 @@ def pagerank_fixed_point(
     nodes = materialize(nodes, checkpoint_dir)
     base = (100 - damping_pct) * scale // 100
     ranks = nodes.withColumn("rank_fp", F.lit(scale).cast("bigint"))
-    contrib_edges = e.join(outdeg, "src")  # (src, dst, deg)
+    # (src, dst, deg) is static across iterations — materialize once or
+    # every round re-pays the outdeg aggregation + join shuffles
+    contrib_edges = materialize(e.join(outdeg, "src"), checkpoint_dir)
     for _ in range(iterations):
         incoming = (
             contrib_edges.join(ranks, contrib_edges.src == ranks.node)
