@@ -92,3 +92,25 @@ def test_pagerank_dangling_and_isolated_direction(spark):
     assert r["b"] > r["a"] == r["c"]
     # sources have no in-links: rank = base after one round
     assert r["a"] == 150_000
+
+
+def test_pagerank_invariant_to_partitioning_and_edge_order(spark):
+    """The fixed-point claim, tested: identical ranks regardless of
+    edge-list ordering or partitioning — the property that makes the
+    iterative algorithm differentially verifiable at all."""
+    import random
+
+    from _multi_source_retail_data_integration_hub_spark.operators.graph import (
+        pagerank_fixed_point,
+    )
+
+    rng = random.Random(7)
+    edges = [(f"n{rng.randrange(40)}", f"n{rng.randrange(40)}") for _ in range(300)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    r_base = {r.node: r.rank_fp for r in pagerank_fixed_point(df, iterations=4).collect()}
+    shuffled = list(edges)
+    rng.shuffle(shuffled)
+    df2 = spark.createDataFrame(shuffled, "src string, dst string").repartition(13)
+    r_alt = {r.node: r.rank_fp for r in pagerank_fixed_point(df2, iterations=4).collect()}
+    assert r_base == r_alt

@@ -105,3 +105,20 @@ def test_priority_sample_weight_bias_and_determinism(spark):
     # priorities are exact and positive; ordering is total
     pris = [r.priority for r in s1]
     assert pris == sorted(pris, reverse=True) and pris[-1] > 0
+
+
+def test_priority_sample_invariant_to_partitioning(spark):
+    """Same sample (same priorities, same order) whatever the physical
+    layout — the reproducibility contract."""
+    from pyspark.sql import functions as F
+
+    rows = [(i, (i * 37) % 100 + 1) for i in range(5000)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    a = [tuple(r) for r in sampling.priority_sample(df, "w", "doc_id", 50).collect()]
+    b = [
+        tuple(r)
+        for r in sampling.priority_sample(
+            df.repartition(17).sortWithinPartitions(F.desc("doc_id")), "w", "doc_id", 50
+        ).collect()
+    ]
+    assert a == b
