@@ -763,3 +763,43 @@ def contamination_overlap(
             F.col("n_shared_grams").cast("double") / F.col("n_doc_grams")
         ).alias("contamination_frac"),
     )
+
+
+def lsh_probe_pairs(
+    sig_new: DataFrame,
+    sig_hist: DataFrame,
+    id_col: str,
+    n_bands: int = 4,
+    max_bucket_size: int | None = LSH_MAX_BUCKET_SIZE,
+) -> DataFrame:
+    """Incremental-ingest near-dup candidates: (id_new, id_hist) pairs
+    where a NEW batch document shares >= 1 LSH band bucket with a
+    HISTORY document.
+
+    The ingest-time complement of ``lsh_candidate_pairs`` (which
+    compares a corpus against itself): signatures are per-document and
+    never expire, so history signatures are computed ONCE and stored;
+    each new batch pays signatures for |batch| docs plus a
+    batch x history bucket join — never history x history, never a
+    full-corpus rescan. With the history melt laid out bucketed on
+    (band_id, bucket) the probe is a shuffle-free lookup, the same
+    layout trick as the IVF member table
+    (operators/similarity.py::write_members_bucketed).
+
+    Hot-bucket guard on the HISTORY side (the unbounded one): buckets
+    holding more than ``max_bucket_size`` history docs leave the join
+    (drop mode semantics, audit via ``lsh_hot_buckets``); a hot batch
+    bucket is bounded by the batch size by construction.
+    """
+    mn = _melt_bands(sig_new, id_col, n_bands).withColumnRenamed(id_col, "id_new")
+    mh = _melt_bands(sig_hist, id_col, n_bands).withColumnRenamed(id_col, "id_hist")
+    keys = ["band_id", "bucket"]
+    if max_bucket_size is not None:
+        ok = (
+            mh.groupBy(*keys)
+            .agg(F.count("*").alias("bucket_size"))
+            .where(F.col("bucket_size") <= max_bucket_size)
+            .select(*keys)
+        )
+        mh = mh.join(ok, keys)
+    return mn.join(mh, keys).select("id_new", "id_hist").distinct()

@@ -1807,3 +1807,93 @@ def q124_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.priority_sample(
         docs, weight_col="n_chars", key_col="doc_id", k=PRIORITY_K
     ).select("doc_id", "n_chars", "priority")
+
+
+# ---------------------------------------------------------------------------
+# q125 — incremental near-dup INGEST (operators/text.py::
+# lsh_probe_pairs): "does this incoming batch near-duplicate anything
+# already in the corpus?" — the LSH complement of q110's exact-
+# fingerprint bloom probe, and the missing ingest-time piece between
+# q24 (corpus self-join) and q116 (full-corpus dedup apply). Cost is
+# |batch| signatures + a batch x history bucket join — never
+# history x history, never a corpus rescan; history signatures are
+# per-doc state computed once (here rebuilt because the bench corpus
+# is tiny; at 100 TB they live in a stored, bucketed signature table).
+#
+# Batch: every 20th document re-ingested with its last 5 tokens
+# dropped (the q23/q24 near-dup mutation, id + 200000) — guaranteed
+# high-Jaccard hits against history. The DuckDB twin rebuilds both
+# signature sets with the shared CTE fragments, applies the SAME
+# history-side hot-bucket cap, and the driver hash-compares the exact
+# pair list.
+# ---------------------------------------------------------------------------
+PROBE_OFFSET = 200_000
+_PROBE_PRED = "doc_id % 20 = 0"
+_NEW_BATCH_SQL = f"""
+  SELECT doc_id + {PROBE_OFFSET} AS id,
+         array_to_string(list_slice({_TOKS}, 1, len({_TOKS}) - 5), ' ') AS text
+  FROM documents
+  WHERE {_PROBE_PRED} AND len({_TOKS}) > 15
+"""
+
+
+def _probe_sql() -> str:
+    def sig_for(src: str, tag: str) -> str:
+        return f"""sh{tag} AS (
+      SELECT DISTINCT id, unnest({_SHINGLES}) AS shingle FROM {src}
+    ),
+    hx{tag} AS (
+      SELECT id,
+             CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT) AS ha,
+             CAST('0x' || substr(md5(shingle), 9, 8) AS BIGINT) AS hb
+      FROM sh{tag}
+    ),
+    sig{tag} AS (
+      SELECT id,
+             {_cw_mins()}
+      FROM hx{tag} GROUP BY id
+    ),
+    sigb{tag} AS (
+      SELECT id,
+           {_band_exprs()}
+      FROM sig{tag}
+    ),
+    melt{tag} AS (
+{chr(10).join(f"      SELECT id, {b} AS band_id, band{b} AS bucket FROM sigb{tag}" + (" UNION ALL" if b < 3 else "") for b in range(4))}
+    )"""
+
+    return f"""
+    WITH hist AS (SELECT doc_id AS id, text FROM documents),
+    newb AS ({_NEW_BATCH_SQL}),
+    {sig_for('hist', 'h')},
+    {sig_for('newb', 'n')},
+    ok AS (
+      SELECT band_id, bucket FROM melth
+      GROUP BY 1, 2 HAVING COUNT(*) <= {T.LSH_MAX_BUCKET_SIZE}
+    )
+    SELECT DISTINCT n.id AS id_new, h.id AS id_hist
+    FROM meltn n
+    JOIN ok USING (band_id, bucket)
+    JOIN melth h USING (band_id, bucket)
+    ORDER BY 1, 2
+    """
+
+
+@query("q125_incremental_neardup", oracle=_probe_sql())
+def q125_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    hist = fan_out(d.select(F.col("doc_id").alias("id"), "text"))
+    toks = T.tokens(F.col("text"))
+    n = F.size(toks)
+    batch = (
+        d.where(F.expr(_PROBE_PRED) & (n > 15))
+        .select(
+            (F.col("doc_id") + PROBE_OFFSET).alias("id"),
+            F.concat_ws(" ", F.slice(toks, 1, n - 5)).alias("text"),
+        )
+    )
+    # history signatures: per-doc state, computed once and stored at
+    # scale; materialized here so the probe join doesn't recompute them
+    sig_hist = T.minhash_signatures(hist, "text", "id").localCheckpoint()
+    sig_new = T.minhash_signatures(batch, "text", "id")
+    return T.lsh_probe_pairs(sig_new, sig_hist, "id").orderBy("id_new", "id_hist")

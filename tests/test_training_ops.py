@@ -545,3 +545,33 @@ def test_sketch_helpers_tolerate_colliding_column_names(spark):
     )
     out = {r.item: r.might_contain for r in SK.bloom_probe(probes, "item", words).collect()}
     assert out["m1"] == 1 and out["nope"] == 0
+
+
+def test_lsh_probe_pairs_ingest_semantics(spark):
+    """Incremental ingest probe: a truncated re-ingest finds its
+    history original; an unrelated new doc finds nothing; a hot
+    history bucket (cap exceeded) leaves the probe join."""
+    base = (
+        "spark shuffle partition broadcast join aggregate window "
+        "catalyst tungsten codegen arrow pandas stream watermark state "
+        "checkpoint lineage executor driver stage task"
+    )
+    hist_rows = [(1, base), (2, "totally different animal words cat dog bird fish " * 3)]
+    hist = spark.createDataFrame(hist_rows, "id long, text string")
+    new_rows = [
+        (101, " ".join(base.split()[:-3])),            # near-dup of 1
+        (102, "unrelated quantum entanglement prose physics field theory lattice gauge boson fermion"),
+    ]
+    new = spark.createDataFrame(new_rows, "id long, text string")
+    sig_h = T.minhash_signatures(hist, "text", "id")
+    sig_n = T.minhash_signatures(new, "text", "id")
+    pairs = {(r.id_new, r.id_hist) for r in T.lsh_probe_pairs(sig_n, sig_h, "id").collect()}
+    assert (101, 1) in pairs
+    assert all(a != 102 for a, _ in pairs)
+    # cap: make history bucket hot by duplicating doc 1 many times
+    hot_hist = spark.createDataFrame(
+        [(i, base) for i in range(1, 8)], "id long, text string"
+    )
+    sig_hot = T.minhash_signatures(hot_hist, "text", "id")
+    capped = T.lsh_probe_pairs(sig_n, sig_hot, "id", max_bucket_size=3).collect()
+    assert capped == []  # every matching bucket holds 7 > 3 history docs
