@@ -801,3 +801,62 @@ def q118_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         # analyzed eagerly by spark.sql — drop or leak per call
         spark.catalog.dropTempView(nation_v)
         spark.catalog.dropTempView(customer_v)
+
+
+# ---------------------------------------------------------------------------
+# q126 — the STREAMING plan under the batch oracle: the driver-gate
+# version of tests/test_streaming.py's batch-equivalence suite. The
+# query builds the real Structured Streaming job (file-stream source →
+# watermark → tumbling window aggregation, streaming/jobs.py::
+# tumbling_daily), drains the full backlog with trigger=availableNow
+# into a memory sink, and returns the drained result — which the
+# driver then hash-compares against the plain batch SQL. This promotes
+# "streaming == batch" from a pytest claim to a driver-verified row:
+# the watermark bookkeeping, state-store aggregation and sink path all
+# sit on the verified side. n_users is approx_count_distinct in the
+# streaming plan (exact distinct isn't supported under streaming
+# aggregation), so the HLL column stays out of the compared schema —
+# the exact columns (counts, decimal-exact sums) are the contract.
+# The drained aggregate is one row per (day, event_type) — bounded —
+# so the snapshot-collect that frees the memory sink's temp view is
+# driver-safe at any corpus size.
+# ---------------------------------------------------------------------------
+@query(
+    "q126_streaming_tumbling",
+    oracle="""
+    SELECT date_trunc('day', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def q126_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming import jobs
+
+    stream = jobs.read_events_stream(spark, sf_dir)
+    agg = jobs.tumbling_daily(stream)
+    name = f"q126_mem_{next(_VIEW_SEQ)}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("q126: streaming drain did not finish in 300s")
+    finally:
+        if q.isActive:
+            q.stop()
+    snap = spark.table(name)
+    rows = snap.collect()  # one row per (day, type): bounded
+    out = spark.createDataFrame(rows, snap.schema)
+    spark.catalog.dropTempView(name)
+    return out.select(
+        "window_start", "event_type", "n_events", "total_value"
+    ).orderBy("window_start", "event_type")
