@@ -1286,3 +1286,104 @@ def q87_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             * 100
         ).alias("market_share_pct"),
     ).orderBy("market_region", "ship_year", "supp_nation")
+
+
+# ---------------------------------------------------------------------------
+# q127 — GOLDEN RECORD survivorship merge (MDM): fuse conflicting
+# multi-source records of one entity into a single best record, per
+# attribute. q71 finds which records ARE the same entity (blocking +
+# fuzzy match); this is the step after: per attribute take the value
+# from the most recent record that HAS one, tie-broken by source
+# priority — the standard "most recent non-null wins" survivorship
+# rule. Reference analogue: the dim_customer build keeps one arbitrary
+# row per customer (etl/transform.py first()-style aggregation); a
+# golden record keeps the freshest value PER FIELD.
+#
+# Records are synthesized deterministically from customer (three
+# source variants with disjoint null patterns and conflicting
+# casings), so both engines see the identical fusion problem. The
+# survivorship aggregate is arg_max/max_by over a packed
+# (ts, priority) BIGINT key with FILTER (WHERE attr IS NOT NULL) —
+# one grouped pass, map-side combinable, no windows, no self-joins;
+# at 100 TB this is a single shuffle on the entity key. The packed
+# keys are UNIQUE per entity by construction (sources get distinct
+# priorities) — survivorship requires a total order or arg_max ties
+# break engine-arbitrarily.
+# ---------------------------------------------------------------------------
+@query(
+    "q127_golden_record",
+    oracle="""
+    WITH records AS (
+      SELECT c_custkey, 'legacy' AS src, 1 AS ts, 1 AS prio,
+             upper(c_name) AS name,
+             CAST(c_acctbal AS DOUBLE) AS balance,
+             c_mktsegment AS segment
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, 'crm', 2, 2,
+             c_name,
+             NULL,
+             CASE WHEN c_custkey % 2 = 0 THEN NULL ELSE c_mktsegment END
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, 'web', CASE WHEN c_custkey % 3 = 0 THEN 3 ELSE 1 END, 0,
+             NULL, CAST(c_acctbal AS DOUBLE) + 10.0, NULL
+      FROM customer
+    ),
+    keyed AS (SELECT *, CAST(ts * 10 + prio AS BIGINT) AS k FROM records)
+    SELECT c_custkey,
+           arg_max(name, k) FILTER (WHERE name IS NOT NULL) AS golden_name,
+           arg_max(balance, k) FILTER (WHERE balance IS NOT NULL)
+             AS golden_balance,
+           arg_max(segment, k) FILTER (WHERE segment IS NOT NULL)
+             AS golden_segment,
+           COUNT(*) AS n_records,
+           COUNT(DISTINCT name) AS n_name_variants
+    FROM keyed
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q127_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    legacy = c.select(
+        "c_custkey",
+        F.lit("legacy").alias("src"), F.lit(1).alias("ts"), F.lit(1).alias("prio"),
+        F.upper("c_name").alias("name"),
+        F.col("c_acctbal").cast("double").alias("balance"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    crm = c.select(
+        "c_custkey",
+        F.lit("crm").alias("src"), F.lit(2).alias("ts"), F.lit(2).alias("prio"),
+        F.col("c_name").alias("name"),
+        F.lit(None).cast("double").alias("balance"),
+        F.when(F.col("c_custkey") % 2 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("segment"),
+    )
+    web = c.select(
+        "c_custkey",
+        F.lit("web").alias("src"),
+        F.when(F.col("c_custkey") % 3 == 0, 3).otherwise(1).alias("ts"),
+        F.lit(0).alias("prio"),
+        F.lit(None).cast("string").alias("name"),
+        (F.col("c_acctbal").cast("double") + F.lit(10.0)).alias("balance"),
+        F.lit(None).cast("string").alias("segment"),
+    )
+    keyed = (
+        legacy.unionByName(crm)
+        .unionByName(web)
+        .withColumn("k", (F.col("ts") * 10 + F.col("prio")).cast("bigint"))
+    )
+    return (
+        keyed.groupBy("c_custkey")
+        .agg(
+            F.expr("max_by(name, k) FILTER (WHERE name IS NOT NULL)").alias("golden_name"),
+            F.expr("max_by(balance, k) FILTER (WHERE balance IS NOT NULL)").alias("golden_balance"),
+            F.expr("max_by(segment, k) FILTER (WHERE segment IS NOT NULL)").alias("golden_segment"),
+            F.count("*").alias("n_records"),
+            F.countDistinct("name").alias("n_name_variants"),
+        )
+        .orderBy("c_custkey")
+    )

@@ -531,3 +531,145 @@ def q123_supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("rank")
         .limit(PR_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# q128 — join-key SKEW AUDIT: the measurement side of the skew
+# mitigations (operators/skew.py salting, AQE skew-join split pinned in
+# tests/test_skew.py). Before a 100 TB join you ask: how hot is the
+# hottest key? One partial-agg pass per audited column produces
+# (n_rows, n_keys, max_key_rows, top1_share_ppm, skew_x) — skew_x is
+# the hottest key's multiple of the uniform share, the number that
+# decides between a plain shuffle join, AQE's splitter, or explicit
+# salting. Integer ppm/ratios (truncating division) keep the surface
+# engine-exact. Output is one row per audited key column — scalar-sized
+# whatever the corpus.
+# ---------------------------------------------------------------------------
+_SKEW_AUDIT = [
+    ("lineitem", "l_suppkey"),
+    ("lineitem", "l_partkey"),
+    ("orders", "o_custkey"),
+]
+
+
+def _q128_sql() -> str:
+    parts = [
+        f"""
+    SELECT '{t}.{c}' AS key_col,
+           SUM(cnt) AS n_rows,
+           COUNT(*) AS n_keys,
+           MAX(cnt) AS max_key_rows,
+           MAX(cnt) * 1000000 // SUM(cnt) AS top1_share_ppm,
+           MAX(cnt) * COUNT(*) // SUM(cnt) AS skew_x
+    FROM (SELECT {c}, COUNT(*) AS cnt FROM {t} GROUP BY 1) s({c}, cnt)
+    """
+        for t, c in _SKEW_AUDIT
+    ]
+    return " UNION ALL ".join(parts) + " ORDER BY key_col"
+
+
+@query("q128_key_skew_audit", oracle=_q128_sql())
+def q128_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    outs = []
+    for t, c in _SKEW_AUDIT:
+        counts = load_table(spark, sf_dir, t).groupBy(c).agg(
+            F.count("*").alias("cnt")
+        )
+        outs.append(
+            counts.agg(
+                F.lit(f"{t}.{c}").alias("key_col"),
+                F.sum("cnt").alias("n_rows"),
+                F.count("*").alias("n_keys"),
+                F.max("cnt").alias("max_key_rows"),
+                F.expr("max(cnt) * 1000000 div sum(cnt)").alias("top1_share_ppm"),
+                F.expr("max(cnt) * count(*) div sum(cnt)").alias("skew_x"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("key_col")
+
+
+# ---------------------------------------------------------------------------
+# q129 — order-independent TABLE CHECKSUM: one content fingerprint per
+# table, computed as the SUM of bounded per-row hashes — commutative
+# and associative, so any partitioning, any engine, any row order
+# yields the same number WITHOUT a global sort. Use case at 100 TB:
+# migration / replication / snapshot-promotion equality checks ("is
+# the copied table byte-equal?") where sorting 100 TB to compare is
+# absurd but one scan + a scalar per side is trivial. Per-row hash is
+# the first 32 md5 bits of a canonical rendering (integers and
+# %Y-%m-%d dates only — float rendering is engine-specific), reduced
+# mod 2^31 so a BIGINT sum has headroom past 1e9 rows; production
+# variants split the sum into k modular lanes for more bits.
+# Row-count rides along: SUM collisions would need to conspire with an
+# equal count.
+# ---------------------------------------------------------------------------
+def _checksum_cols() -> dict[str, tuple[str, ...]]:
+    return {
+        "orders": (
+            "CAST(o_orderkey AS VARCHAR)",
+            "CAST(o_custkey AS VARCHAR)",
+            "o_orderstatus",
+            "strftime(o_orderdate, '%Y-%m-%d')",
+        ),
+        "customer": (
+            "CAST(c_custkey AS VARCHAR)",
+            "c_name",
+            "CAST(c_nationkey AS VARCHAR)",
+            "c_mktsegment",
+        ),
+        "lineitem": (
+            "CAST(l_orderkey AS VARCHAR)",
+            "CAST(l_partkey AS VARCHAR)",
+            "CAST(l_suppkey AS VARCHAR)",
+            "CAST(CAST(l_quantity AS BIGINT) AS VARCHAR)",
+        ),
+    }
+
+
+_CK_MOD = 2**31
+
+
+def _q129_sql() -> str:
+    parts = []
+    for t, cols in _checksum_cols().items():
+        rendered = " || '|' || ".join(cols)
+        parts.append(
+            f"""
+    SELECT '{t}' AS table_name,
+           COUNT(*) AS n_rows,
+           SUM(CAST('0x' || substr(md5({rendered}), 1, 8) AS BIGINT)
+               % {_CK_MOD}) AS checksum
+    FROM {t}
+    """
+        )
+    return " UNION ALL ".join(parts) + " ORDER BY table_name"
+
+
+@query("q129_table_checksum", oracle=_q129_sql())
+def q129_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark_exprs = {
+        "orders": "concat_ws('|', CAST(o_orderkey AS STRING), CAST(o_custkey AS STRING), o_orderstatus, date_format(o_orderdate, 'yyyy-MM-dd'))",
+        "customer": "concat_ws('|', CAST(c_custkey AS STRING), c_name, CAST(c_nationkey AS STRING), c_mktsegment)",
+        "lineitem": "concat_ws('|', CAST(l_orderkey AS STRING), CAST(l_partkey AS STRING), CAST(l_suppkey AS STRING), CAST(CAST(l_quantity AS BIGINT) AS STRING))",
+    }
+    outs = []
+    for t, expr in spark_exprs.items():
+        df = load_table(spark, sf_dir, t)
+        row_hash = F.pmod(
+            F.conv(F.md5(F.expr(expr)).substr(1, 8), 16, 10).cast("bigint"),
+            F.lit(_CK_MOD),
+        )
+        outs.append(
+            df.agg(
+                F.lit(t).alias("table_name"),
+                F.count("*").alias("n_rows"),
+                F.sum(row_hash).alias("checksum"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("table_name")
