@@ -1387,3 +1387,236 @@ def q127_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# q130 — A/B experiment readout (two-proportion z-test). The classic
+# product-analytics statistic the dashboards' KPI counts stop short
+# of: split users into variants (deterministic user_id % 2 here —
+# exactly how a hash-bucketed experiment assigns), measure conversion
+# (>= 1 purchase event), and compute the pooled two-proportion z.
+# Float determinism: +, -, *, / and sqrt() are all IEEE-exactly-
+# rounded in both engines, so writing the IDENTICAL expression tree on
+# both sides yields bit-equal z — no tolerance needed; the only
+# operations avoided are the non-correctly-rounded transcendentals
+# (no p-value erf(); the |z| > 1.96 cutoff is the integer verdict).
+# One grouped pass over events; output is a single row.
+# ---------------------------------------------------------------------------
+@query(
+    "q130_ab_test",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, user_id % 2 AS variant, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    per_user AS (
+      SELECT user_id, variant,
+             MAX(CASE WHEN rn = 1 AND event_type = 'purchase'
+                      THEN 1 ELSE 0 END) AS conv
+      FROM ranked GROUP BY 1, 2
+    ),
+    v AS (
+      SELECT variant, COUNT(*) AS n_users,
+             CAST(SUM(conv) AS BIGINT) AS n_conv
+      FROM per_user GROUP BY 1
+    ),
+    wide AS (
+      SELECT
+        MAX(CASE WHEN variant = 0 THEN n_users END) AS n0,
+        MAX(CASE WHEN variant = 0 THEN n_conv END) AS c0,
+        MAX(CASE WHEN variant = 1 THEN n_users END) AS n1,
+        MAX(CASE WHEN variant = 1 THEN n_conv END) AS c1
+      FROM v
+    )
+    SELECT n0, c0, n1, c1,
+           CAST(c0 AS DOUBLE) / n0 AS rate0,
+           CAST(c1 AS DOUBLE) / n1 AS rate1,
+           (CAST(c0 AS DOUBLE) / n0 - CAST(c1 AS DOUBLE) / n1)
+             / NULLIF(sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                    * (1.0 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                    * (1.0 / n0 + 1.0 / n1)), 0.0) AS z_stat,
+           CAST(COALESCE(abs((CAST(c0 AS DOUBLE) / n0 - CAST(c1 AS DOUBLE) / n1)
+             / NULLIF(sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                    * (1.0 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                    * (1.0 / n0 + 1.0 / n1)), 0.0)) > 1.96, FALSE)
+             AS BIGINT) AS significant_95
+    FROM wide
+    """,
+)
+def q130_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    # conversion = the user's FIRST event (by ts, event_id) is a
+    # purchase: a scale-invariant definition whose rate sits strictly
+    # inside (0, 1) on any generation, so the pooled variance cannot
+    # degenerate to zero (guarded by NULLIF both sides regardless)
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ranked = events.select(
+        "user_id",
+        (F.col("user_id") % 2).alias("variant"),
+        "event_type",
+        F.row_number().over(order).alias("rn"),
+    )
+    per_user = ranked.groupBy("user_id", "variant").agg(
+        F.max(
+            F.when((F.col("rn") == 1) & (F.col("event_type") == "purchase"), 1)
+            .otherwise(0)
+        ).alias("conv")
+    )
+    v = per_user.groupBy("variant").agg(
+        F.count("*").alias("n_users"), F.sum("conv").cast("bigint").alias("n_conv")
+    )
+    wide = v.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n_users"))).alias("n0"),
+        F.max(F.when(F.col("variant") == 0, F.col("n_conv"))).alias("c0"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_users"))).alias("n1"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_conv"))).alias("c1"),
+    )
+    # IDENTICAL expression tree as the oracle (IEEE-exact ops only)
+    r0 = F.col("c0").cast("double") / F.col("n0")
+    r1 = F.col("c1").cast("double") / F.col("n1")
+    pooled = (F.col("c0") + F.col("c1")).cast("double") / (F.col("n0") + F.col("n1"))
+    se = F.sqrt(
+        pooled * (F.lit(1.0) - pooled)
+        * (F.lit(1.0) / F.col("n0") + F.lit(1.0) / F.col("n1"))
+    )
+    z = (r0 - r1) / F.nullif(se, F.lit(0.0))
+    return wide.select(
+        "n0", "c0", "n1", "c1",
+        r0.alias("rate0"),
+        r1.alias("rate1"),
+        z.alias("z_stat"),
+        F.coalesce(F.abs(z) > 1.96, F.lit(False)).cast("bigint").alias(
+            "significant_95"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q131 — MARKET BASKET: co-purchase pair support + lift, the staple
+# retail association analysis missing from the reference's dashboards.
+# Pairs form WITHIN an order only (self-join on l_orderkey with
+# part_a < part_b), so cost is Σ basket_size² — bounded by the max
+# basket (7 lines in TPC-H-shaped data), i.e. linear in orders, never
+# corpus-quadratic; the pair groupBy is the one real shuffle. lift =
+# P(a,b) / (P(a)·P(b)) computed as one float expression from exact
+# integer counts — identical trees both engines, no float summation.
+# Top-k by (support, pair) keeps the output deterministic under ties.
+# ---------------------------------------------------------------------------
+BASKET_TOPK = 50
+
+
+@query(
+    "q131_market_basket",
+    oracle=f"""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM items),
+    item_cnt AS (SELECT l_partkey, COUNT(*) AS cnt FROM items GROUP BY 1),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             COUNT(*) AS pair_cnt
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    )
+    SELECT p.part_a, p.part_b, p.pair_cnt,
+           ca.cnt AS cnt_a, cb.cnt AS cnt_b,
+           CAST(p.pair_cnt * n.n_orders AS DOUBLE) / (ca.cnt * cb.cnt)
+             AS lift
+    FROM pairs p
+    JOIN item_cnt ca ON ca.l_partkey = p.part_a
+    JOIN item_cnt cb ON cb.l_partkey = p.part_b
+    CROSS JOIN n
+    ORDER BY p.pair_cnt DESC, p.part_a, p.part_b
+    LIMIT {BASKET_TOPK}
+    """,
+)
+def q131_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct().localCheckpoint()
+    n = items.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    item_cnt = items.groupBy("l_partkey").agg(F.count("*").alias("cnt"))
+    a = items.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
+    b = items.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("pair_cnt"))
+    )
+    ca = item_cnt.select(F.col("l_partkey").alias("part_a"), F.col("cnt").alias("cnt_a"))
+    cb = item_cnt.select(F.col("l_partkey").alias("part_b"), F.col("cnt").alias("cnt_b"))
+    lift = (F.col("pair_cnt") * F.col("n_orders")).cast("double") / (
+        F.col("cnt_a") * F.col("cnt_b")
+    )
+    return (
+        pairs.join(ca, "part_a")
+        .join(cb, "part_b")
+        .crossJoin(F.broadcast(n))
+        .select("part_a", "part_b", "pair_cnt", "cnt_a", "cnt_b", lift.alias("lift"))
+        .orderBy(F.desc("pair_cnt"), "part_a", "part_b")
+        .limit(BASKET_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q132 — RFM segmentation: recency / frequency / monetary quintiles
+# per customer, the canonical CRM scoring the reference's one-axis
+# segment binning (D7, q03) stops short of. Each dimension is
+# NTILE(5) with a (metric, custkey) tie-break so bucket boundaries
+# are total-ordered and engine-identical; the output aggregates to
+# (rfm_segment, n_customers, avg spend) so it stays scalar-sized.
+# One orders pass + three windows over the same customer-level frame.
+# ---------------------------------------------------------------------------
+@query(
+    "q132_rfm_segments",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             MAX(o_orderdate) AS last_order,
+             COUNT(*) AS n_orders,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+      FROM orders GROUP BY 1
+    ),
+    scored AS (
+      SELECT o_custkey, spend,
+             NTILE(5) OVER (ORDER BY last_order, o_custkey) AS r_score,
+             NTILE(5) OVER (ORDER BY n_orders, o_custkey) AS f_score,
+             NTILE(5) OVER (ORDER BY spend, o_custkey) AS m_score
+      FROM per_cust
+    )
+    SELECT r_score || '-' || f_score || '-' || m_score AS rfm_segment,
+           COUNT(*) AS n_customers,
+           CAST(SUM(spend) AS DOUBLE) AS total_spend
+    FROM scored
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q132_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spend"),
+    )
+    r = Window.orderBy("last_order", "o_custkey")
+    f = Window.orderBy("n_orders", "o_custkey")
+    m = Window.orderBy("spend", "o_custkey")
+    scored = per_cust.select(
+        "o_custkey",
+        "spend",
+        F.ntile(5).over(r).alias("r_score"),
+        F.ntile(5).over(f).alias("f_score"),
+        F.ntile(5).over(m).alias("m_score"),
+    )
+    seg = F.concat_ws("-", "r_score", "f_score", "m_score")
+    return (
+        scored.groupBy(seg.alias("rfm_segment"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum("spend").cast("double").alias("total_spend"),
+        )
+        .orderBy("rfm_segment")
+    )
