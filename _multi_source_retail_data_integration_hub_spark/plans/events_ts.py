@@ -847,16 +847,20 @@ def q126_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     try:
-        if not q.awaitTermination(300):
-            q.stop()
-            raise TimeoutError("q126: streaming drain did not finish in 300s")
+        try:
+            if not q.awaitTermination(300):
+                raise TimeoutError("q126: streaming drain did not finish in 300s")
+        finally:
+            if q.isActive:
+                q.stop()
+        snap = spark.table(name)
+        rows = snap.collect()  # one row per (day, type): bounded
+        out = spark.createDataFrame(rows, snap.schema)
     finally:
-        if q.isActive:
-            q.stop()
-    snap = spark.table(name)
-    rows = snap.collect()  # one row per (day, type): bounded
-    out = spark.createDataFrame(rows, snap.schema)
-    spark.catalog.dropTempView(name)
+        # drop even when the drain/collect fails, or every failed call
+        # leaks a memory-sink view holding the full aggregate (r5
+        # review finding; same hygiene as q118/q119 above)
+        spark.catalog.dropTempView(name)
     return out.select(
         "window_start", "event_type", "n_events", "total_value"
     ).orderBy("window_start", "event_type")

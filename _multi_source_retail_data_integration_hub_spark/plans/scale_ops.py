@@ -15,6 +15,8 @@ aggregates over the ``events`` table.
 
 from __future__ import annotations
 
+from functools import reduce as _reduce
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -455,15 +457,18 @@ def q117_variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 PR_ITER = 3
 PR_SCALE = 1_000_000
+PR_DAMPING_PCT = 85  # interpolated into BOTH the oracle and the Spark call
 PR_TOPK = 30
 
 
 def _q123_sql() -> str:
+    base = (100 - PR_DAMPING_PCT) * PR_SCALE // 100
+
     def round_sql(prev: str, name: str) -> str:
         return f"""
     {name} AS (
       SELECT n.node,
-             CAST(150000 + (85 * COALESCE(SUM({prev}.r // d.deg), 0)) // 100
+             CAST({base} + ({PR_DAMPING_PCT} * COALESCE(SUM({prev}.r // d.deg), 0)) // 100
                   AS BIGINT) AS r
       FROM nodes n
       LEFT JOIN dir e ON e.dst = n.node
@@ -519,7 +524,9 @@ def q123_supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
         pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
     )
-    ranks = pagerank_fixed_point(edges, iterations=PR_ITER, scale=PR_SCALE)
+    ranks = pagerank_fixed_point(
+        edges, iterations=PR_ITER, damping_pct=PR_DAMPING_PCT, scale=PR_SCALE
+    )
     w = Window.orderBy(F.desc("rank_fp"), "node")
     return (
         ranks.where(F.col("node").startswith("s"))
@@ -585,10 +592,7 @@ def q128_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr("max(cnt) * count(*) div sum(cnt)").alias("skew_x"),
             )
         )
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
-    return out.orderBy("key_col")
+    return _reduce(DataFrame.unionByName, outs).orderBy("key_col")
 
 
 # ---------------------------------------------------------------------------
@@ -607,6 +611,12 @@ def q128_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # equal count.
 # ---------------------------------------------------------------------------
 def _checksum_cols() -> dict[str, tuple[str, ...]]:
+    """Canonical renderings per table. Each field is wrapped in
+    COALESCE(..., sentinel) at use sites: a bare ``a || '|' || b``
+    would NULL the whole row in DuckDB while Spark's concat_ws SKIPS
+    null fields — both wrong for an equality primitive (the skip also
+    renders ('a', NULL, 'b') == ('a', 'b', NULL)). The sentinel keeps
+    null fields position-distinct and both engines identical."""
     return {
         "orders": (
             "CAST(o_orderkey AS VARCHAR)",
@@ -629,13 +639,16 @@ def _checksum_cols() -> dict[str, tuple[str, ...]]:
     }
 
 
+_CK_NULL = "<NULL>"  # sentinel rendering for NULL fields (no backslashes: Spark SQL literals process escapes, DuckDB does not)
+
+
 _CK_MOD = 2**31
 
 
 def _q129_sql() -> str:
     parts = []
     for t, cols in _checksum_cols().items():
-        rendered = " || '|' || ".join(cols)
+        rendered = " || '|' || ".join(f"COALESCE({c}, '{_CK_NULL}')" for c in cols)
         parts.append(
             f"""
     SELECT '{t}' AS table_name,
@@ -650,13 +663,33 @@ def _q129_sql() -> str:
 
 @query("q129_table_checksum", oracle=_q129_sql())
 def q129_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark_exprs = {
-        "orders": "concat_ws('|', CAST(o_orderkey AS STRING), CAST(o_custkey AS STRING), o_orderstatus, date_format(o_orderdate, 'yyyy-MM-dd'))",
-        "customer": "concat_ws('|', CAST(c_custkey AS STRING), c_name, CAST(c_nationkey AS STRING), c_mktsegment)",
-        "lineitem": "concat_ws('|', CAST(l_orderkey AS STRING), CAST(l_partkey AS STRING), CAST(l_suppkey AS STRING), CAST(CAST(l_quantity AS BIGINT) AS STRING))",
+    spark_fields = {
+        "orders": [
+            "CAST(o_orderkey AS STRING)",
+            "CAST(o_custkey AS STRING)",
+            "o_orderstatus",
+            "date_format(o_orderdate, 'yyyy-MM-dd')",
+        ],
+        "customer": [
+            "CAST(c_custkey AS STRING)",
+            "c_name",
+            "CAST(c_nationkey AS STRING)",
+            "c_mktsegment",
+        ],
+        "lineitem": [
+            "CAST(l_orderkey AS STRING)",
+            "CAST(l_partkey AS STRING)",
+            "CAST(l_suppkey AS STRING)",
+            "CAST(CAST(l_quantity AS BIGINT) AS STRING)",
+        ],
     }
     outs = []
-    for t, expr in spark_exprs.items():
+    for t, fields in spark_fields.items():
+        # concat (not concat_ws): null fields must render the sentinel
+        # in place, keeping positions distinct — see _checksum_cols
+        expr = "concat(" + ", '|', ".join(
+            f"coalesce({f}, '{_CK_NULL}')" for f in fields
+        ) + ")"
         df = load_table(spark, sf_dir, t)
         row_hash = F.pmod(
             F.conv(F.md5(F.expr(expr)).substr(1, 8), 16, 10).cast("bigint"),
@@ -669,7 +702,4 @@ def q129_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(row_hash).alias("checksum"),
             )
         )
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
-    return out.orderBy("table_name")
+    return _reduce(DataFrame.unionByName, outs).orderBy("table_name")

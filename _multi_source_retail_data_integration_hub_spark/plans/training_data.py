@@ -1676,10 +1676,14 @@ def _bm25_sql() -> str:
     contrib = []
     for i, t in enumerate(BM25_TERMS):
         contrib.append(
+            # parenthesized so BOTH engines evaluate idf * (sat):
+            # 'idf * a / b' would parse as (idf*a)/b, a DIFFERENT
+            # rounding order than the Spark side's idf * (a/b) —
+            # 1-ulp divergence on ~1/3 of inputs (review r5 finding)
             f"COALESCE(MAX(CASE WHEN term = '{t}' THEN "
             f"ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * "
-            f"(tf * {BM25_K1 + 1}) / "
-            f"(tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl / avgdl)) "
+            f"((tf * {BM25_K1 + 1}) / "
+            f"(tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl / avgdl))) "
             f"END), 0.0)"
         )
     folded = contrib[0]
@@ -1882,6 +1886,14 @@ def _probe_sql() -> str:
 @query("q125_incremental_neardup", oracle=_probe_sql())
 def q125_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
+    # same collision guard as _guard_offset: synthetic batch ids must
+    # not alias real history ids or the pair list silently corrupts
+    mx = d.agg(F.max("doc_id")).first()[0] or 0
+    if mx >= PROBE_OFFSET:
+        raise ValueError(
+            f"q125: max doc_id {mx} >= PROBE_OFFSET {PROBE_OFFSET}; raise "
+            "the offset or the synthetic batch ids collide with history"
+        )
     hist = fan_out(d.select(F.col("doc_id").alias("id"), "text"))
     toks = T.tokens(F.col("text"))
     n = F.size(toks)

@@ -385,61 +385,86 @@ def apply_mart_batch(
     Batch ids are scoped to ONE streaming checkpoint: a recreated
     checkpoint (or a second query adopting an existing mart) restarts
     them at 0. ``app_id`` (the checkpoint's durable query id, see
-    ``_streaming_app_id``) disambiguates: a batch from a DIFFERENT app
-    than the one stamped on the mart is a new writer epoch and is
-    APPLIED (stamping the new app), never silently skipped. Without an
-    ``app_id`` (legacy callers / unreadable checkpoint FS) only an
-    exact replay of the last applied batch is skipped; a batch id
-    strictly below the stored one raises instead of freezing the mart
-    silently.
+    ``_streaming_app_id``) scopes the guard: the mart stores a PER-APP
+    version map (``_applied_txns``, JSON {app: last_batch}) — exactly
+    Delta's txnAppId/txnVersion model. Each app's replays are fenced
+    against that app's own entry, so two writers (e.g. a zombie
+    instance racing its replacement after failover) each make progress
+    exactly once per batch and NEITHER can double-apply by alternating
+    — the single-last-writer stamp the r5 review flagged could not
+    fence that. Without an ``app_id`` (legacy callers / unreadable
+    checkpoint FS) the entry under a reserved key is used: replays at
+    or below the stored id are skipped, and going strictly backwards
+    raises rather than silently skipping (a reset checkpoint with no
+    identity is indistinguishable from a foreign writer).
+    ``_applied_app``/``_applied_batch`` remain as last-writer
+    observability columns; the map is the guard.
     """
+    import json
+
+    legacy_key = "__no_app__"
     staging = f"{table}__staging"
     if not spark.catalog.tableExists(table) and spark.catalog.tableExists(staging):
         # crashed between drop and rename: staging IS the committed
         # snapshot (its _applied_batch proves which batch it includes)
         spark.sql(f"ALTER TABLE {staging} RENAME TO {table}")
+    key = app_id if app_id is not None else legacy_key
+    txns: dict[str, int] = {}
+    stored_app = None
     if spark.catalog.tableExists(table):
         current = spark.table(table)
-        guard_cols = [c for c in ("_applied_batch", "_applied_app") if c in current.columns]
-        stored_app = None
-        if "_applied_app" in guard_cols:
-            row = current.agg(
-                F.max("_applied_batch").alias("b"), F.max("_applied_app").alias("a")
-            ).first()
-            last, stored_app = row["b"], row["a"]
-        else:  # mart written before the app-id guard existed
-            last = current.agg(F.max("_applied_batch")).first()[0]
-        if last is not None:
-            same_epoch = (
-                app_id is not None and stored_app is not None and app_id == stored_app
-            )
-            if same_epoch:
-                if last >= batch_id:
-                    return False  # replayed batch: already folded into state
-            elif app_id is not None and stored_app is not None:
-                pass  # new writer epoch adopting the mart: apply, restamp
+        guard_cols = [
+            c
+            for c in ("_applied_batch", "_applied_app", "_applied_txns")
+            if c in current.columns
+        ]
+        if "_applied_txns" in guard_cols:
+            row = current.select("_applied_txns", *(
+                ["_applied_app"] if "_applied_app" in guard_cols else []
+            )).first()
+            if row is not None:
+                txns = {k: int(v) for k, v in json.loads(row[0] or "{}").items()}
+                if "_applied_app" in guard_cols:
+                    stored_app = row["_applied_app"]
+        elif guard_cols:
+            # mart stamped by a pre-map version: migrate its single
+            # (app, batch) pair into the map
+            if "_applied_app" in guard_cols:
+                row = current.agg(
+                    F.max("_applied_batch").alias("b"),
+                    F.max("_applied_app").alias("a"),
+                ).first()
+                last, stored_app = row["b"], row["a"]
             else:
-                # app identity unknown on one side: only the exact
-                # post-commit replay is safe to skip; anything further
-                # back means a reset checkpoint or a foreign writer.
-                if last == batch_id:
-                    return False
-                if last > batch_id:
-                    raise ValueError(
-                        f"apply_mart_batch: batch {batch_id} for table "
-                        f"{table!r} is behind the stored _applied_batch "
-                        f"{last} and no app id is available to prove a new "
-                        "writer epoch — refusing to silently skip (a "
-                        "recreated checkpoint would freeze this mart). "
-                        "Pass app_id (see _streaming_app_id) or reset the "
-                        "mart's guard columns explicitly."
-                    )
+                last = current.agg(F.max("_applied_batch")).first()[0]
+            if last is not None:
+                txns[stored_app if stored_app is not None else legacy_key] = int(last)
+        if key in txns and txns[key] >= batch_id:
+            if app_id is None and batch_id < txns[key]:
+                raise ValueError(
+                    f"apply_mart_batch: batch {batch_id} for table "
+                    f"{table!r} is behind the stored batch {txns[key]} "
+                    "and no app id is available to prove a new writer "
+                    "epoch — refusing to silently skip (a recreated "
+                    "checkpoint would freeze this mart). Pass app_id "
+                    "(see _streaming_app_id) or reset the mart's guard "
+                    "columns explicitly."
+                )
+            return False  # this app already folded this batch into state
         merged = merge_fn(current.drop(*guard_cols), delta_partials)
     else:
         merged = delta_partials
-    stamped = merged.withColumn(
-        "_applied_batch", F.lit(batch_id).cast("bigint")
-    ).withColumn("_applied_app", F.lit(app_id).cast("string"))
+    txns[key] = batch_id
+    # last-writer observability: preserve the stored app when a legacy
+    # (app-less) apply lands, instead of erasing the epoch with NULL
+    last_app = app_id if app_id is not None else stored_app
+    stamped = (
+        merged.withColumn("_applied_batch", F.lit(batch_id).cast("bigint"))
+        .withColumn("_applied_app", F.lit(last_app).cast("string"))
+        .withColumn(
+            "_applied_txns", F.lit(json.dumps(txns, sort_keys=True)).cast("string")
+        )
+    )
     stamped = stamped.localCheckpoint()  # break self-reference before overwrite
     stamped.write.mode("overwrite").saveAsTable(staging)
     if spark.catalog.tableExists(table):

@@ -28,7 +28,15 @@ def test_profile_applies_to_live_session(spark):
     submit-time resource keys may be skipped, and the session ends up
     actually running with the profile's SQL settings."""
     conf = cluster_conf(executors=4, cores_per_executor=8)
-    before = spark.conf.get("spark.sql.shuffle.partitions")
+    # snapshot EVERY key the profile will touch: this fixture is
+    # session-scoped, so anything left set here silently changes what
+    # every later test exercises (e.g. RocksDB state store, CBO)
+    before: dict[str, str | None] = {}
+    for k in conf:
+        try:
+            before[k] = spark.conf.get(k)
+        except Exception:
+            before[k] = None
     try:
         skipped = apply_cluster_conf(spark, conf)
         # anything skipped must be a submit-time resource key, never a
@@ -43,6 +51,11 @@ def test_profile_applies_to_live_session(spark):
             == conf["spark.sql.files.maxPartitionBytes"]
         )
     finally:
-        # restore the test session's defaults for the rest of the suite
-        spark.conf.set("spark.sql.shuffle.partitions", before)
-        spark.conf.set("spark.sql.files.maxPartitionBytes", "128m")
+        for k, v in before.items():
+            try:
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
+            except Exception:
+                pass  # submit-time keys that never applied

@@ -460,3 +460,53 @@ def test_apply_mart_batch_promotes_orphaned_staging(spark):
     assert jobs.apply_mart_batch(spark, "mart_heal_t", d, 6, _event_merge)
     row = spark.table("mart_heal_t").collect()[0]
     assert row.n_events == 2 and float(row.sum_value) == 4.0
+
+
+def test_apply_mart_batch_zombie_writer_fencing(spark):
+    """r5 review finding: with a single last-writer stamp, two apps
+    ALTERNATING batches each looked like 'a new epoch' and every
+    replay re-applied. The per-app txn map must fence each app against
+    its own replays while letting both writers make progress exactly
+    once per batch."""
+    _drop_managed(spark, "mart_zombie_t", "mart_zombie_t__staging")
+    d1 = _event_partials(
+        spark.createDataFrame([("click", 1.0)], "event_type string, value double")
+    )
+    # A applies 0 and 1; B (replacement after failover) applies 0;
+    # zombie A replays 1 -> MUST skip; A's genuinely-new 2 applies;
+    # B replays 0 -> skips.
+    assert jobs.apply_mart_batch(spark, "mart_zombie_t", d1, 0, _event_merge, app_id="A")
+    assert jobs.apply_mart_batch(spark, "mart_zombie_t", d1, 1, _event_merge, app_id="A")
+    assert jobs.apply_mart_batch(spark, "mart_zombie_t", d1, 0, _event_merge, app_id="B")
+    assert not jobs.apply_mart_batch(spark, "mart_zombie_t", d1, 1, _event_merge, app_id="A")
+    assert jobs.apply_mart_batch(spark, "mart_zombie_t", d1, 2, _event_merge, app_id="A")
+    assert not jobs.apply_mart_batch(spark, "mart_zombie_t", d1, 0, _event_merge, app_id="B")
+    row = spark.table("mart_zombie_t").collect()[0]
+    # exactly 4 distinct applies folded in: A0, A1, B0, A2
+    assert row.n_events == 4 and float(row.sum_value) == 4.0
+    import json
+
+    txns = json.loads(
+        spark.table("mart_zombie_t").select("_applied_txns").first()[0]
+    )
+    assert txns == {"A": 2, "B": 0}
+
+
+def test_apply_mart_batch_legacy_preserves_epoch(spark):
+    """An app-less manual apply (backfill) must not erase the stored
+    writer epoch: _applied_app survives and the original app's replay
+    still skips cleanly afterwards."""
+    _drop_managed(spark, "mart_keep_epoch_t", "mart_keep_epoch_t__staging")
+    d1 = _event_partials(
+        spark.createDataFrame([("click", 1.0)], "event_type string, value double")
+    )
+    assert jobs.apply_mart_batch(spark, "mart_keep_epoch_t", d1, 9, _event_merge, app_id="app-A")
+    # manual backfill without app identity
+    assert jobs.apply_mart_batch(spark, "mart_keep_epoch_t", d1, 0, _event_merge)
+    got = spark.table("mart_keep_epoch_t")
+    assert got.select("_applied_app").first()[0] == "app-A"  # epoch preserved
+    # app-A's stale replay (batch 8) still fences against ITS entry —
+    # no crash, no double-apply
+    assert not jobs.apply_mart_batch(spark, "mart_keep_epoch_t", d1, 8, _event_merge, app_id="app-A")
+    row = spark.table("mart_keep_epoch_t").collect()[0]
+    assert row.n_events == 2  # A/9 + legacy/0 only
