@@ -202,3 +202,36 @@ def zorder_write(
         .write.mode("overwrite")
         .parquet(out_path)
     )
+
+
+CHECKSUM_MOD = 2**31
+CHECKSUM_NULL = "<NULL>"  # no backslashes: Spark SQL literals process escapes
+
+
+def content_checksum(df: "DataFrame", fields: list[str]) -> "DataFrame":
+    """Order-independent content fingerprint: one row with (n_rows,
+    checksum), where checksum = SUM over rows of the first 32 md5 bits
+    of a canonical rendering, mod 2^31 per term. Commutative +
+    associative, so any partitioning / engine / row order yields the
+    same number WITHOUT a global sort — snapshot, migration and
+    replication equality checks at 100 TB cost one scan and a scalar
+    per side (q129 is the registered multi-table surface).
+
+    ``fields`` are SQL expressions producing STRINGS (cast integers,
+    date_format dates; do NOT render raw floats — float-to-string is
+    engine-specific). NULL fields render a sentinel in place, keeping
+    positions distinct: a bare concat would nullify the row (DuckDB
+    ``||``) or skip the field (Spark concat_ws) — both wrong for an
+    equality primitive. BIGINT sum headroom holds past 1e9 rows; shard
+    into k modular lanes beyond that.
+    """
+    rendered = "concat(" + ", '|', ".join(
+        f"coalesce({f}, '{CHECKSUM_NULL}')" for f in fields
+    ) + ")"
+    row_hash = F.pmod(
+        F.conv(F.md5(F.expr(rendered)).substr(1, 8), 16, 10).cast("bigint"),
+        F.lit(CHECKSUM_MOD),
+    )
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"), F.sum(row_hash).alias("checksum")
+    )

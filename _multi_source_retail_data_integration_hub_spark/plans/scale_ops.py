@@ -639,10 +639,10 @@ def _checksum_cols() -> dict[str, tuple[str, ...]]:
     }
 
 
-_CK_NULL = "<NULL>"  # sentinel rendering for NULL fields (no backslashes: Spark SQL literals process escapes, DuckDB does not)
+from ..operators.maintenance import CHECKSUM_MOD as _CK_MOD  # noqa: E402
+from ..operators.maintenance import CHECKSUM_NULL as _CK_NULL  # noqa: E402
 
 
-_CK_MOD = 2**31
 
 
 def _q129_sql() -> str:
@@ -683,23 +683,12 @@ def q129_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(CAST(l_quantity AS BIGINT) AS STRING)",
         ],
     }
-    outs = []
-    for t, fields in spark_fields.items():
-        # concat (not concat_ws): null fields must render the sentinel
-        # in place, keeping positions distinct — see _checksum_cols
-        expr = "concat(" + ", '|', ".join(
-            f"coalesce({f}, '{_CK_NULL}')" for f in fields
-        ) + ")"
-        df = load_table(spark, sf_dir, t)
-        row_hash = F.pmod(
-            F.conv(F.md5(F.expr(expr)).substr(1, 8), 16, 10).cast("bigint"),
-            F.lit(_CK_MOD),
+    from ..operators.maintenance import content_checksum
+
+    outs = [
+        content_checksum(load_table(spark, sf_dir, t), fields).select(
+            F.lit(t).alias("table_name"), "n_rows", "checksum"
         )
-        outs.append(
-            df.agg(
-                F.lit(t).alias("table_name"),
-                F.count("*").alias("n_rows"),
-                F.sum(row_hash).alias("checksum"),
-            )
-        )
+        for t, fields in spark_fields.items()
+    ]
     return _reduce(DataFrame.unionByName, outs).orderBy("table_name")

@@ -209,3 +209,43 @@ def test_zorder_write_many_dims_and_degenerate_inputs(spark, tmp_path):
     out_n = str(tmp_path / "zn")
     zorder_write(nulls, out_n, ["a"], num_files=2)
     assert spark.read.parquet(out_n).count() == 10
+
+
+def test_content_checksum_null_and_order_semantics(spark):
+    """The equality-primitive contract: (a) identical content under any
+    row order / partitioning gives identical checksums; (b) NULL
+    fields are position-distinct (('a',NULL,'b') != ('a','b',NULL));
+    (c) the value matches DuckDB computing the same rendering — the
+    cross-engine property q129's oracle relies on."""
+    import duckdb
+
+    from _multi_source_retail_data_integration_hub_spark.operators.maintenance import (
+        CHECKSUM_MOD,
+        CHECKSUM_NULL,
+        content_checksum,
+    )
+
+    rows = [(1, "a", None), (2, None, "b"), (3, "x", "y")]
+    df = spark.createDataFrame(rows, "k int, u string, v string")
+    fields = ["CAST(k AS STRING)", "u", "v"]
+    a = content_checksum(df, fields).first()
+    b = content_checksum(df.repartition(7).orderBy("v"), fields).first()
+    assert (a.n_rows, a.checksum) == (b.n_rows, b.checksum) == (3, a.checksum)
+
+    # position sensitivity: swapping which field is NULL changes the sum
+    swapped = spark.createDataFrame(
+        [(1, None, "a"), (2, "b", None), (3, "x", "y")], "k int, u string, v string"
+    )
+    c = content_checksum(swapped, fields).first()
+    assert c.checksum != a.checksum
+
+    want = duckdb.connect().execute(
+        f"""
+        SELECT COUNT(*), SUM(CAST('0x' || substr(md5(
+                 COALESCE(CAST(k AS VARCHAR), '{CHECKSUM_NULL}') || '|' ||
+                 COALESCE(u, '{CHECKSUM_NULL}') || '|' ||
+                 COALESCE(v, '{CHECKSUM_NULL}')), 1, 8) AS BIGINT) % {CHECKSUM_MOD})
+        FROM (VALUES (1,'a',NULL), (2,NULL,'b'), (3,'x','y')) t(k,u,v)
+        """
+    ).fetchone()
+    assert (a.n_rows, a.checksum) == want

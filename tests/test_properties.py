@@ -503,3 +503,86 @@ def test_expect_summary_matches_python_recount(spark, rows):
         assert got.n_rows == n, rule
         assert got.n_violations == expect, rule
         assert got.passed == (1 if expect == 0 else 0), rule
+
+
+# ---------------------------------------------------------------------------
+# CDC mart maintenance == full recompute on random delete/update batches
+# ---------------------------------------------------------------------------
+cdc_strategy = st.tuples(
+    # base fact rows: (group 0-2, price cents 1..10000)
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(1, 10_000)),
+        min_size=1,
+        max_size=25,
+    ),
+    # per-row CDC ops drawn independently: 0=keep, 1=delete, 2=update
+    st.lists(st.integers(0, 2), min_size=25, max_size=25),
+    # update target group + price delta
+    st.integers(0, 2),
+    st.integers(1, 500),
+)
+
+
+@given(args=cdc_strategy)
+@settings(**SETTINGS)
+def test_cdc_merge_equals_recompute(spark, args):
+    """cdc_merge_partials(base_state, signed_delta, rebase) must equal
+    aggregating the post-CDC fact from scratch, for ANY mix of keeps /
+    deletes / cross-group updates — the maintenance identity q121
+    proves at corpus scale, here on adversarial random batches."""
+    import pyspark.sql.functions as F  # noqa: PLC0415
+
+    from _multi_source_retail_data_integration_hub_spark.plans.incremental import (
+        cdc_merge_partials,
+    )
+
+    base_rows, ops, upd_group, upd_delta = args
+    rows = [
+        (i, g, p, ops[i]) for i, (g, p) in enumerate(base_rows)
+    ]  # (row id, group, price, op)
+    post = [
+        (i, upd_group if op == 2 else g, p + upd_delta if op == 2 else p)
+        for i, g, p, op in rows
+        if op != 1
+    ]
+
+    def state(data, cols="g int, p long"):
+        df = spark.createDataFrame([tuple(r) for r in data] or [(0, 0)], cols)
+        if not data:
+            df = df.limit(0)
+        return df.groupBy("g").agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("p").cast("bigint").alias("s"),
+            F.min("p").alias("mn"),
+            F.max("p").alias("mx"),
+        )
+
+    base_state = state([(g, p) for _, g, p, _ in rows])
+    # signed delta from the CDC batch
+    signed_rows = []
+    for i, g, p, op in rows:
+        if op == 1:
+            signed_rows.append((g, -1, -p))
+        elif op == 2:
+            signed_rows.append((g, -1, -p))
+            signed_rows.append((upd_group, 1, p + upd_delta))
+    if signed_rows:
+        delta = spark.createDataFrame(signed_rows, "g int, w long, wp long").groupBy(
+            "g"
+        ).agg(F.sum("w").alias("n"), F.sum("wp").alias("s"))
+    else:
+        delta = base_state.select("g", "n", "s").limit(0)
+    touched = [r.g for r in delta.select("g").distinct().collect()]
+    rebase = state([(g, p) for _, g, p in post if g in touched]).select(
+        "g", "mn", "mx"
+    )
+    got = {
+        r.g: (r.n, r.s, r.mn, r.mx)
+        for r in cdc_merge_partials(
+            base_state, delta, rebase, ["g"], ["n", "s"], ["mn", "mx"]
+        ).collect()
+    }
+    want = {
+        r.g: (r.n, r.s, r.mn, r.mx) for r in state([(g, p) for _, g, p in post]).collect()
+    }
+    assert got == want
