@@ -510,3 +510,87 @@ def test_apply_mart_batch_legacy_preserves_epoch(spark):
     assert not jobs.apply_mart_batch(spark, "mart_keep_epoch_t", d1, 8, _event_merge, app_id="app-A")
     row = spark.table("mart_keep_epoch_t").collect()[0]
     assert row.n_events == 2  # A/9 + legacy/0 only
+
+
+def test_streaming_cdc_mart_absorbs_deletes(spark, tmp_path):
+    """CDC THROUGH the streaming mart sink: the change stream carries
+    inserts AND deletes (signed weights, q121 semantics), partial_fn
+    emits signed partials, merge_fn is the same cell-wise sum — the
+    mart converges to the post-CDC state and groups deleted to zero
+    drop out. Proves foreach_batch_mart_merge needs no special casing
+    for retractions: signed partials ARE mergeable state."""
+    import shutil
+
+    _drop_managed(spark, "mart_cdc_stream_t", "mart_cdc_stream_t__staging")
+    events = load_table(spark, SF_DIR, "events").limit(400)
+    # change stream: every event INSERTed; 'error' events also emit a
+    # full retraction of their group later (two files -> two batches)
+    ins = events.select(
+        "event_type", F.lit(1).alias("w"),
+        F.col("value").cast("decimal(18,2)").alias("v"),
+    )
+    dels = (
+        events.where(F.col("event_type") == "error")
+        .select(
+            "event_type", F.lit(-1).alias("w"),
+            F.col("value").cast("decimal(18,2)").alias("v"),
+        )
+    )
+    src = str(tmp_path / "cdc_src")
+    ins.write.mode("overwrite").parquet(src + "/b0.parquet")
+    dels.write.mode("overwrite").parquet(src + "/b1.parquet")
+    # pin modification times so the insert batch is discovered first:
+    # a retraction processed before its insertion would (correctly,
+    # per the n_events > 0 drop rule) be discarded — the standard
+    # at-source ordering requirement for CDC streams
+    import os
+    import time as _time
+
+    now = _time.time()
+    for root, _, files in os.walk(src + "/b0.parquet"):
+        for f in files:
+            os.utime(os.path.join(root, f), (now - 120, now - 120))
+    for root, _, files in os.walk(src + "/b1.parquet"):
+        for f in files:
+            os.utime(os.path.join(root, f), (now, now))
+
+    def signed_partials(batch):
+        return batch.groupBy("event_type").agg(
+            F.sum("w").cast("bigint").alias("n_events"),
+            F.sum(F.col("v") * F.col("w")).cast("decimal(28,2)").alias("sum_value"),
+        )
+
+    def signed_merge(base, delta):
+        from _multi_source_retail_data_integration_hub_spark.plans.incremental import (
+            merge_partials,
+        )
+
+        merged = merge_partials(
+            base, delta, keys=["event_type"],
+            merges={"n_events": "sum", "sum_value": "sum"},
+        )
+        return merged.where(F.col("n_events") > 0)  # retracted-to-zero groups drop
+
+    stream = (
+        spark.readStream.schema(ins.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    q = jobs.foreach_batch_mart_merge(
+        stream, "mart_cdc_stream_t", str(tmp_path / "cp"), signed_partials, signed_merge
+    )
+    assert q.awaitTermination(300)
+    spark.catalog.refreshTable("mart_cdc_stream_t")
+    got = {r.event_type: (r.n_events, float(r.sum_value))
+           for r in spark.table("mart_cdc_stream_t").collect()}
+    want = {
+        r.event_type: (r.n_events, float(r.sum_value))
+        for r in events.where(F.col("event_type") != "error")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_events"),
+             F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(28,2)").alias("sum_value"))
+        .collect()
+    }
+    assert "error" not in got  # fully retracted group dropped out
+    assert got == want
