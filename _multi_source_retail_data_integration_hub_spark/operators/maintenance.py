@@ -205,7 +205,23 @@ def zorder_write(
 
 
 CHECKSUM_MOD = 2**31
-CHECKSUM_NULL = "<NULL>"  # no backslashes: Spark SQL literals process escapes
+CHECKSUM_NULL = "N"  # NULL marker; cannot collide with the length-prefixed form
+
+
+def checksum_field_sql(field: str) -> str:
+    """Canonical UNAMBIGUOUS rendering of one field for content
+    checksums, valid in both Spark SQL and DuckDB:
+    ``<length>:<value>`` for non-null values, the bare marker ``N``
+    for NULL. The length prefix makes the rendering injection-proof —
+    ('a|b','c') vs ('a','b|c') or a literal "N" vs a real NULL encode
+    differently — where a plain separator-join would checksum-equal
+    (r5 re-review finding). Ambiguity would need a value whose prefix
+    mimics 'digits:'+itself, impossible since the digits are the
+    EXACT length of what follows to the end of the field."""
+    return (
+        f"coalesce(concat(cast(length({field}) as string), ':', {field}), "
+        f"'{CHECKSUM_NULL}')"
+    )
 
 
 def content_checksum(df: "DataFrame", fields: list[str]) -> "DataFrame":
@@ -219,14 +235,14 @@ def content_checksum(df: "DataFrame", fields: list[str]) -> "DataFrame":
 
     ``fields`` are SQL expressions producing STRINGS (cast integers,
     date_format dates; do NOT render raw floats — float-to-string is
-    engine-specific). NULL fields render a sentinel in place, keeping
-    positions distinct: a bare concat would nullify the row (DuckDB
-    ``||``) or skip the field (Spark concat_ws) — both wrong for an
-    equality primitive. BIGINT sum headroom holds past 1e9 rows; shard
+    engine-specific). Each field renders length-prefixed via
+    ``checksum_field_sql`` so separators, NULL markers or any other
+    content inside values cannot alias a different row (NULL itself is
+    position-distinct). BIGINT sum headroom holds past 1e9 rows; shard
     into k modular lanes beyond that.
     """
     rendered = "concat(" + ", '|', ".join(
-        f"coalesce({f}, '{CHECKSUM_NULL}')" for f in fields
+        checksum_field_sql(f) for f in fields
     ) + ")"
     row_hash = F.pmod(
         F.conv(F.md5(F.expr(rendered)).substr(1, 8), 16, 10).cast("bigint"),

@@ -648,7 +648,11 @@ from ..operators.maintenance import CHECKSUM_NULL as _CK_NULL  # noqa: E402
 def _q129_sql() -> str:
     parts = []
     for t, cols in _checksum_cols().items():
-        rendered = " || '|' || ".join(f"COALESCE({c}, '{_CK_NULL}')" for c in cols)
+        # identical length-prefixed rendering as checksum_field_sql
+        rendered = " || '|' || ".join(
+            f"COALESCE(CAST(length({c}) AS VARCHAR) || ':' || {c}, '{_CK_NULL}')"
+            for c in cols
+        )
         parts.append(
             f"""
     SELECT '{t}' AS table_name,

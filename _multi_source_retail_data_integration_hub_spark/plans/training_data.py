@@ -46,17 +46,18 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fan_out(load_table(spark, sf_dir, "documents"))
 
 
-def _guard_offset(d: DataFrame) -> None:
-    """The synthetic-snapshot id offset must not collide with real doc
-    ids (and q22's 1-in-5 sample relies on OFFSET % 5 == 0, so it can't
-    be silently grown) — fail loudly past 100k docs instead of
-    corrupting dedup results."""
+def _guard_offset(d: DataFrame, offset: int = OFFSET, label: str = "OFFSET") -> None:
+    """A synthetic id offset must not collide with real doc ids (for
+    the default OFFSET, q22's 1-in-5 sample additionally relies on
+    OFFSET % 5 == 0, so it can't be silently grown) — fail loudly
+    instead of corrupting dedup/probe results. Shared by the doubled/
+    mutated corpora and q125's ingest batch."""
     max_id = d.agg(F.max("doc_id")).first()[0] or 0
-    if max_id >= OFFSET:
+    if max_id >= offset:
         raise ValueError(
-            f"documents corpus max doc_id {max_id} >= synthetic OFFSET "
-            f"{OFFSET}; raise OFFSET (keep it a multiple of 5) for this "
-            "corpus size"
+            f"documents corpus max doc_id {max_id} >= synthetic {label} "
+            f"{offset}; raise it (OFFSET must stay a multiple of 5) for "
+            "this corpus size"
         )
 
 
@@ -1886,14 +1887,9 @@ def _probe_sql() -> str:
 @query("q125_incremental_neardup", oracle=_probe_sql())
 def q125_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
-    # same collision guard as _guard_offset: synthetic batch ids must
-    # not alias real history ids or the pair list silently corrupts
-    mx = d.agg(F.max("doc_id")).first()[0] or 0
-    if mx >= PROBE_OFFSET:
-        raise ValueError(
-            f"q125: max doc_id {mx} >= PROBE_OFFSET {PROBE_OFFSET}; raise "
-            "the offset or the synthetic batch ids collide with history"
-        )
+    # synthetic batch ids must not alias real history ids or the pair
+    # list silently corrupts
+    _guard_offset(d, offset=PROBE_OFFSET, label="PROBE_OFFSET")
     hist = fan_out(d.select(F.col("doc_id").alias("id"), "text"))
     toks = T.tokens(F.col("text"))
     n = F.size(toks)

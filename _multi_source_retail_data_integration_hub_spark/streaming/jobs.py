@@ -388,15 +388,26 @@ def apply_mart_batch(
     ``_streaming_app_id``) scopes the guard: the mart stores a PER-APP
     version map (``_applied_txns``, JSON {app: last_batch}) — exactly
     Delta's txnAppId/txnVersion model. Each app's replays are fenced
-    against that app's own entry, so two writers (e.g. a zombie
-    instance racing its replacement after failover) each make progress
-    exactly once per batch and NEITHER can double-apply by alternating
-    — the single-last-writer stamp the r5 review flagged could not
-    fence that. Without an ``app_id`` (legacy callers / unreadable
-    checkpoint FS) the entry under a reserved key is used: replays at
-    or below the stored id are skipped, and going strictly backwards
-    raises rather than silently skipping (a reset checkpoint with no
-    identity is indistinguishable from a foreign writer).
+    against that app's own entry, so multiple writers ALTERNATING
+    applies (a zombie instance and its failover replacement taking
+    turns) each make progress exactly once per batch — the
+    single-last-writer stamp the r5 review flagged could not fence
+    that. Scope honesty: applies must be SERIALIZED (each one reads
+    the previously committed snapshot — true within one streaming
+    query, whose micro-batches are sequential). Two writers committing
+    CONCURRENTLY can interleave read-modify-write on this
+    plain-filesystem stage-then-swap and lose one commit; fencing
+    truly concurrent writers needs a transactional table layer
+    (Delta/Iceberg optimistic commit + txnAppId), where this body
+    becomes one MERGE with txn properties.
+
+    Without an ``app_id`` (legacy callers / checkpoint metadata
+    unreadable) identity is unknown, so the guard is conservative
+    across ALL stored entries: a batch equal to the global max is the
+    post-commit replay and skips; strictly behind it raises (a reset
+    identity-less checkpoint is indistinguishable from a foreign
+    writer — intentional backfills should pass an explicit app_id);
+    strictly ahead applies under a reserved key.
     ``_applied_app``/``_applied_batch`` remain as last-writer
     observability columns; the map is the guard.
     """
@@ -439,18 +450,27 @@ def apply_mart_batch(
                 last = current.agg(F.max("_applied_batch")).first()[0]
             if last is not None:
                 txns[stored_app if stored_app is not None else legacy_key] = int(last)
-        if key in txns and txns[key] >= batch_id:
-            if app_id is None and batch_id < txns[key]:
+        if app_id is not None:
+            if key in txns and txns[key] >= batch_id:
+                return False  # this app already folded this batch into state
+        elif txns:
+            # identity unknown: fence against ALL stored entries, or an
+            # app-stamped mart whose writer temporarily lost its
+            # checkpoint metadata would double-apply its own replay
+            # (r5 re-review finding)
+            global_max = max(txns.values())
+            if batch_id == global_max:
+                return False  # the post-commit replay
+            if batch_id < global_max:
                 raise ValueError(
                     f"apply_mart_batch: batch {batch_id} for table "
-                    f"{table!r} is behind the stored batch {txns[key]} "
+                    f"{table!r} is behind the stored batch {global_max} "
                     "and no app id is available to prove a new writer "
                     "epoch — refusing to silently skip (a recreated "
                     "checkpoint would freeze this mart). Pass app_id "
                     "(see _streaming_app_id) or reset the mart's guard "
                     "columns explicitly."
                 )
-            return False  # this app already folded this batch into state
         merged = merge_fn(current.drop(*guard_cols), delta_partials)
     else:
         merged = delta_partials

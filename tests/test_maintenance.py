@@ -239,13 +239,34 @@ def test_content_checksum_null_and_order_semantics(spark):
     c = content_checksum(swapped, fields).first()
     assert c.checksum != a.checksum
 
+    def duck_render(c):
+        return (
+            f"COALESCE(CAST(length({c}) AS VARCHAR) || ':' || {c}, "
+            f"'{CHECKSUM_NULL}')"
+        )
+
     want = duckdb.connect().execute(
         f"""
         SELECT COUNT(*), SUM(CAST('0x' || substr(md5(
-                 COALESCE(CAST(k AS VARCHAR), '{CHECKSUM_NULL}') || '|' ||
-                 COALESCE(u, '{CHECKSUM_NULL}') || '|' ||
-                 COALESCE(v, '{CHECKSUM_NULL}')), 1, 8) AS BIGINT) % {CHECKSUM_MOD})
+                 {duck_render("CAST(k AS VARCHAR)")} || '|' ||
+                 {duck_render('u')} || '|' ||
+                 {duck_render('v')}), 1, 8) AS BIGINT) % {CHECKSUM_MOD})
         FROM (VALUES (1,'a',NULL), (2,NULL,'b'), (3,'x','y')) t(k,u,v)
         """
     ).fetchone()
     assert (a.n_rows, a.checksum) == want
+
+    # injection resistance: separator inside a value, and a literal
+    # NULL-marker string, must NOT alias differently-shaped content
+    inj1 = spark.createDataFrame([(1, "a|b", "c")], "k int, u string, v string")
+    inj2 = spark.createDataFrame([(1, "a", "b|c")], "k int, u string, v string")
+    assert (
+        content_checksum(inj1, fields).first().checksum
+        != content_checksum(inj2, fields).first().checksum
+    )
+    litN = spark.createDataFrame([(1, "N", "x")], "k int, u string, v string")
+    realN = spark.createDataFrame([(1, None, "x")], "k int, u string, v string")
+    assert (
+        content_checksum(litN, fields).first().checksum
+        != content_checksum(realN, fields).first().checksum
+    )

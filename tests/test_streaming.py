@@ -492,24 +492,37 @@ def test_apply_mart_batch_zombie_writer_fencing(spark):
     assert txns == {"A": 2, "B": 0}
 
 
-def test_apply_mart_batch_legacy_preserves_epoch(spark):
-    """An app-less manual apply (backfill) must not erase the stored
-    writer epoch: _applied_app survives and the original app's replay
-    still skips cleanly afterwards."""
+def test_apply_mart_batch_identityless_is_conservative(spark):
+    """r5 re-review finding: an app-less apply against an app-stamped
+    mart must NOT bypass the guard. Identity-unknown applies fence
+    against the GLOBAL max: equal -> post-commit replay skip (the
+    writer whose checkpoint metadata became unreadable), behind ->
+    raise, ahead -> apply without erasing the stored epoch. Intentional
+    backfills pass their own explicit app_id."""
+    import pytest
+
     _drop_managed(spark, "mart_keep_epoch_t", "mart_keep_epoch_t__staging")
     d1 = _event_partials(
         spark.createDataFrame([("click", 1.0)], "event_type string, value double")
     )
     assert jobs.apply_mart_batch(spark, "mart_keep_epoch_t", d1, 9, _event_merge, app_id="app-A")
-    # manual backfill without app identity
-    assert jobs.apply_mart_batch(spark, "mart_keep_epoch_t", d1, 0, _event_merge)
+    # app-A's own post-commit replay arriving WITHOUT identity
+    # (checkpoint metadata unreadable): must skip, not double-apply
+    assert not jobs.apply_mart_batch(spark, "mart_keep_epoch_t", d1, 9, _event_merge)
+    # stale identity-less batch: ambiguous -> refuse loudly
+    with pytest.raises(ValueError, match="behind the stored"):
+        jobs.apply_mart_batch(spark, "mart_keep_epoch_t", d1, 0, _event_merge)
+    # intentional backfill: explicit app id, applies and is fenced on replay
+    assert jobs.apply_mart_batch(spark, "mart_keep_epoch_t", d1, 0, _event_merge, app_id="backfill-1")
+    assert not jobs.apply_mart_batch(spark, "mart_keep_epoch_t", d1, 0, _event_merge, app_id="backfill-1")
+    # identity-less apply AHEAD of everything: applies, epoch preserved
+    assert jobs.apply_mart_batch(spark, "mart_keep_epoch_t", d1, 11, _event_merge)
     got = spark.table("mart_keep_epoch_t")
-    assert got.select("_applied_app").first()[0] == "app-A"  # epoch preserved
-    # app-A's stale replay (batch 8) still fences against ITS entry —
-    # no crash, no double-apply
+    assert got.select("_applied_app").first()[0] == "backfill-1"  # last known writer
+    # app-A still fences against ITS entry after all of the above
     assert not jobs.apply_mart_batch(spark, "mart_keep_epoch_t", d1, 8, _event_merge, app_id="app-A")
     row = spark.table("mart_keep_epoch_t").collect()[0]
-    assert row.n_events == 2  # A/9 + legacy/0 only
+    assert row.n_events == 3  # A/9 + backfill/0 + legacy/11 only
 
 
 def test_streaming_cdc_mart_absorbs_deletes(spark, tmp_path):
