@@ -59,6 +59,12 @@ def connected_components(
         .withColumn("label", F.col("node")),
         checkpoint_dir,
     )
+    # NOTE on broadcasting: pagerank_fixed_point broadcasts its |V|-row
+    # rank table per round because its edge lists are large (every
+    # (customer, supplier) trade). Near-dup pair graphs here are SMALL
+    # by construction (LSH candidates), and an A/B at sf0.1 measured
+    # the per-round count+broadcast OVERHEAD above the exchange saving
+    # (q53 1.8 -> 2.1 s) — so the shuffled join stays.
     for _ in range(max_iter):
         nbr_min = (
             sym.join(labels, sym.b == labels.node)
@@ -100,6 +106,7 @@ def pagerank_fixed_point(
     damping_pct: int = 85,
     scale: int = 1_000_000,
     checkpoint_dir: str | None = None,
+    broadcast_node_limit: int = 10_000_000,
 ) -> DataFrame:
     """PageRank in FIXED-POINT integer arithmetic: (node, rank_fp)
     after ``iterations`` rounds, rank_fp in units of 1/``scale``.
@@ -137,15 +144,23 @@ def pagerank_fixed_point(
     # (src, dst, deg) is static across iterations — materialize once or
     # every round re-pays the outdeg aggregation + join shuffles
     contrib_edges = materialize(e.join(outdeg, "src"), checkpoint_dir)
+    # The rank table is |V| rows vs the edge list's |E| — broadcast it
+    # (and the aggregated incoming table, also <= |V|) while |V| fits,
+    # turning both per-iteration joins shuffle-free on the edge side.
+    # AQE can't infer this on its own here: checkpointed RDD scans
+    # carry no stats. Past the limit the joins fall back to shuffles
+    # on (src)/(node), the correct plan for billion-node graphs.
+    small = nodes.count() <= broadcast_node_limit  # count on materialized nodes: cheap
+    _b = F.broadcast if small else (lambda df: df)
     for _ in range(iterations):
         incoming = (
-            contrib_edges.join(ranks, contrib_edges.src == ranks.node)
+            contrib_edges.join(_b(ranks), contrib_edges.src == ranks.node)
             .select("dst", F.expr("rank_fp div deg").alias("share"))
             .groupBy("dst")
             .agg(F.sum("share").alias("in_fp"))
         )
         ranks = materialize(
-            nodes.join(incoming, nodes.node == incoming.dst, "left").select(
+            nodes.join(_b(incoming), nodes.node == incoming.dst, "left").select(
                 "node",
                 (
                     F.lit(base)
