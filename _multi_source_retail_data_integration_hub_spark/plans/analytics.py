@@ -1620,3 +1620,79 @@ def q132_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rfm_segment")
     )
+
+
+# ---------------------------------------------------------------------------
+# q133 — deterministic PSEUDONYMIZATION with referential integrity:
+# the structured-data complement of q70's free-text PII scrub. A
+# PII-safe dev/analytics copy replaces every natural key and name with
+# a keyed-hash pseudonym (md5(salt || value)) — deterministic, so the
+# SAME input maps to the SAME pseudonym in every table and foreign-key
+# joins still work, but the original values are not derivable without
+# the salt. The query masks customer keys/names in BOTH customer and
+# orders, re-joins ON THE PSEUDONYMS, and emits per-segment
+# cardinalities that must exactly match the unmasked join — the
+# referential-integrity proof — plus a structural no-leak check (no
+# pseudonym equals its source key's rendering). Pure projections + the
+# same join the unmasked pipeline runs: zero added shuffles at 100 TB.
+# ---------------------------------------------------------------------------
+PSEUDO_SALT = "pseudo-v1:"
+
+
+@query(
+    "q133_pseudonymize",
+    oracle=f"""
+    WITH cust_m AS (
+      SELECT md5('{PSEUDO_SALT}' || CAST(c_custkey AS VARCHAR)) AS pseudo_key,
+             md5('{PSEUDO_SALT}' || c_name) AS pseudo_name,
+             c_mktsegment,
+             CAST(c_custkey AS VARCHAR) AS orig_key
+      FROM customer
+    ),
+    ord_m AS (
+      SELECT md5('{PSEUDO_SALT}' || CAST(o_custkey AS VARCHAR)) AS pseudo_key
+      FROM orders
+    ),
+    joined AS (
+      SELECT c.c_mktsegment, c.pseudo_key, c.pseudo_name, c.orig_key
+      FROM cust_m c JOIN ord_m o ON o.pseudo_key = c.pseudo_key
+    )
+    SELECT c_mktsegment,
+           COUNT(*) AS n_orders,
+           COUNT(DISTINCT pseudo_key) AS n_customers,
+           COUNT(DISTINCT pseudo_name) AS n_names,
+           CAST(SUM(CASE WHEN pseudo_key = orig_key THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_leaks
+    FROM joined
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q133_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def pseudo(col):
+        return F.md5(F.concat(F.lit(PSEUDO_SALT), col))
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        pseudo(F.col("c_custkey").cast("string")).alias("pseudo_key"),
+        pseudo(F.col("c_name")).alias("pseudo_name"),
+        "c_mktsegment",
+        F.col("c_custkey").cast("string").alias("orig_key"),
+    )
+    ords = load_table(spark, sf_dir, "orders").select(
+        pseudo(F.col("o_custkey").cast("string")).alias("pseudo_key")
+    )
+    joined = ords.join(F.broadcast(cust), "pseudo_key")
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.countDistinct("pseudo_key").alias("n_customers"),
+            F.countDistinct("pseudo_name").alias("n_names"),
+            F.sum(
+                F.when(F.col("pseudo_key") == F.col("orig_key"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_leaks"),
+        )
+        .orderBy("c_mktsegment")
+    )
