@@ -45,62 +45,35 @@ from _multi_source_retail_data_integration_hub_spark.plans import (  # noqa: E40
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
-# Round-5 window (the driver records the first ~50 registered queries per
+# Round-6 window (the driver records the first ~50 registered queries per
 # round, against freshly regenerated testdata).  Priorities, in order:
-#   1. q81_heavy_hitters — red in CORRECTNESS_r04.json (hash mismatch that
-#      does not reproduce on current data; see CORRECTNESS_NOTES.md), so it
-#      goes first until a driver-green row lands.
-#   2. The 20 queries that overflowed every prior window and have never had
-#      a driver row: q82-q84, q86-q99, q102-q103, q109.
-#   3. Queries NEW this round (no prior driver row possible) — picked up
-#      automatically by _ordered()'s is-new check.
-#   4. Backfill: the oldest remaining rows, whose latest driver rows date
-#      from the round-3 generation (q01-q13, q17-q25, q37, q41-q42, q47,
-#      q52-q54 here; the rest of the r3 set rotates in next round).
-# All 120+ registered queries are green via ``tools/check_oracle.py`` on
-# current sf0.01 data (full sweep ~10 min).
+#   1. q000_generation_fingerprint — per-table row counts + key-set
+#      checksums, registered FIRST so each CORRECTNESS_rN.json
+#      self-documents which data generation each engine compared (red rows
+#      become attributable: q000 red => generation mismatch, q000 green =>
+#      code-side; see CORRECTNESS_NOTES.md).
+#   2. The four r5 driver-red rows (q81, q103, q128, q129) — all
+#      hash_match=false with rows+schema green, none reproducible locally;
+#      q128/q129 are integer-exact input fingerprints, so their next row is
+#      diagnostic alongside q000. q129's one real divergence mechanism
+#      (double->bigint cast rules) is pinned via floor() this round.
+#   3. Queries NEW this round (q134+, no prior driver row possible) —
+#      picked up automatically by _ordered()'s is-new check.
+#   4. Backfill: the 34 queries whose newest driver rows still date from
+#      the round-3 generation, then the oldest round-4 rows.
+# All registered queries are green via ``tools/check_oracle.py`` on
+# current sf0.01 data (full sweep; see SCALE.md for the r6 run).
 _PRIORITY = [
+    "q000_generation_fingerprint",
     "q81_heavy_hitters",
-    "q82_volume_shipping",
-    "q83_returned_top_customers",
-    "q84_local_supplier_volume",
-    "q86_promo_share",
-    "q87_market_share",
-    "q88_best_price_supplier",
-    "q89_product_profit",
-    "q90_important_parts",
-    "q91_custdist",
-    "q92_top_supplier",
-    "q93_supplier_diversity",
-    "q94_small_order_drain",
-    "q95_large_orders",
-    "q96_disjunctive_revenue",
-    "q97_excess_shipments",
-    "q98_sole_failing_supplier",
-    "q99_dormant_customers",
-    "q102_forecast_revenue",
     "q103_priority_mix",
-    "q109_vocab_coverage",
+    "q128_key_skew_audit",
+    "q129_table_checksum",
 ]
 
-# Backfill order once the never-verified + new blocks are exhausted.
+# Backfill order once the never-verified + new blocks are exhausted:
+# first the r3-generation remainder, then the oldest r4 rows.
 _BACKFILL = [
-    "q01_monthly_sales_trend",
-    "q02_category_share",
-    "q03_customer_segments",
-    "q04_segment_status_pivot",
-    "q05_weekday_analysis",
-    "q06_top_customers",
-    "q07_catalog_stats",
-    "q08_quarterly_yoy",
-    "q09_calendar_dim",
-    "q10_row_hash",
-    "q11_kpi_summary",
-    "q12_heatmap",
-    "q13_histogram",
-    "q17_exact_dedup",
-    "q18_token_stats",
-    "q19_quality_score",
     "q20_lang_id_confusion",
     "q21_fingerprint_dedup",
     "q22_ngram_jaccard",
@@ -114,15 +87,49 @@ _BACKFILL = [
     "q52_customers_no_orders",
     "q53_dup_clusters",
     "q54_spend_deciles",
+    "q55_profile",
+    "q56_corpus_pipeline",
+    "q57_set_ops",
+    "q58_above_nation_avg",
+    "q64_revenue_by_nation",
+    "q65_shipping_priority",
+    "q66_pricing_summary",
+    "q67_grouping_sets",
+    "q68_forward_fill",
+    "q69_session_window_batch",
+    "q70_pii_scrub",
+    "q71_fuzzy_part_match",
+    "q72_lang_reservoir",
+    "q73_embedding_stats",
+    "q74_doc_chunking",
+    "q75_late_orders_semi",
+    "q76_spend_percentiles",
+    "q77_scd2_merge",
+    "q78_image_resize",
+    "q79_retention_cohorts",
+    "q80_minhash_accuracy",
+    # oldest r4-generation rows rotate in behind the r3 remainder
+    "q14_quantiles",
+    "q15_name_union",
+    "q16_pareto",
+    "q26_cosine_topk",
+    "q27_lsh_buckets",
+    "q28_ann_lsh_topk",
+    "q29_tumbling_daily",
+    "q30_sessionization",
+    "q31_sliding_weekly",
+    "q32_multimodal_features",
+    "q33_json_extract",
+    "q34_salted_agg",
 ]
 
 
 def _ordered(mapping: dict) -> dict:
     head = [k for k in _PRIORITY if k in mapping]
-    # Queries NEW this round (q121+) have no prior driver row; they slot in
-    # right after the never-verified block so their first row lands now.
-    covered_prior = {f"q{i:02d}" for i in range(1, 100)} | {
-        f"q{i}" for i in range(100, 121)
+    # Queries NEW this round (q134+) have no prior driver row; they slot in
+    # right after the priority block so their first row lands now.
+    covered_prior = {"q000"} | {f"q{i:02d}" for i in range(1, 100)} | {
+        f"q{i}" for i in range(100, 134)
     }
 
     def _is_covered(name: str) -> bool:

@@ -634,7 +634,11 @@ def _checksum_cols() -> dict[str, tuple[str, ...]]:
             "CAST(l_orderkey AS VARCHAR)",
             "CAST(l_partkey AS VARCHAR)",
             "CAST(l_suppkey AS VARCHAR)",
-            "CAST(CAST(l_quantity AS BIGINT) AS VARCHAR)",
+            # floor() pins the double->int semantics explicitly: Spark's
+            # double->bigint CAST truncates while DuckDB's rounds
+            # half-even, so a bare CAST would legitimately diverge on any
+            # generation with fractional quantities (r5 ADVICE).
+            "CAST(CAST(floor(l_quantity) AS BIGINT) AS VARCHAR)",
         ),
     }
 
@@ -684,7 +688,9 @@ def q129_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(l_orderkey AS STRING)",
             "CAST(l_partkey AS STRING)",
             "CAST(l_suppkey AS STRING)",
-            "CAST(CAST(l_quantity AS BIGINT) AS STRING)",
+            # floor() mirrors the oracle rendering exactly (see
+            # _checksum_cols): cast rules differ between engines.
+            "CAST(CAST(floor(l_quantity) AS BIGINT) AS STRING)",
         ],
     }
     from ..operators.maintenance import content_checksum
@@ -694,5 +700,87 @@ def q129_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(t).alias("table_name"), "n_rows", "checksum"
         )
         for t, fields in spark_fields.items()
+    ]
+    return _reduce(DataFrame.unionByName, outs).orderBy("table_name")
+
+
+# ---------------------------------------------------------------------------
+# q000 — GENERATION FINGERPRINT guard: one row per testdata table with
+# its row count and an order-independent key-set checksum (same
+# commutative-sum construction as q129, restricted to integer/string/
+# date key columns so no float rendering is involved). Registered
+# FIRST in the driver window on purpose: every CORRECTNESS_rN.json
+# self-documents which data generation each engine saw, so any red row
+# elsewhere in the window is immediately attributable — if q000 itself
+# is red on byte-identical expression trees, the two sides compared
+# different /root/testdata generations (the r4/r5 q81 signature, see
+# CORRECTNESS_NOTES.md); if q000 is green, a red row is code-side.
+# At 100 TB this is the pre-flight "are we even looking at the same
+# snapshot?" check that costs one scan per table and returns scalars.
+# ---------------------------------------------------------------------------
+_FINGERPRINT_COLS: dict[str, tuple[str, ...]] = {
+    # 2 stable non-float columns per table; timestamps render %Y-%m-%d.
+    "region": ("CAST(r_regionkey AS VARCHAR)", "r_name"),
+    "nation": ("CAST(n_nationkey AS VARCHAR)", "n_name"),
+    "customer": ("CAST(c_custkey AS VARCHAR)", "c_mktsegment"),
+    "supplier": ("CAST(s_suppkey AS VARCHAR)", "s_name"),
+    "part": ("CAST(p_partkey AS VARCHAR)", "p_brand"),
+    "orders": (
+        "CAST(o_orderkey AS VARCHAR)",
+        "strftime(o_orderdate, '%Y-%m-%d')",
+    ),
+    "lineitem": (
+        "CAST(l_orderkey AS VARCHAR)",
+        "CAST(l_linenumber AS VARCHAR)",
+    ),
+    "events": ("CAST(event_id AS VARCHAR)", "event_type"),
+    "documents": ("CAST(doc_id AS VARCHAR)", "lang"),
+    "embeddings": ("CAST(vec_id AS VARCHAR)", "CAST(label AS VARCHAR)"),
+}
+
+# Spark twins of the DuckDB renderings above (CAST .. AS STRING,
+# date_format instead of strftime); everything else is shared SQL.
+_FINGERPRINT_COLS_SPARK: dict[str, list[str]] = {
+    t: [
+        c.replace(" AS VARCHAR", " AS STRING").replace(
+            "strftime(o_orderdate, '%Y-%m-%d')",
+            "date_format(o_orderdate, 'yyyy-MM-dd')",
+        )
+        for c in cols
+    ]
+    for t, cols in _FINGERPRINT_COLS.items()
+}
+
+
+def _q000_sql() -> str:
+    parts = []
+    for t, cols in _FINGERPRINT_COLS.items():
+        rendered = " || '|' || ".join(
+            f"COALESCE(CAST(length({c}) AS VARCHAR) || ':' || {c}, '{_CK_NULL}')"
+            for c in cols
+        )
+        parts.append(
+            f"""
+    SELECT '{t}' AS table_name,
+           COUNT(*) AS n_rows,
+           SUM(CAST('0x' || substr(md5({rendered}), 1, 8) AS BIGINT)
+               % {_CK_MOD}) AS key_checksum
+    FROM {t}
+    """
+        )
+    return " UNION ALL ".join(parts) + " ORDER BY table_name"
+
+
+@query("q000_generation_fingerprint", oracle=_q000_sql())
+def q000_generation_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.maintenance import content_checksum
+
+    outs = [
+        content_checksum(load_table(spark, sf_dir, t), fields).select(
+            F.lit(t).alias("table_name"),
+            "n_rows",
+            F.col("checksum").alias("key_checksum"),
+        )
+        for t, fields in _FINGERPRINT_COLS_SPARK.items()
     ]
     return _reduce(DataFrame.unionByName, outs).orderBy("table_name")
