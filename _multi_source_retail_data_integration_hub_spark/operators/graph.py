@@ -106,7 +106,7 @@ def pagerank_fixed_point(
     damping_pct: int = 85,
     scale: int = 1_000_000,
     checkpoint_dir: str | None = None,
-    broadcast_node_limit: int = 10_000_000,
+    broadcast_node_limit: int = 1_000_000,
 ) -> DataFrame:
     """PageRank in FIXED-POINT integer arithmetic: (node, rank_fp)
     after ``iterations`` rounds, rank_fp in units of 1/``scale``.
@@ -150,6 +150,10 @@ def pagerank_fixed_point(
     # AQE can't infer this on its own here: checkpointed RDD scans
     # carry no stats. Past the limit the joins fall back to shuffles
     # on (src)/(node), the correct plan for billion-node graphs.
+    # Default 1M nodes ~= tens of MB serialized (string node + bigint)
+    # — sized to stay well under executor/driver broadcast budgets; a
+    # 10M-node broadcast re-sent every iteration would be hundreds of
+    # MB replicated per round (r5 ADVICE).
     small = nodes.count() <= broadcast_node_limit  # count on materialized nodes: cheap
     _b = F.broadcast if small else (lambda df: df)
     for _ in range(iterations):

@@ -1724,7 +1724,9 @@ def _bm25_sql() -> str:
 
 @query("q122_bm25_search", oracle=_bm25_sql())
 def q122_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = fan_out(_docs(spark, sf_dir))
+    # _docs() already fans out — a second fan_out would pay a redundant
+    # full-corpus round-robin exchange before tokenization (r5 ADVICE).
+    docs = _docs(spark, sf_dir)
     toks = docs.select(
         "doc_id", F.explode(T.tokens(F.col("text"))).alias("term")
     )
@@ -1890,7 +1892,8 @@ def q125_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # synthetic batch ids must not alias real history ids or the pair
     # list silently corrupts
     _guard_offset(d, offset=PROBE_OFFSET, label="PROBE_OFFSET")
-    hist = fan_out(d.select(F.col("doc_id").alias("id"), "text"))
+    # d is already fanned out by _docs(); no second exchange (r5 ADVICE)
+    hist = d.select(F.col("doc_id").alias("id"), "text")
     toks = T.tokens(F.col("text"))
     n = F.size(toks)
     batch = (

@@ -357,6 +357,20 @@ def _streaming_app_id(checkpoint_path: str) -> str | None:
         return None
 
 
+# Durable replay-guard table properties (the Delta txnAppId/txnVersion
+# analogue on plain tables): set on the staging table pre-rename so they
+# commit atomically with the data, and readable even when the committed
+# mart has zero rows.
+_TXNS_PROP = "spark_graft.applied_txns"
+_APP_PROP = "spark_graft.applied_app"
+
+
+def _sql_str(value: str) -> str:
+    """Render a Python string as a Spark SQL single-quoted literal
+    (TBLPROPERTIES values cannot be parameter-bound)."""
+    return "'" + value.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
 def apply_mart_batch(
     spark: SparkSession,
     table: str,
@@ -386,8 +400,11 @@ def apply_mart_batch(
     checkpoint (or a second query adopting an existing mart) restarts
     them at 0. ``app_id`` (the checkpoint's durable query id, see
     ``_streaming_app_id``) scopes the guard: the mart stores a PER-APP
-    version map (``_applied_txns``, JSON {app: last_batch}) — exactly
-    Delta's txnAppId/txnVersion model. Each app's replays are fenced
+    version map (JSON {app: last_batch}) in TABLE PROPERTIES — exactly
+    Delta's txnAppId/txnVersion model — so the fence survives even a
+    merge that retracts every row (the in-row ``_applied_*`` columns
+    remain as observability mirrors and the legacy read path).
+    Each app's replays are fenced
     against that app's own entry, so multiple writers ALTERNATING
     applies (a zombie instance and its failover replacement taking
     turns) each make progress exactly once per batch — the
@@ -429,7 +446,22 @@ def apply_mart_batch(
             for c in ("_applied_batch", "_applied_app", "_applied_txns")
             if c in current.columns
         ]
-        if "_applied_txns" in guard_cols:
+        # The DURABLE guard lives in table properties, written on the
+        # staging table before the atomic rename (so guard and data
+        # commit together) — a mart whose merge produced ZERO rows (full
+        # retraction) still fences replays; the in-row map alone would
+        # read back empty and double-apply (r5 ADVICE).
+        props = {
+            r["key"]: r["value"]
+            for r in spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
+        }
+        if _TXNS_PROP in props:
+            txns = {
+                k: int(v) for k, v in json.loads(props[_TXNS_PROP]).items()
+            }
+            stored_app = props.get(_APP_PROP) or None
+        elif "_applied_txns" in guard_cols:
+            # pre-property mart: migrate the in-row map
             row = current.select("_applied_txns", *(
                 ["_applied_app"] if "_applied_app" in guard_cols else []
             )).first()
@@ -487,6 +519,15 @@ def apply_mart_batch(
     )
     stamped = stamped.localCheckpoint()  # break self-reference before overwrite
     stamped.write.mode("overwrite").saveAsTable(staging)
+    # guard map as table properties ON STAGING, before the swap: the
+    # rename carries them, so data + guard commit atomically and an
+    # empty mart still fences (see read side above)
+    txns_lit = _sql_str(json.dumps(txns, sort_keys=True))
+    app_lit = _sql_str(last_app or "")
+    spark.sql(
+        f"ALTER TABLE {staging} SET TBLPROPERTIES "
+        f"('{_TXNS_PROP}'={txns_lit}, '{_APP_PROP}'={app_lit})"
+    )
     if spark.catalog.tableExists(table):
         spark.sql(f"DROP TABLE {table}")
     spark.sql(f"ALTER TABLE {staging} RENAME TO {table}")

@@ -607,3 +607,33 @@ def test_streaming_cdc_mart_absorbs_deletes(spark, tmp_path):
     }
     assert "error" not in got  # fully retracted group dropped out
     assert got == want
+
+
+def test_apply_mart_batch_empty_mart_keeps_fence(spark):
+    """A merge that retracts EVERY row commits a zero-row mart; the
+    replay fence must survive it (it lives in table properties, not
+    data rows — r5 ADVICE). A checkpoint replay of the same batch id
+    after the full retraction must still be a no-op."""
+    _drop_managed(spark, "mart_empty_t", "mart_empty_t__staging")
+    d1 = _event_partials(
+        spark.createDataFrame(
+            [("click", 1.0), ("click", 3.0)], "event_type string, value double"
+        )
+    )
+
+    def retract_all(base, delta):
+        merged = _event_merge(base, delta)
+        return merged.where(F.lit(False))  # cdc-style: every group retracts
+
+    assert jobs.apply_mart_batch(spark, "mart_empty_t", d1, 0, _event_merge, app_id="A")
+    # batch 1 retracts everything -> zero-row mart
+    assert jobs.apply_mart_batch(spark, "mart_empty_t", d1, 1, retract_all, app_id="A")
+    assert spark.table("mart_empty_t").count() == 0
+    # replays of batches 0 and 1 against the EMPTY mart must skip
+    assert not jobs.apply_mart_batch(spark, "mart_empty_t", d1, 0, _event_merge, app_id="A")
+    assert not jobs.apply_mart_batch(spark, "mart_empty_t", d1, 1, _event_merge, app_id="A")
+    assert spark.table("mart_empty_t").count() == 0
+    # the next batch applies normally
+    assert jobs.apply_mart_batch(spark, "mart_empty_t", d1, 2, _event_merge, app_id="A")
+    row = spark.table("mart_empty_t").collect()[0]
+    assert row.n_events == 2 and float(row.sum_value) == 4.0
