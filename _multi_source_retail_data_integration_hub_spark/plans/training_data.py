@@ -427,6 +427,63 @@ def q24_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q134 — LSH candidates, SUBSPLIT hot-bucket mode. q24 verifies the
+# default "drop" cap; this registers the partial-recall path: members
+# of a bucket larger than the cap are salted into ceil(size/cap)
+# deterministic groups (seeded-md5 of the id) and only within-group
+# pairs emit — size-m bucket cost falls from m² to ~m·cap. The oracle
+# replays the exact salting (same md5 seed, same ceil), so the
+# sampled pair set is engine-identical, not just "about the right
+# size". Cap is 2 here — below the mutated corpus's near-dup bucket
+# sizes — so subsplitting provably activates at test scale.
+# ---------------------------------------------------------------------------
+_SUBSPLIT_CAP = 2
+
+
+def _lsh_subsplit_sql() -> str:
+    melted = "\n      UNION ALL\n".join(
+        f"      SELECT id, {b} AS band_id, band{b} AS bucket FROM sigb"
+        for b in range(4)
+    )
+    return f"""
+    WITH {_sig_ctes()},
+    sigb AS (
+      SELECT id,
+           {_band_exprs()}
+      FROM sig0
+    ),
+    melted AS (
+{melted}
+    ),
+    counts AS (
+      SELECT band_id, bucket, COUNT(*) AS bucket_size
+      FROM melted GROUP BY 1, 2
+    ),
+    salted AS (
+      SELECT m.id, m.band_id, m.bucket,
+             CAST('0x' || substr(md5('0:' || CAST(m.id AS VARCHAR)), 1, 8)
+                  AS BIGINT)
+               % GREATEST(1, CAST(CEIL(c.bucket_size / {_SUBSPLIT_CAP})
+                                  AS BIGINT)) AS salt
+      FROM melted m JOIN counts c USING (band_id, bucket)
+    )
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b
+    FROM salted a
+    JOIN salted b
+      ON a.band_id = b.band_id AND a.bucket = b.bucket
+         AND a.salt = b.salt AND a.id < b.id
+    """
+
+
+@query("q134_lsh_subsplit", oracle=_lsh_subsplit_sql())
+def q134_lsh_subsplit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = T.minhash_signatures(_mutated(spark, sf_dir), "text", "id").localCheckpoint()
+    return T.lsh_candidate_pairs(
+        sig, "id", max_bucket_size=_SUBSPLIT_CAP, hot_bucket_mode="subsplit"
+    )
+
+
+# ---------------------------------------------------------------------------
 # q25 — 16-bit SimHash per document (md5-hex-digit projections)
 # ---------------------------------------------------------------------------
 @query(
