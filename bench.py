@@ -65,6 +65,43 @@ def main() -> None:
         lambda it: (pdf for pdf in it), "id long"
     ).write.format("noop").mode("overwrite").save()
 
+    # Structured Streaming machinery (state-store provider, availableNow
+    # planner, memory sink): one-time init that would otherwise land
+    # entirely in q126's number and dominate its round-over-round delta
+    # (r5 ask). A 100-row file stream drains it; the measured cost is
+    # reported separately as streaming_startup_s so the per-query
+    # figure reflects marginal stream cost.
+    streaming_startup_s = None
+    try:
+        import tempfile  # noqa: PLC0415
+
+        tiny = os.path.join(tempfile.mkdtemp(prefix="bench_stream_warm_"), "t")
+        spark.range(100).select(
+            F.col("id"), F.current_timestamp().alias("ts")
+        ).write.parquet(tiny)
+        t0 = time.perf_counter()
+        warm = (
+            spark.readStream.schema("id long, ts timestamp")
+            .parquet(tiny)
+            .withWatermark("ts", "1 day")
+            .groupBy(F.window("ts", "1 day"))
+            .count()
+            .writeStream.format("memory")
+            .queryName("bench_stream_warm")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            warm.awaitTermination(120)
+        finally:
+            if warm.isActive:
+                warm.stop()
+        spark.catalog.dropTempView("bench_stream_warm")
+        streaming_startup_s = round(time.perf_counter() - t0, 3)
+    except Exception:  # noqa: BLE001
+        pass  # warmup is best-effort; queries still run without it
+
     queries = entrymod.queries()
     per_query: dict[str, float] = {}
     failures: dict[str, str] = {}
@@ -107,6 +144,10 @@ def main() -> None:
         "sf": sf_num if sf_num is not None else sf,
         "n_queries": len(per_query),
     }
+    if streaming_startup_s is not None:
+        # one-time Structured Streaming init, paid in warmup (not in any
+        # per-query figure); q126's number is marginal stream cost
+        out["streaming_startup_s"] = streaming_startup_s
     if failures:
         out["failures"] = failures
     # Full machine-readable artifact on disk (the driver's BENCH_r{N}
