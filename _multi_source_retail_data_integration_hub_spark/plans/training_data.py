@@ -1620,6 +1620,108 @@ def q116_neardup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q135 — LEAKAGE-FREE train/val/test split: the step after near-dup
+# DETECTION (q24) and CLUSTERING (q53/q116) that every training
+# pipeline needs before eval splits exist — assign WHOLE near-dup
+# clusters to one split, so a document's near-duplicate can never sit
+# in train while the document itself sits in test (the classic
+# contamination mechanism behind inflated eval numbers; random per-doc
+# splits leak by construction whenever dedup is imperfect).
+#
+# Assignment is a deterministic keyed hash of the cluster label
+# (seeded md5 -> bucket 0-9 -> 80/10/10), so the split is reproducible
+# across engines, reruns and corpus repartitions — no RNG state. The
+# no-leak property holds by construction (split is a FUNCTION of
+# cluster_id); the per-doc output lets the driver's hash gate audit
+# the actual assignment, not just the split sizes. Singleton docs
+# (no near-dup pair) form their own cluster (label = own id).
+#
+# Scale: signature pipeline + capped LSH + min-label fixpoint are the
+# audited q24/q53 paths; the split assignment itself adds one
+# projection (md5 + pmod, whole-stage codegen) and a left join of the
+# corpus against the (much smaller) clustered-label table — broadcast
+# when daily-churn sized, shuffle-on-id otherwise.
+# ---------------------------------------------------------------------------
+SPLIT_SEED = "split"
+
+
+def _cluster_split_sql() -> str:
+    return f"""
+    WITH RECURSIVE {_sig_ctes()},
+    sigb AS (
+      SELECT id,
+           {_band_exprs()}
+      FROM sig0
+    ),
+    cand AS (
+{_per_band_union("sigb")}
+    ),
+    edges AS (SELECT id_a AS a, id_b AS b FROM cand
+              UNION SELECT id_b, id_a FROM cand),
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    walk AS (
+      SELECT node, node AS reach FROM nodes
+      UNION
+      SELECT w.node, e.b AS reach FROM walk w JOIN edges e ON e.a = w.reach
+    ),
+    labels AS (SELECT node, MIN(reach) AS cluster_id FROM walk GROUP BY 1),
+    assign AS (
+      SELECT c.id,
+             COALESCE(l.cluster_id, c.id) AS cluster_id
+      FROM corpus c LEFT JOIN labels l ON l.node = c.id
+    )
+    SELECT id, cluster_id,
+           CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+      SELECT id, cluster_id,
+             CAST('0x' || substr(md5('{SPLIT_SEED}:'
+                  || CAST(cluster_id AS VARCHAR)), 1, 8) AS BIGINT) % 10 AS b
+      FROM assign
+    )
+    ORDER BY id
+    """
+
+
+@query("q135_cluster_split", oracle=_cluster_split_sql())
+def q135_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import connected_components
+
+    corpus = _mutated(spark, sf_dir)
+    sig = T.minhash_signatures(corpus, "text", "id").localCheckpoint()
+    pairs = T.lsh_candidate_pairs(sig, "id")
+    labels = connected_components(pairs, "id_a", "id_b")
+    assign = (
+        corpus.select("id")
+        .join(labels, corpus["id"] == labels["node"], "left")
+        .select(
+            corpus["id"],
+            F.coalesce(labels["cluster_id"], corpus["id"]).alias("cluster_id"),
+        )
+    )
+    bucket = F.pmod(
+        F.conv(
+            F.md5(
+                F.concat(
+                    F.lit(f"{SPLIT_SEED}:"), F.col("cluster_id").cast("string")
+                )
+            ).substr(1, 8),
+            16,
+            10,
+        ).cast("bigint"),
+        F.lit(10),
+    )
+    return assign.select(
+        "id",
+        "cluster_id",
+        F.when(bucket < 8, "train")
+        .when(bucket == 8, "val")
+        .otherwise("test")
+        .alias("split"),
+    ).orderBy("id")
+
+
+# ---------------------------------------------------------------------------
 # q120 — CROSS-document n-gram duplication: the exact-substring dedup
 # signal (Lee et al. 2022's "deduplicating training data" class) as a
 # bounded k-gram statistic. Distinct from q100 (repetition WITHIN one
