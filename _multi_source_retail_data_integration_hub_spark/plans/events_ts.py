@@ -864,3 +864,70 @@ def q126_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "window_start", "event_type", "n_events", "total_value"
     ).orderBy("window_start", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# q136 — STREAMING DEDUP under the batch oracle: the at-least-once →
+# effectively-once contract, driver-verified. The stream reads the
+# events file source TWICE and unions the legs — every event arrives
+# (at least) twice, the upstream-retry shape — then
+# dropDuplicatesWithinWatermark(event_id) collapses them with
+# watermark-bounded state, and a downstream streaming aggregation
+# reduces the deduped rows to one bounded row per event_type (two
+# chained stateful operators — dedup state + agg state — the
+# multi-stateful pipeline Spark 3.5+ supports). The oracle is the
+# plain batch aggregate over the ORIGINAL table: any duplicate the
+# dedup lets through, or any row its state handling drops, breaks the
+# integer count / decimal-exact sum equality. Complements q126 (which
+# verifies windowed aggregation): together the two registered
+# streaming rows cover both stateful-operator families.
+# Memory-sink safety: the drained frame is |event_type| rows (~5),
+# bounded at any corpus size.
+# ---------------------------------------------------------------------------
+@query(
+    "q136_streaming_dedup",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q136_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming import jobs
+
+    doubled = jobs.read_events_stream(spark, sf_dir).unionByName(
+        jobs.read_events_stream(spark, sf_dir)
+    )
+    deduped = jobs.deduped_events(doubled)
+    agg = deduped.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_value"),
+    )
+    name = f"q136_mem_{next(_VIEW_SEQ)}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        try:
+            if not q.awaitTermination(300):
+                raise TimeoutError("q136: streaming drain did not finish in 300s")
+        finally:
+            if q.isActive:
+                q.stop()
+        snap = spark.table(name)
+        rows = snap.collect()  # one row per event_type: bounded
+        out = spark.createDataFrame(rows, snap.schema)
+    finally:
+        spark.catalog.dropTempView(name)
+    return out.select("event_type", "n_events", "total_value").orderBy(
+        "event_type"
+    )
