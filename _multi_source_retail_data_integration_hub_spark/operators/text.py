@@ -803,3 +803,127 @@ def lsh_probe_pairs(
         )
         mh = mh.join(ok, keys)
     return mn.join(mh, keys).select("id_new", "id_hist").distinct()
+
+
+# ---------------------------------------------------------------------------
+# BPE merge learning (iterative tokenizer induction)
+# ---------------------------------------------------------------------------
+def bpe_symbolize(words: DataFrame, word_col: str = "word") -> DataFrame:
+    """Initial BPE state: each word as a space-joined character
+    sequence (``syms``). regexp_replace('(.)', '$1 ') + trim is
+    engine-portable (the DuckDB twin writes '\\1' for the same)."""
+    return words.withColumn(
+        "syms", F.trim(F.regexp_replace(F.col(word_col), "(.)", "$1 "))
+    )
+
+
+def bpe_learn_merges(words: DataFrame, n_merges: int) -> DataFrame:
+    """Learn the first ``n_merges`` BPE merge rules from a weighted
+    word table (columns ``word``, ``freq``) — the real iterative
+    tokenizer-induction loop (Sennrich et al. 2016), not just one
+    pair-count step (that is q112).
+
+    Per iteration: count adjacent symbol pairs weighted by word
+    frequency (overlapping occurrences counted, the reference
+    convention), pick the argmax with a total-order tie-break
+    (count DESC, pair ASC — deterministic across engines and
+    partitionings), then apply the merge LEFTMOST-NON-OVERLAPPING.
+    The subtlety is equal-symbol runs: merging pair (a,a) in
+    "a a a a" must produce "aa aa", not depend on scan direction —
+    handled positionally: within each maximal run of the same symbol,
+    merge starts are the even offsets (gaps-and-islands grouping +
+    run-start window). For a != b overlaps are impossible, so every
+    matching position merges.
+
+    Returns one row per learned rule: (merge_rank, pair_a, pair_b,
+    pair_count, n_symbols_after) — all integer/string, so the DuckDB
+    twin (a generated chain of per-iteration CTEs) is hash-exact.
+
+    Scale: each iteration is one explode + two windowed passes over
+    the VOCABULARY table (|distinct words|, not corpus tokens — the
+    corpus is reduced to (word, freq) once upstream), partitioned by
+    word; per-iteration state is localCheckpoint-truncated like the
+    other fixpoint operators (graph.py). The two 1-row collects per
+    iteration (argmax + symbol count) are scalars — the same bounded
+    contract as the centroid/snapshot collects. Production vocab
+    sizes (1e5-1e6 types) hold in one executor's partition shard
+    comfortably; K is a small constant (the merge budget).
+    """
+    from pyspark.sql import Window
+
+    spark = words.sparkSession
+    state = bpe_symbolize(words).select("word", "freq", "syms").localCheckpoint()
+    rules: list[tuple] = []
+    for rank in range(1, n_merges + 1):
+        l = F.split("syms", " ")
+        pairs = state.select(
+            "freq",
+            F.explode(
+                F.arrays_zip(
+                    l.alias("a"),
+                    F.slice(l, 2, F.greatest(F.size(l) - 1, F.lit(0))).alias("b"),
+                )
+            ).alias("p"),
+        ).where(F.col("p.b").isNotNull())
+        best_rows = (
+            pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()  # bounded: exactly one scalar row
+        )
+        if not best_rows:
+            break  # vocabulary fully merged
+        a, b, cnt = best_rows[0]["a"], best_rows[0]["b"], int(best_rows[0]["cnt"])
+
+        e = state.select(
+            "word", "freq", F.posexplode(F.split("syms", " ")).alias("pos0", "sym")
+        ).withColumn("pos", F.col("pos0") + 1)
+        w_word = Window.partitionBy("word").orderBy("pos")
+        w_sym = Window.partitionBy("word", "sym").orderBy("pos")
+        e = e.select(
+            "word", "freq", "pos", "sym",
+            F.lead("sym").over(w_word).alias("nxt"),
+            (F.col("pos") - F.row_number().over(w_sym)).alias("grp"),
+        )
+        e = e.withColumn(
+            "run_start", F.min("pos").over(Window.partitionBy("word", "sym", "grp"))
+        )
+        mstart = (
+            (F.col("sym") == F.lit(a))
+            & (F.col("nxt") == F.lit(b))
+            & (F.lit(a != b) | ((F.col("pos") - F.col("run_start")) % 2 == 0))
+        )
+        e = e.withColumn("mstart", mstart).withColumn(
+            "consumed",
+            F.coalesce(F.lag("mstart").over(w_word), F.lit(False)),
+        )
+        state = (
+            e.where(~F.col("consumed"))
+            .withColumn(
+                "new_sym",
+                F.when(F.col("mstart"), F.lit(a + b)).otherwise(F.col("sym")),
+            )
+            .groupBy("word", "freq")
+            .agg(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "new_sym"))),
+                        lambda x: x["new_sym"],
+                    ),
+                ).alias("syms")
+            )
+            .localCheckpoint()  # truncate per-iteration lineage
+        )
+        n_after = int(
+            state.agg(
+                F.sum(F.col("freq") * F.size(F.split("syms", " ")))
+            ).first()[0]
+        )
+        rules.append((rank, a, b, cnt, n_after))
+    return spark.createDataFrame(
+        rules,
+        "merge_rank long, pair_a string, pair_b string, "
+        "pair_count long, n_symbols_after long",
+    )

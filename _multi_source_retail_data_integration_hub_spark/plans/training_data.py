@@ -1454,6 +1454,124 @@ def q112_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q137 — iterative BPE MERGE LEARNING: the real tokenizer-induction
+# loop (Sennrich et al. 2016). q112 verifies one pair-count step; this
+# runs the full fixpoint for K rounds — each merge depends on the
+# vocabulary state the previous merge produced, so the driver's hash
+# gate audits an ITERATIVE algorithm end-to-end (the same class as
+# PageRank/connected-components, but with per-round argmax decisions
+# feeding back into the data). Operator: operators/text.py::
+# bpe_learn_merges; see its docstring for the leftmost-non-overlapping
+# run-parity semantics and the scale contract (iterations run over the
+# (word, freq) VOCABULARY table, never the corpus; 1-row collects
+# only).
+#
+# The DuckDB twin replays all K rounds as a generated chain of
+# per-iteration CTEs (pair count -> argmax with total-order tie-break
+# -> positional merge via gaps-and-islands windows -> rebuilt
+# vocabulary), so both engines must agree on every intermediate
+# decision, not just the final table. All columns integer/string.
+# ---------------------------------------------------------------------------
+BPE_N_MERGES = 3
+BPE_VOCAB_TOP = 300
+_BPE_WORD_RE = "^[a-z]{2,12}$"
+
+
+def _bpe_base_sql() -> str:
+    return f"""
+    tok AS (SELECT unnest({_TOKS}) AS w FROM documents),
+    wordfreq AS (
+      SELECT lower(w) AS word, COUNT(*) AS freq FROM tok
+      WHERE regexp_matches(lower(w), '{_BPE_WORD_RE}')
+      GROUP BY 1
+    ),
+    topw AS (SELECT word, freq FROM wordfreq
+             ORDER BY freq DESC, word LIMIT {BPE_VOCAB_TOP}),
+    w0 AS (SELECT word, freq,
+                  trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS syms
+           FROM topw)"""
+
+
+def _bpe_iter_sql(i: int) -> str:
+    """One BPE round: pair count -> argmax -> positional merge. The
+    run-parity predicate mirrors bpe_learn_merges exactly."""
+    return f""",
+    l{i} AS (SELECT word, freq, string_split(syms, ' ') AS l FROM w{i}),
+    p{i} AS (
+      SELECT l[i] AS a, l[i+1] AS b, SUM(freq) AS cnt
+      FROM l{i}, unnest(generate_series(1, len(l)-1)) AS t(i)
+      GROUP BY 1, 2
+    ),
+    best{i} AS (SELECT a, b, cnt FROM p{i} ORDER BY cnt DESC, a, b LIMIT 1),
+    e{i} AS (
+      SELECT word, freq, t.pos AS pos, l[t.pos] AS sym
+      FROM l{i}, unnest(generate_series(1, len(l))) AS t(pos)
+    ),
+    m{i}a AS (
+      SELECT word, freq, pos, sym,
+             lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt,
+             pos - ROW_NUMBER() OVER (PARTITION BY word, sym ORDER BY pos)
+               AS grp
+      FROM e{i}
+    ),
+    m{i}b AS (
+      SELECT m.*, b.a AS ba, b.b AS bb,
+             MIN(pos) OVER (PARTITION BY word, sym, grp) AS run_start
+      FROM m{i}a m CROSS JOIN best{i} b
+    ),
+    m{i}c AS (
+      SELECT *,
+             (sym = ba AND nxt = bb
+              AND (ba <> bb OR (pos - run_start) % 2 = 0)) AS mstart
+      FROM m{i}b
+    ),
+    m{i}d AS (
+      SELECT *, COALESCE(lag(mstart) OVER (PARTITION BY word ORDER BY pos),
+                         false) AS consumed
+      FROM m{i}c
+    ),
+    w{i + 1} AS (
+      SELECT word, freq,
+             string_agg(CASE WHEN mstart THEN ba || bb ELSE sym END, ' '
+                        ORDER BY pos) AS syms
+      FROM m{i}d
+      WHERE NOT consumed
+      GROUP BY 1, 2
+    )"""
+
+
+def _bpe_merges_sql() -> str:
+    body = "WITH " + _bpe_base_sql()
+    for i in range(BPE_N_MERGES):
+        body += _bpe_iter_sql(i)
+    stats = "\n    UNION ALL\n".join(
+        f"""    SELECT CAST({i + 1} AS BIGINT) AS merge_rank,
+           (SELECT a FROM best{i}) AS pair_a,
+           (SELECT b FROM best{i}) AS pair_b,
+           CAST((SELECT cnt FROM best{i}) AS BIGINT) AS pair_count,
+           CAST((SELECT SUM(freq * len(string_split(syms, ' ')))
+                 FROM w{i + 1}) AS BIGINT) AS n_symbols_after"""
+        for i in range(BPE_N_MERGES)
+    )
+    return body + "\n" + stats + "\n    ORDER BY merge_rank"
+
+
+@query("q137_bpe_merges", oracle=_bpe_merges_sql())
+def q137_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    words = (
+        d.select(F.explode(T.tokens(F.col("text"))).alias("w"))
+        .select(F.lower("w").alias("word"))
+        .where(F.col("word").rlike(_BPE_WORD_RE))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("word"))
+        .limit(BPE_VOCAB_TOP)
+    )
+    return T.bpe_learn_merges(words, BPE_N_MERGES).orderBy("merge_rank")
+
+
+# ---------------------------------------------------------------------------
 # q114 — per-document rarity scoring against a corpus-level unigram
 # model. Capability class: LM-style quality filtering — documents
 # dominated by tokens the corpus has barely seen are OCR garbage,

@@ -575,3 +575,36 @@ def test_lsh_probe_pairs_ingest_semantics(spark):
     sig_hot = T.minhash_signatures(hot_hist, "text", "id")
     capped = T.lsh_probe_pairs(sig_n, sig_hot, "id", max_bucket_size=3).collect()
     assert capped == []  # every matching bucket holds 7 > 3 history docs
+
+
+def test_bpe_learn_merges_basic_and_run_parity(spark):
+    """BPE merge learning (operators/text.py::bpe_learn_merges):
+    argmax with deterministic tie-break, leftmost-non-overlapping
+    application, and the equal-symbol run-parity case ('a a a a' with
+    pair (a,a) must become 'aa aa', never 'aa a a' or scan-direction
+    dependent)."""
+    words = spark.createDataFrame(
+        [("aaaa", 10), ("aab", 5), ("baaa", 3)], "word string, freq long"
+    )
+    out = T.bpe_learn_merges(words, 2).collect()
+    r1 = out[0]
+    # adjacent 'a a' pairs: aaaa has 3, aab 1, baaa 2 -> weighted 30+5+6=41
+    assert (r1.pair_a, r1.pair_b, r1.pair_count) == ("a", "a", 41)
+    # after merge: aaaa -> 'aa aa' (2 syms), aab -> 'aa b' (2), baaa -> 'b aa a' (3)
+    # weighted symbols: 10*2 + 5*2 + 3*3 = 39
+    assert r1.n_symbols_after == 39
+
+    # round 2 operates on the POST-merge state: pairs now
+    # aaaa: (aa,aa) w10; aab: (aa,b) w5; baaa: (b,aa) w3, (aa,a) w3
+    r2 = out[1]
+    assert (r2.pair_a, r2.pair_b, r2.pair_count) == ("aa", "aa", 10)
+    assert r2.n_symbols_after == 10 * 1 + 5 * 2 + 3 * 3
+
+
+def test_bpe_learn_merges_tie_break_is_lexicographic(spark):
+    words = spark.createDataFrame(
+        [("xy", 4), ("ab", 4)], "word string, freq long"
+    )
+    out = T.bpe_learn_merges(words, 1).collect()
+    # (a,b) and (x,y) both weigh 4 -> lexicographically smaller pair wins
+    assert (out[0].pair_a, out[0].pair_b) == ("a", "b")
