@@ -140,6 +140,67 @@ def q18_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q138 — REGEX PRETOKENIZATION counting: the GPT-2-family tokenizer's
+# first stage (split text into letter runs / digit runs / punctuation
+# runs BEFORE BPE applies within each piece) as a per-document count
+# surface — the "BPE-ish regex" token counting the task brief names,
+# complementing q18's whitespace counts and q137's learned merges.
+# The pattern uses only alternated character classes — semantics
+# identical under Java regex (Spark) and RE2 (DuckDB); the GPT-2
+# original's lookahead (?!\S) is deliberately avoided because RE2
+# does not support lookarounds. n_subword_est folds ceil(len/4) over
+# the letter runs (the 4-chars-per-BPE-token heuristic applied per
+# piece, not per document — tighter than q18's whole-text estimate
+# because punctuation/digits never share a subword with letters).
+# All counts integer-exact; entirely whole-stage-codegen (regexp +
+# higher-order fold, no UDF, no shuffle — a pure scan projection at
+# any scale).
+# ---------------------------------------------------------------------------
+_PRETOK_ALPHA = "[A-Za-z]+"
+_PRETOK_NUM = "[0-9]+"
+_PRETOK_OTHER = r"[^A-Za-z0-9 \t\n]+"
+
+
+@query(
+    "q138_regex_pretokenize",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_PRETOK_ALPHA}')) AS BIGINT)
+             AS n_alpha_runs,
+           CAST(len(regexp_extract_all(text, '{_PRETOK_NUM}')) AS BIGINT)
+             AS n_digit_runs,
+           CAST(len(regexp_extract_all(text, '{_PRETOK_OTHER}')) AS BIGINT)
+             AS n_other_runs,
+           CAST(COALESCE(list_sum(list_transform(
+                  regexp_extract_all(text, '{_PRETOK_ALPHA}'),
+                  t -> CAST(ceil(length(t) / 4.0) AS BIGINT))), 0) AS BIGINT)
+             AS n_subword_est
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def q138_regex_pretokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    alpha = F.regexp_extract_all(F.col("text"), F.lit(_PRETOK_ALPHA), F.lit(0))
+    subword = F.aggregate(
+        F.transform(alpha, lambda t: F.ceil(F.length(t) / 4.0).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return d.select(
+        "doc_id",
+        F.size(alpha).cast("bigint").alias("n_alpha_runs"),
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(_PRETOK_NUM), F.lit(0))
+        ).cast("bigint").alias("n_digit_runs"),
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(_PRETOK_OTHER), F.lit(0))
+        ).cast("bigint").alias("n_other_runs"),
+        subword.alias("n_subword_est"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
 # q19 — heuristic quality scoring per document
 # ---------------------------------------------------------------------------
 @query(
