@@ -586,3 +586,61 @@ def test_cdc_merge_equals_recompute(spark, args):
         r.g: (r.n, r.s, r.mn, r.mx) for r in state([(g, p) for _, g, p in post]).collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# BPE merge learning vs an independent pure-Python reference
+# (Sennrich-style get_stats + leftmost-non-overlapping merge_word)
+# on random weighted vocabularies — including adversarial runs of
+# repeated characters (the run-parity case).
+# ---------------------------------------------------------------------------
+def _ref_bpe(words: list[tuple[str, int]], n_merges: int):
+    state = {w: list(w) for w, _ in words}
+    freqs = dict(words)
+    out = []
+    for rank in range(1, n_merges + 1):
+        stats: dict = {}
+        for w, syms in state.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                stats[p] = stats.get(p, 0) + freqs[w]
+        if not stats:
+            break
+        # argmax: count desc, pair asc (lexicographic)
+        (a, b), cnt = min(stats.items(), key=lambda kv: (-kv[1], kv[0]))
+        for w, syms in state.items():
+            merged, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    merged.append(a + b)
+                    i += 2  # leftmost non-overlapping
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            state[w] = merged
+        n_after = sum(freqs[w] * len(s) for w, s in state.items())
+        out.append((rank, a, b, cnt, n_after))
+    return out
+
+
+vocab_strategy = st.lists(
+    st.tuples(
+        st.text(alphabet="abc", min_size=2, max_size=8),
+        st.integers(min_value=1, max_value=9),
+    ),
+    min_size=1,
+    max_size=8,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(vocab=vocab_strategy)
+@settings(**SETTINGS)
+def test_bpe_learn_merges_matches_reference(spark, vocab):
+    got = [
+        (r.merge_rank, r.pair_a, r.pair_b, r.pair_count, r.n_symbols_after)
+        for r in T.bpe_learn_merges(
+            spark.createDataFrame(vocab, "word string, freq long"), 2
+        ).collect()
+    ]
+    assert got == _ref_bpe(vocab, 2)
