@@ -76,7 +76,6 @@ def require_delta():
 
 
 def scd2_initial_delta(
-    spark: SparkSession,
     table: str,
     incoming: DataFrame,
     effective_ts,

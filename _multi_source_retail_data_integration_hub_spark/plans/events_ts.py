@@ -803,6 +803,44 @@ def q118_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.catalog.dropTempView(customer_v)
 
 
+def _drain_memory_sink(agg: DataFrame, label: str) -> DataFrame:
+    """Drain a streaming aggregate into a memory sink (availableNow,
+    complete mode) and return a BATCH snapshot of the result.
+
+    Shared by q126/q136 so the hygiene-critical invariants live once:
+    the query is stopped even when awaitTermination times out, the
+    bounded snapshot is collected BEFORE the temp view drops, and the
+    view is dropped even when the drain/collect fails (a failed call
+    must not leak a memory-sink view holding the aggregate — r5 review
+    finding). Callers must guarantee the aggregate is BOUNDED (a few
+    rows per group key), which is what makes the snapshot-collect
+    driver-safe at any corpus size.
+    """
+    spark = agg.sparkSession
+    name = f"{label}_mem_{next(_VIEW_SEQ)}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        try:
+            if not q.awaitTermination(300):
+                raise TimeoutError(
+                    f"{label}: streaming drain did not finish in 300s"
+                )
+        finally:
+            if q.isActive:
+                q.stop()
+        snap = spark.table(name)
+        rows = snap.collect()  # bounded by the caller's contract
+        return spark.createDataFrame(rows, snap.schema)
+    finally:
+        spark.catalog.dropTempView(name)
+
+
 # ---------------------------------------------------------------------------
 # q126 — the STREAMING plan under the batch oracle: the driver-gate
 # version of tests/test_streaming.py's batch-equivalence suite. The
@@ -838,29 +876,7 @@ def q126_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = jobs.read_events_stream(spark, sf_dir)
     agg = jobs.tumbling_daily(stream)
-    name = f"q126_mem_{next(_VIEW_SEQ)}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        try:
-            if not q.awaitTermination(300):
-                raise TimeoutError("q126: streaming drain did not finish in 300s")
-        finally:
-            if q.isActive:
-                q.stop()
-        snap = spark.table(name)
-        rows = snap.collect()  # one row per (day, type): bounded
-        out = spark.createDataFrame(rows, snap.schema)
-    finally:
-        # drop even when the drain/collect fails, or every failed call
-        # leaks a memory-sink view holding the full aggregate (r5
-        # review finding; same hygiene as q118/q119 above)
-        spark.catalog.dropTempView(name)
+    out = _drain_memory_sink(agg, "q126")  # one row per (day, type): bounded
     return out.select(
         "window_start", "event_type", "n_events", "total_value"
     ).orderBy("window_start", "event_type")
@@ -871,18 +887,19 @@ def q126_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 # effectively-once contract, driver-verified. The stream reads the
 # events file source TWICE and unions the legs — every event arrives
 # (at least) twice, the upstream-retry shape — then
-# dropDuplicatesWithinWatermark(event_id) collapses them with
-# watermark-bounded state, and a downstream streaming aggregation
-# reduces the deduped rows to one bounded row per event_type (two
-# chained stateful operators — dedup state + agg state — the
-# multi-stateful pipeline Spark 3.5+ supports). The oracle is the
-# plain batch aggregate over the ORIGINAL table: any duplicate the
-# dedup lets through, or any row its state handling drops, breaks the
-# integer count / decimal-exact sum equality. Complements q126 (which
-# verifies windowed aggregation): together the two registered
-# streaming rows cover both stateful-operator families.
-# Memory-sink safety: the drained frame is |event_type| rows (~5),
-# bounded at any corpus size.
+# dropDuplicatesWithinWatermark collapses them with watermark-bounded
+# state, and a downstream streaming aggregation reduces the deduped
+# rows to one bounded row per event_type (two chained stateful
+# operators — dedup state + agg state — the multi-stateful pipeline
+# Spark 3.5+ supports). The dedup KEY is the full column list, not
+# just event_id: our injected duplicates are byte-identical rows, and
+# keying on content makes the batch oracle (aggregate over SELECT
+# DISTINCT *) well-defined on ANY data generation — an id-keyed dedup
+# would silently depend on the generator never reusing event_ids
+# (review finding). Any duplicate the dedup lets through, or any row
+# its state handling drops, breaks the integer count / decimal-exact
+# sum equality. Complements q126 (windowed aggregation): together the
+# two registered streaming rows cover both stateful-operator families.
 # ---------------------------------------------------------------------------
 @query(
     "q136_streaming_dedup",
@@ -890,7 +907,7 @@ def q126_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            COUNT(*) AS n_events,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-    FROM events
+    FROM (SELECT DISTINCT * FROM events)
     GROUP BY 1
     ORDER BY 1
     """,
@@ -898,36 +915,16 @@ def q126_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q136_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming import jobs
 
-    doubled = jobs.read_events_stream(spark, sf_dir).unionByName(
-        jobs.read_events_stream(spark, sf_dir)
-    )
-    deduped = jobs.deduped_events(doubled)
+    one_leg = jobs.read_events_stream(spark, sf_dir)
+    doubled = one_leg.unionByName(jobs.read_events_stream(spark, sf_dir))
+    deduped = jobs.deduped_events(doubled, keys=list(one_leg.columns))
     agg = deduped.groupBy("event_type").agg(
         F.count("*").alias("n_events"),
         F.sum(F.col("value").cast("decimal(18,2)"))
         .cast("double")
         .alias("total_value"),
     )
-    name = f"q136_mem_{next(_VIEW_SEQ)}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        try:
-            if not q.awaitTermination(300):
-                raise TimeoutError("q136: streaming drain did not finish in 300s")
-        finally:
-            if q.isActive:
-                q.stop()
-        snap = spark.table(name)
-        rows = snap.collect()  # one row per event_type: bounded
-        out = spark.createDataFrame(rows, snap.schema)
-    finally:
-        spark.catalog.dropTempView(name)
+    out = _drain_memory_sink(agg, "q136")  # one row per event_type: bounded
     return out.select("event_type", "n_events", "total_value").orderBy(
         "event_type"
     )

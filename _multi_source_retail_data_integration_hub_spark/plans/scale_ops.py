@@ -649,23 +649,30 @@ from ..operators.maintenance import CHECKSUM_NULL as _CK_NULL  # noqa: E402
 
 
 
-def _q129_sql() -> str:
-    parts = []
-    for t, cols in _checksum_cols().items():
-        # identical length-prefixed rendering as checksum_field_sql
-        rendered = " || '|' || ".join(
-            f"COALESCE(CAST(length({c}) AS VARCHAR) || ':' || {c}, '{_CK_NULL}')"
-            for c in cols
-        )
-        parts.append(
-            f"""
-    SELECT '{t}' AS table_name,
+def _checksum_table_sql(table: str, cols: tuple[str, ...], alias: str) -> str:
+    """DuckDB twin of maintenance.content_checksum for ONE table:
+    identical length-prefixed field rendering (checksum_field_sql) and
+    modular row-hash sum. Single definition shared by the q129 and
+    q000 oracles so the canonical rendering can never drift between
+    the registered checksum surfaces (review finding)."""
+    rendered = " || '|' || ".join(
+        f"COALESCE(CAST(length({c}) AS VARCHAR) || ':' || {c}, '{_CK_NULL}')"
+        for c in cols
+    )
+    return f"""
+    SELECT '{table}' AS table_name,
            COUNT(*) AS n_rows,
            SUM(CAST('0x' || substr(md5({rendered}), 1, 8) AS BIGINT)
-               % {_CK_MOD}) AS checksum
-    FROM {t}
+               % {_CK_MOD}) AS {alias}
+    FROM {table}
     """
-        )
+
+
+def _q129_sql() -> str:
+    parts = [
+        _checksum_table_sql(t, cols, "checksum")
+        for t, cols in _checksum_cols().items()
+    ]
     return " UNION ALL ".join(parts) + " ORDER BY table_name"
 
 
@@ -753,21 +760,10 @@ _FINGERPRINT_COLS_SPARK: dict[str, list[str]] = {
 
 
 def _q000_sql() -> str:
-    parts = []
-    for t, cols in _FINGERPRINT_COLS.items():
-        rendered = " || '|' || ".join(
-            f"COALESCE(CAST(length({c}) AS VARCHAR) || ':' || {c}, '{_CK_NULL}')"
-            for c in cols
-        )
-        parts.append(
-            f"""
-    SELECT '{t}' AS table_name,
-           COUNT(*) AS n_rows,
-           SUM(CAST('0x' || substr(md5({rendered}), 1, 8) AS BIGINT)
-               % {_CK_MOD}) AS key_checksum
-    FROM {t}
-    """
-        )
+    parts = [
+        _checksum_table_sql(t, cols, "key_checksum")
+        for t, cols in _FINGERPRINT_COLS.items()
+    ]
     return " UNION ALL ".join(parts) + " ORDER BY table_name"
 
 

@@ -1605,13 +1605,18 @@ def _bpe_merges_sql() -> str:
     body = "WITH " + _bpe_base_sql()
     for i in range(BPE_N_MERGES):
         body += _bpe_iter_sql(i)
+    # WHERE EXISTS mirrors the Spark side's early loop exit: a corpus
+    # whose vocabulary fully merges before round K emits fewer than K
+    # rows on BOTH engines (review finding: constant SELECTs would
+    # otherwise emit K rows with NULL pairs and rows-mismatch).
     stats = "\n    UNION ALL\n".join(
         f"""    SELECT CAST({i + 1} AS BIGINT) AS merge_rank,
            (SELECT a FROM best{i}) AS pair_a,
            (SELECT b FROM best{i}) AS pair_b,
            CAST((SELECT cnt FROM best{i}) AS BIGINT) AS pair_count,
            CAST((SELECT SUM(freq * len(string_split(syms, ' ')))
-                 FROM w{i + 1}) AS BIGINT) AS n_symbols_after"""
+                 FROM w{i + 1}) AS BIGINT) AS n_symbols_after
+    WHERE EXISTS (SELECT 1 FROM best{i})"""
         for i in range(BPE_N_MERGES)
     )
     return body + "\n" + stats + "\n    ORDER BY merge_rank"

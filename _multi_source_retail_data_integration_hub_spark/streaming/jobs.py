@@ -127,14 +127,25 @@ def sessionized(events: DataFrame, gap: str = "12 hours", watermark: str = "1 da
     )
 
 
-def deduped_events(events: DataFrame, watermark: str = "1 day") -> DataFrame:
-    """Streaming exact dedup on event_id with watermark-bounded state.
+def deduped_events(
+    events: DataFrame,
+    watermark: str = "1 day",
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Streaming exact dedup with watermark-bounded state (default key:
+    event_id).
 
     The streaming counterpart of q17's batch hash-dedup: late duplicate
     events beyond the watermark are expired from state (at-least-once
     upstream -> effectively-once downstream within the watermark).
+    Pass ``keys`` to dedup on a different identity — e.g. the full
+    column list when upstream retries resend byte-identical rows and
+    the id column's uniqueness is not guaranteed (q136 does this so
+    its batch oracle is well-defined on ANY data generation).
     """
-    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys if keys is not None else ["event_id"]
+    )
 
 
 def running_user_totals(events: DataFrame) -> DataFrame:

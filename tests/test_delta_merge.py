@@ -76,7 +76,7 @@ def test_scd2_delta_matches_dataframe_merge(dspark):
         dspark, [(1, "corp", "lyon"), (2, "corp", "nice"), (4, "retail", "brest")]
     )
 
-    delta_merge.scd2_initial_delta(dspark, t, snap1, EFF1)
+    delta_merge.scd2_initial_delta(t, snap1, EFF1)
     delta_merge.scd2_merge_delta(dspark, t, snap2, "customer_id", EFF2)
     got = dspark.table(t)
 
