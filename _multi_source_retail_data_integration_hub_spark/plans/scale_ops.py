@@ -780,3 +780,151 @@ def q000_generation_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         for t, fields in _FINGERPRINT_COLS_SPARK.items()
     ]
     return _reduce(DataFrame.unionByName, outs).orderBy("table_name")
+
+
+# ---------------------------------------------------------------------------
+# q139 — K-LANE table checksum: the production variant the q129
+# docstring promises. One 32-bit modular lane is collision-bounded at
+# ~2^-31 per comparison; k independent lanes (seeded-md5 hash family,
+# same construction as the CMS rows) multiply that to ~2^-31k while
+# still costing ONE scan — each lane is just another aggregate over
+# the same row rendering, so Catalyst computes all k in a single
+# partial+final pass. Output stays one row per table (n_rows + k lane
+# sums), scalar at any corpus size. Differentially verified against
+# the identical lane construction in DuckDB.
+# ---------------------------------------------------------------------------
+CHECKSUM_LANES = 4
+
+
+def _q139_sql() -> str:
+    parts = []
+    for t, cols in _checksum_cols().items():
+        rendered = " || '|' || ".join(
+            f"COALESCE(CAST(length({c}) AS VARCHAR) || ':' || {c}, '{_CK_NULL}')"
+            for c in cols
+        )
+        lanes = ",\n           ".join(
+            f"SUM(CAST('0x' || substr(md5('lane{k}:' || {rendered}), 1, 8) "
+            f"AS BIGINT) % {_CK_MOD}) AS lane{k}"
+            for k in range(CHECKSUM_LANES)
+        )
+        parts.append(
+            f"""
+    SELECT '{t}' AS table_name,
+           COUNT(*) AS n_rows,
+           {lanes}
+    FROM {t}
+    """
+        )
+    return " UNION ALL ".join(parts) + " ORDER BY table_name"
+
+
+@query("q139_multilane_checksum", oracle=_q139_sql())
+def q139_multilane_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.maintenance import checksum_field_sql
+
+    spark_fields = {
+        "orders": [
+            "CAST(o_orderkey AS STRING)",
+            "CAST(o_custkey AS STRING)",
+            "o_orderstatus",
+            "date_format(o_orderdate, 'yyyy-MM-dd')",
+        ],
+        "customer": [
+            "CAST(c_custkey AS STRING)",
+            "c_name",
+            "CAST(c_nationkey AS STRING)",
+            "c_mktsegment",
+        ],
+        "lineitem": [
+            "CAST(l_orderkey AS STRING)",
+            "CAST(l_partkey AS STRING)",
+            "CAST(l_suppkey AS STRING)",
+            "CAST(CAST(floor(l_quantity) AS BIGINT) AS STRING)",
+        ],
+    }
+    outs = []
+    for t, fields in spark_fields.items():
+        rendered = "concat(" + ", '|', ".join(
+            checksum_field_sql(f) for f in fields
+        ) + ")"
+        lanes = [
+            F.sum(
+                F.pmod(
+                    F.conv(
+                        F.md5(F.concat(F.lit(f"lane{k}:"), F.expr(rendered)))
+                        .substr(1, 8),
+                        16,
+                        10,
+                    ).cast("bigint"),
+                    F.lit(_CK_MOD),
+                )
+            ).alias(f"lane{k}")
+            for k in range(CHECKSUM_LANES)
+        ]
+        outs.append(
+            load_table(spark, sf_dir, t).agg(
+                F.count(F.lit(1)).alias("n_rows"), *lanes
+            ).select(F.lit(t).alias("table_name"), "n_rows", *[f"lane{k}" for k in range(CHECKSUM_LANES)])
+        )
+    return _reduce(DataFrame.unionByName, outs).orderBy("table_name")
+
+
+# ---------------------------------------------------------------------------
+# q140 — MERGEABLE DISTINCT-COUNT ROLLUP: HLL sketches as stored
+# partial state. q35 anchors one-shot approx_count_distinct; this is
+# the 100 TB pattern it enables — per-day sketches built ONCE (the
+# incremental-mart story, but for distinct counts, which plain counts
+# cannot roll up), then hll_union_agg combines any date range WITHOUT
+# rescanning the facts. The estimate is engine-specific, so (q35
+# convention) the verdict column carries the accuracy contract: the
+# unioned-sketch estimate must sit within the union-degraded relative
+# error of the EXACT range distinct, per event_type; exact counts and
+# the pinned verdict are what the driver hash-compares. A drifting
+# sketch/union implementation flips the verdict to 0 and fails the
+# gate — rows-only it is not.
+# ---------------------------------------------------------------------------
+HLL_LGK = 14  # sketch precision (log2 k); rel error ~ 1.04/sqrt(2^lgk)
+HLL_UNION_SLACK = 6.0  # multiples of base rel error allowed post-union
+
+
+@query(
+    "q140_hll_distinct_rollup",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           CAST(1 AS BIGINT) AS within_bound
+    FROM events
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q140_hll_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    # stage 1: per-(day, type) sketch partials — the stored mart state;
+    # each day's facts are scanned once, ever
+    daily = events.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(F.hll_sketch_agg("user_id", F.lit(HLL_LGK)).alias("sk"))
+    # stage 2: roll up the WHOLE range from sketches alone (no fact
+    # rescan); exact side recomputed here only to audit the contract
+    unioned = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk", F.lit(True))).alias("est")
+    )
+    exact = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    rel_err_bound = HLL_UNION_SLACK * 1.04 / (2 ** (HLL_LGK / 2))
+    return (
+        exact.join(unioned, "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("est") - F.col("exact_users"))
+                / F.col("exact_users")
+                <= rel_err_bound
+            ).cast("bigint").alias("within_bound"),
+        )
+        .orderBy("event_type")
+    )
