@@ -644,3 +644,78 @@ def test_bpe_learn_merges_matches_reference(spark, vocab):
         ).collect()
     ]
     assert got == _ref_bpe(vocab, 2)
+
+
+# ---------------------------------------------------------------------------
+# content_checksum: invariant under partitioning/row order (its whole
+# contract), sensitive to any single-row mutation
+# ---------------------------------------------------------------------------
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=10**6),
+                  st.text(alphabet="abc|:N", max_size=6)),
+        min_size=1, max_size=30, unique_by=lambda t: t[0],
+    ),
+    parts=st.integers(min_value=1, max_value=7),
+)
+@settings(**SETTINGS)
+def test_content_checksum_order_and_partition_invariant(spark, rows, parts):
+    from _multi_source_retail_data_integration_hub_spark.operators.maintenance import (
+        content_checksum,
+    )
+
+    df = spark.createDataFrame(rows, "id long, payload string")
+    fields = ["CAST(id AS STRING)", "payload"]
+    base = content_checksum(df, fields).first()
+    shuffled = content_checksum(
+        df.repartition(parts, "payload").sortWithinPartitions("payload"), fields
+    ).first()
+    assert (base.n_rows, base.checksum) == (shuffled.n_rows, shuffled.checksum)
+    # sensitivity: mutate one row's payload -> checksum moves
+    mutated = spark.createDataFrame(
+        [(rows[0][0], rows[0][1] + "x"), *rows[1:]], "id long, payload string"
+    )
+    got = content_checksum(mutated, fields).first()
+    assert got.checksum != base.checksum
+
+
+# ---------------------------------------------------------------------------
+# cluster split leak-freedom: for ANY pair graph, both endpoints of
+# every edge land in the same split (the q135 contract, end-to-end
+# through connected_components + the keyed-hash assignment)
+# ---------------------------------------------------------------------------
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=40),
+                  st.integers(min_value=0, max_value=40)),
+        min_size=1, max_size=25,
+    ).map(lambda es: [(a, b) for a, b in es if a != b]),
+)
+@settings(**SETTINGS)
+def test_cluster_split_never_separates_linked_docs(spark, edges):
+    from _multi_source_retail_data_integration_hub_spark.operators.graph import (
+        connected_components,
+    )
+
+    if not edges:
+        return
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    labels = connected_components(pairs, "id_a", "id_b")
+    bucket = F.pmod(
+        F.conv(
+            F.md5(F.concat(F.lit("split:"), F.col("cluster_id").cast("string"))
+                  ).substr(1, 8), 16, 10
+        ).cast("bigint"),
+        F.lit(10),
+    )
+    split = labels.select(
+        "node",
+        F.when(bucket < 8, "train").when(bucket == 8, "val")
+        .otherwise("test").alias("split"),
+    )
+    a = split.withColumnRenamed("node", "id_a").withColumnRenamed("split", "sa")
+    b = split.withColumnRenamed("node", "id_b").withColumnRenamed("split", "sb")
+    leaked = (
+        pairs.join(a, "id_a").join(b, "id_b").where("sa != sb").count()
+    )
+    assert leaked == 0
