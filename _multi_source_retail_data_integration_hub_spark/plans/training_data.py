@@ -106,10 +106,14 @@ _MUTATED_SQL = f"""
 _SIG_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
-def _mutated_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _sig_cache_key(spark: SparkSession, sf_dir: str, what: str):
     import os as _os
 
-    key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir))
+    return (spark.sparkContext.applicationId, _os.path.abspath(sf_dir), what)
+
+
+def _mutated_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = _sig_cache_key(spark, sf_dir, "sig")
     sig = _SIG_CACHE.get(key)
     if sig is None:
         sig = T.minhash_signatures(
@@ -117,6 +121,35 @@ def _mutated_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint()
         _SIG_CACHE[key] = sig
     return sig
+
+
+def _mutated_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Default-cap (drop-mode) LSH candidate pairs over the cached
+    signature table — shared by q24/q116/q135 (q134's subsplit-mode
+    pairs differ and stay per-query)."""
+    key = _sig_cache_key(spark, sf_dir, "pairs")
+    pairs = _SIG_CACHE.get(key)
+    if pairs is None:
+        pairs = T.lsh_candidate_pairs(
+            _mutated_sig(spark, sf_dir), "id"
+        ).localCheckpoint()
+        _SIG_CACHE[key] = pairs
+    return pairs
+
+
+def _mutated_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-component labels over the cached candidate pairs —
+    shared by q116 (survivor selection) and q135 (split assignment)."""
+    from ..operators.graph import connected_components
+
+    key = _sig_cache_key(spark, sf_dir, "labels")
+    labels = _SIG_CACHE.get(key)
+    if labels is None:
+        labels = connected_components(
+            _mutated_lsh_pairs(spark, sf_dir), "id_a", "id_b"
+        ).localCheckpoint()
+        _SIG_CACHE[key] = labels
+    return labels
 
 
 # ---------------------------------------------------------------------------
@@ -506,8 +539,7 @@ def q24_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     # before the self-join fans out: otherwise both join sides recompute
     # the whole shingle pipeline. Checkpointing also truncates lineage —
     # the cluster-shaped form of persist()+count().
-    sig = _mutated_sig(spark, sf_dir)
-    return T.lsh_candidate_pairs(sig, "id")
+    return _mutated_lsh_pairs(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------
@@ -1806,9 +1838,7 @@ def q116_neardup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import connected_components
 
     corpus = _mutated(spark, sf_dir)
-    sig = _mutated_sig(spark, sf_dir)
-    pairs = T.lsh_candidate_pairs(sig, "id")
-    labels = connected_components(pairs, "id_a", "id_b")
+    labels = _mutated_clusters(spark, sf_dir)
     quality = T.quality_score(corpus, "text", "id")
     scored = labels.join(
         quality, labels["node"] == quality["id"]
@@ -1895,9 +1925,7 @@ def q135_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import connected_components
 
     corpus = _mutated(spark, sf_dir)
-    sig = _mutated_sig(spark, sf_dir)
-    pairs = T.lsh_candidate_pairs(sig, "id")
-    labels = connected_components(pairs, "id_a", "id_b")
+    labels = _mutated_clusters(spark, sf_dir)
     assign = (
         corpus.select("id")
         .join(labels, corpus["id"] == labels["node"], "left")
