@@ -1041,14 +1041,12 @@ def q80_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Jaccard verify below (previously each side re-shingled the corpus
     # — measured ~25% of the query's steady-state cost at sf0.1)
     sh_all = T.distinct_shingles(corpus, "text", "id").localCheckpoint()
-    # signatures materialized once (same treatment as q24) — they feed
-    # the candidate join AND both estimate sides
-    sig = T.minhash_signatures(
-        corpus, "text", "id", shingles_df=sh_all
-    ).localCheckpoint()
-    # pairs feeds THREE consumers (estimate join, candidate-id union,
-    # intersection filter) — materialize once like sig
-    pairs = T.lsh_candidate_pairs(sig, "id").localCheckpoint()
+    # signatures + default-cap candidate pairs come from the shared
+    # session caches (_mutated_sig/_mutated_lsh_pairs — identical
+    # content to computing them from sh_all here); only the exact-
+    # Jaccard verify side needs the shingle table itself
+    sig = _mutated_sig(spark, sf_dir)
+    pairs = _mutated_lsh_pairs(spark, sf_dir)
 
     a = sig.select(
         F.col("id").alias("id_a"), *[F.col(f"mh{s:02d}").alias(f"_a{s}") for s in range(16)]
