@@ -608,3 +608,28 @@ def test_bpe_learn_merges_tie_break_is_lexicographic(spark):
     out = T.bpe_learn_merges(words, 1).collect()
     # (a,b) and (x,y) both weigh 4 -> lexicographically smaller pair wins
     assert (out[0].pair_a, out[0].pair_b) == ("a", "b")
+
+
+def test_mutated_sig_cache_is_scoped_per_sf_dir(spark, tmp_path):
+    """The shared signature/pair/label caches key on (session, sf_dir):
+    two different corpora must never see each other's frames."""
+    import pyspark.sql.functions as F
+    from _multi_source_retail_data_integration_hub_spark.plans import (
+        training_data as TD,
+    )
+
+    for sub, texts in (
+        ("a", ["alpha beta gamma delta " * 6]),
+        ("b", ["zeta eta theta iota " * 6, "kappa " * 30]),
+    ):
+        d = str(tmp_path / sub)
+        spark.createDataFrame(
+            [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.parquet(d + "/documents.parquet")
+        # the cache key must distinguish the two dirs
+        n = TD._mutated_sig(spark, d).count()
+        assert n == TD._mutated(spark, d).count()
+    # repeated call returns the SAME cached frame (no recompute)
+    d_a = str(tmp_path / "a")
+    assert TD._mutated_sig(spark, d_a) is TD._mutated_sig(spark, d_a)
