@@ -817,6 +817,77 @@ def bpe_symbolize(words: DataFrame, word_col: str = "word") -> DataFrame:
     )
 
 
+def _bpe_merge_pair(state: DataFrame, a: str, b: str, carry: tuple[str, ...]) -> DataFrame:
+    """Apply ONE merge rule (a, b) leftmost-non-overlapping to a
+    symbolized vocabulary table (``word``, ``syms`` + ``carry``
+    columns). Shared by the learning loop (carry=("freq",)) and
+    corpus-wide application (bpe_apply_merges); the run-parity
+    predicate handles equal-symbol runs positionally (see
+    bpe_learn_merges docstring)."""
+    from pyspark.sql import Window
+
+    e = state.select(
+        "word", *carry, F.posexplode(F.split("syms", " ")).alias("pos0", "sym")
+    ).withColumn("pos", F.col("pos0") + 1)
+    w_word = Window.partitionBy("word").orderBy("pos")
+    w_sym = Window.partitionBy("word", "sym").orderBy("pos")
+    e = e.select(
+        "word", *carry, "pos", "sym",
+        F.lead("sym").over(w_word).alias("nxt"),
+        (F.col("pos") - F.row_number().over(w_sym)).alias("grp"),
+    )
+    e = e.withColumn(
+        "run_start", F.min("pos").over(Window.partitionBy("word", "sym", "grp"))
+    )
+    mstart = (
+        (F.col("sym") == F.lit(a))
+        & (F.col("nxt") == F.lit(b))
+        & (F.lit(a != b) | ((F.col("pos") - F.col("run_start")) % 2 == 0))
+    )
+    e = e.withColumn("mstart", mstart).withColumn(
+        "consumed",
+        F.coalesce(F.lag("mstart").over(w_word), F.lit(False)),
+    )
+    return (
+        e.where(~F.col("consumed"))
+        .withColumn(
+            "new_sym",
+            F.when(F.col("mstart"), F.lit(a + b)).otherwise(F.col("sym")),
+        )
+        .groupBy("word", *carry)
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "new_sym"))),
+                    lambda x: x["new_sym"],
+                ),
+            ).alias("syms")
+        )
+    )
+
+
+def bpe_apply_merges(
+    words: DataFrame, rules: list[tuple[str, str]], word_col: str = "word"
+) -> DataFrame:
+    """Apply an already-learned ordered BPE merge list to a vocabulary
+    table — the TOKENIZER-APPLICATION side of bpe_learn_merges
+    (encode with the trained vocab, the step every serving/data
+    pipeline runs per corpus). Returns (word, syms).
+
+    Scale: like learning, every round runs over the DISTINCT-word
+    table (the corpus is reduced to per-doc word counts upstream and
+    joined back afterwards), so cost is K passes over the vocabulary
+    regardless of corpus size; the rule list is a tiny constant that
+    lives in the plan itself — nothing is collected here."""
+    state = bpe_symbolize(words, word_col).select(
+        F.col(word_col).alias("word"), "syms"
+    ).localCheckpoint()
+    for a, b in rules:
+        state = _bpe_merge_pair(state, a, b, carry=()).localCheckpoint()
+    return state
+
+
 def bpe_learn_merges(words: DataFrame, n_merges: int) -> DataFrame:
     """Learn the first ``n_merges`` BPE merge rules from a weighted
     word table (columns ``word``, ``freq``) — the real iterative
@@ -849,8 +920,6 @@ def bpe_learn_merges(words: DataFrame, n_merges: int) -> DataFrame:
     sizes (1e5-1e6 types) hold in one executor's partition shard
     comfortably; K is a small constant (the merge budget).
     """
-    from pyspark.sql import Window
-
     spark = words.sparkSession
     state = bpe_symbolize(words).select("word", "freq", "syms").localCheckpoint()
     rules: list[tuple] = []
@@ -876,46 +945,7 @@ def bpe_learn_merges(words: DataFrame, n_merges: int) -> DataFrame:
             break  # vocabulary fully merged
         a, b, cnt = best_rows[0]["a"], best_rows[0]["b"], int(best_rows[0]["cnt"])
 
-        e = state.select(
-            "word", "freq", F.posexplode(F.split("syms", " ")).alias("pos0", "sym")
-        ).withColumn("pos", F.col("pos0") + 1)
-        w_word = Window.partitionBy("word").orderBy("pos")
-        w_sym = Window.partitionBy("word", "sym").orderBy("pos")
-        e = e.select(
-            "word", "freq", "pos", "sym",
-            F.lead("sym").over(w_word).alias("nxt"),
-            (F.col("pos") - F.row_number().over(w_sym)).alias("grp"),
-        )
-        e = e.withColumn(
-            "run_start", F.min("pos").over(Window.partitionBy("word", "sym", "grp"))
-        )
-        mstart = (
-            (F.col("sym") == F.lit(a))
-            & (F.col("nxt") == F.lit(b))
-            & (F.lit(a != b) | ((F.col("pos") - F.col("run_start")) % 2 == 0))
-        )
-        e = e.withColumn("mstart", mstart).withColumn(
-            "consumed",
-            F.coalesce(F.lag("mstart").over(w_word), F.lit(False)),
-        )
-        state = (
-            e.where(~F.col("consumed"))
-            .withColumn(
-                "new_sym",
-                F.when(F.col("mstart"), F.lit(a + b)).otherwise(F.col("sym")),
-            )
-            .groupBy("word", "freq")
-            .agg(
-                F.concat_ws(
-                    " ",
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("pos", "new_sym"))),
-                        lambda x: x["new_sym"],
-                    ),
-                ).alias("syms")
-            )
-            .localCheckpoint()  # truncate per-iteration lineage
-        )
+        state = _bpe_merge_pair(state, a, b, carry=("freq",)).localCheckpoint()
         n_after = int(
             state.agg(
                 F.sum(F.col("freq") * F.size(F.split("syms", " ")))

@@ -528,11 +528,132 @@ def q54_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # post-aggregate cardinality = #customers; the single-task global
     # NTILE window is fine at test scale, and at 100 TB the same
-    # bucketing is computed scalably from percentile cutpoints instead.
+    # bucketing is computed scalably from percentile cutpoints instead
+    # (q142_decile_cutpoints below IS that scale path, side by side).
     w = Window.orderBy("spend_dec", "custkey")
     deciled = spend.withColumn("decile", F.ntile(10).over(w))
     return (
         deciled.groupBy("decile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.min("spend_dec").cast("double").alias("min_spend"),
+            F.max("spend_dec").cast("double").alias("max_spend"),
+            F.sum("spend_dec").cast("double").alias("total_spend"),
+        )
+        .orderBy("decile")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q142 — HISTOGRAM-CUTPOINT deciles: the 100 TB alternative to q54's
+# NTILE that q54's comment has promised since round 3, now a first-
+# class registered query so the two bucketings sit side by side.
+# NTILE(10) OVER (ORDER BY ...) is an Exchange SinglePartition + global
+# sort — a one-task straggler at billions of customers. The scalable
+# shape is the classic histogram quantile:
+#   1. one pass bins each customer's exact decimal spend into fixed
+#      integer buckets (integer division of cents — engine-exact);
+#   2. the BIN histogram (bounded by spend range / bin width, not by
+#      customer count) gets a cumulative sum — the only window here
+#      runs over that tiny table;
+#   3. decile cutpoints = first bin where 10*cum >= i*n (pure integer
+#      comparison, no float quantile semantics to disagree on);
+#   4. assignment is a broadcast of the 9 cutpoints back over the
+#      spend table: decile = 1 + |{cuts below my bin}|.
+# Deciles are approximate at bin granularity — ties within a bin land
+# together, so heavy bins can leave neighboring deciles empty; the
+# output reports achieved counts per NON-EMPTY decile, which is the
+# honest contract of every histogram/t-digest quantile at scale.
+# All arithmetic integer or DECIMAL-exact; the driver hash gate holds.
+# ---------------------------------------------------------------------------
+DECILE_BIN_CENTS = 1_000_000  # $10k spend bins
+
+_DECILE_TARGETS = "(VALUES (1),(2),(3),(4),(5),(6),(7),(8),(9)) AS t(d)"
+
+
+@query(
+    "q142_decile_cutpoints",
+    oracle=f"""
+    WITH spend AS (
+      SELECT o_custkey AS custkey,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend_dec
+      FROM orders GROUP BY 1
+    ),
+    binned AS (
+      SELECT custkey, spend_dec,
+             CAST(spend_dec * 100 AS BIGINT) // {DECILE_BIN_CENTS} AS bin
+      FROM spend
+    ),
+    hist AS (SELECT bin, COUNT(*) AS cnt FROM binned GROUP BY 1),
+    cum AS (
+      SELECT bin, SUM(cnt) OVER (ORDER BY bin) AS cum FROM hist
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM binned),
+    cuts AS (
+      SELECT t.d, MIN(c.bin) AS cut_bin
+      FROM cum c CROSS JOIN tot, {_DECILE_TARGETS}
+      WHERE 10 * c.cum >= t.d * tot.n
+      GROUP BY 1
+    ),
+    cutarr AS (
+      SELECT list_sort(list(cut_bin)) AS cut_bins FROM cuts
+    ),
+    assigned AS (
+      SELECT b.custkey, b.spend_dec,
+             CAST(1 + len(list_filter(ca.cut_bins, c -> b.bin > c))
+                  AS BIGINT) AS decile
+      FROM binned b CROSS JOIN cutarr ca
+    )
+    SELECT decile,
+           COUNT(*) AS n_customers,
+           CAST(MIN(spend_dec) AS DOUBLE) AS min_spend,
+           CAST(MAX(spend_dec) AS DOUBLE) AS max_spend,
+           CAST(SUM(spend_dec) AS DOUBLE) AS total_spend
+    FROM assigned
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q142_decile_cutpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.sum(F.col("o_totalprice").cast(DEC)).alias("spend_dec")
+    )
+    binned = spend.withColumn(
+        "bin",
+        F.expr(f"CAST(spend_dec * 100 AS BIGINT) div {DECILE_BIN_CENTS}"),
+    )
+    hist = binned.groupBy("bin").agg(F.count("*").alias("cnt"))
+    # the ONLY unpartitioned window — over the bin histogram, whose size
+    # is spend-range/bin-width (hundreds), independent of customer count
+    cum = hist.withColumn(
+        "cum",
+        F.sum("cnt").over(
+            Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    tot = binned.agg(F.count("*").alias("n"))
+    targets = spark.range(1, 10).select(F.col("id").alias("d"))
+    cuts = (
+        cum.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(targets))
+        .where(10 * F.col("cum") >= F.col("d") * F.col("n"))
+        .groupBy("d")
+        .agg(F.min("bin").alias("cut_bin"))
+    )
+    cutarr = cuts.agg(
+        F.sort_array(F.collect_list("cut_bin")).alias("cut_bins")
+    )
+    assigned = binned.crossJoin(F.broadcast(cutarr)).select(
+        "custkey",
+        "spend_dec",
+        (
+            1
+            + F.size(F.filter("cut_bins", lambda c: F.col("bin") > c))
+        ).cast("bigint").alias("decile"),
+    )
+    return (
+        assigned.groupBy("decile")
         .agg(
             F.count("*").alias("n_customers"),
             F.min("spend_dec").cast("double").alias("min_spend"),

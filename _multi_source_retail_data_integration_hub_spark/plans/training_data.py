@@ -1693,18 +1693,197 @@ def _bpe_merges_sql() -> str:
     return body + "\n" + stats + "\n    ORDER BY merge_rank"
 
 
+_BPE_RULES_SCHEMA = (
+    "merge_rank long, pair_a string, pair_b string, "
+    "pair_count long, n_symbols_after long"
+)
+
+
+def _bpe_rules(spark: SparkSession, sf_dir: str) -> list[tuple]:
+    """Learned BPE merge rules, computed ONCE per (session, sf_dir) —
+    learning (q137) and corpus-wide application (q141) share one
+    training run, exactly as a real pipeline trains a tokenizer once
+    and ships the merge list to every encode job. The list is K tiny
+    tuples (the merge budget), not data."""
+    key = _sig_cache_key(spark, sf_dir, "bpe_rules")
+    rules = _SIG_CACHE.get(key)
+    if rules is None:
+        words = (
+            _doc_tokens(spark, sf_dir)
+            .select(F.lower("token").alias("word"))
+            .where(F.col("word").rlike(_BPE_WORD_RE))
+            .groupBy("word")
+            .agg(F.count("*").alias("freq"))
+            .orderBy(F.desc("freq"), F.asc("word"))
+            .limit(BPE_VOCAB_TOP)
+        )
+        rules = [
+            tuple(r) for r in T.bpe_learn_merges(words, BPE_N_MERGES).collect()
+        ]
+        _SIG_CACHE[key] = rules
+    return rules
+
+
 @query("q137_bpe_merges", oracle=_bpe_merges_sql())
 def q137_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    words = (
-        _doc_tokens(spark, sf_dir)
-        .select(F.lower("token").alias("word"))
-        .where(F.col("word").rlike(_BPE_WORD_RE))
-        .groupBy("word")
-        .agg(F.count("*").alias("freq"))
-        .orderBy(F.desc("freq"), F.asc("word"))
-        .limit(BPE_VOCAB_TOP)
+    return spark.createDataFrame(
+        _bpe_rules(spark, sf_dir), _BPE_RULES_SCHEMA
+    ).orderBy("merge_rank")
+
+
+# ---------------------------------------------------------------------------
+# q141 — BPE TOKENIZER APPLICATION at corpus scale: the consumer of
+# q137's learned merges (learn once, encode everywhere — the step every
+# training-data pipeline runs per corpus refresh to budget sequences in
+# REAL tokenizer tokens rather than the whitespace/char estimates of
+# q18). Merges are learned on the head of the word distribution
+# (top-{BPE_VOCAB_TOP}) and applied to EVERY distinct word; tokens
+# outside the trainable word class (^[a-z]{{2,12}}$) count as one
+# fallback token each, the byte-fallback convention.
+#
+# Scale shape: the corpus is reduced once to per-doc word counts; the K
+# merge applications run over the DISTINCT-word table only
+# (operators/text.py::bpe_apply_merges), and the per-word symbol
+# lengths join back on the word key — both sides arrive hash-
+# partitioned by word from their preceding aggregates. Nothing
+# pairwise, nothing collected but the K-rule list itself.
+#
+# The DuckDB twin replays learning AND application (the a0..aK CTE
+# chain mirrors w0..wK with the pair sourced from best{{i}} instead of
+# re-argmaxing), so the driver's hash gate audits the full
+# train-then-encode composition. All counts integer; the one float is
+# a single division.
+# ---------------------------------------------------------------------------
+def _bpe_apply_iter_sql(i: int) -> str:
+    """One APPLICATION round over the full vocabulary: identical
+    positional-merge machinery as _bpe_iter_sql, but the pair comes
+    from the learning chain's best{i} (LEFT JOIN so an exhausted rule
+    budget — empty best{i} — leaves the vocabulary unchanged instead
+    of wiping it)."""
+    return f""",
+    al{i} AS (SELECT word, string_split(syms, ' ') AS l FROM a{i}),
+    ae{i} AS (
+      SELECT word, t.pos AS pos, l[t.pos] AS sym
+      FROM al{i}, unnest(generate_series(1, len(l))) AS t(pos)
+    ),
+    am{i}a AS (
+      SELECT word, pos, sym,
+             lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt,
+             pos - ROW_NUMBER() OVER (PARTITION BY word, sym ORDER BY pos)
+               AS grp
+      FROM ae{i}
+    ),
+    am{i}b AS (
+      SELECT m.*, b.a AS ba, b.b AS bb,
+             MIN(pos) OVER (PARTITION BY word, sym, grp) AS run_start
+      FROM am{i}a m LEFT JOIN best{i} b ON true
+    ),
+    am{i}c AS (
+      SELECT *,
+             COALESCE(sym = ba AND nxt = bb
+                      AND (ba <> bb OR (pos - run_start) % 2 = 0),
+                      false) AS mstart
+      FROM am{i}b
+    ),
+    am{i}d AS (
+      SELECT *, COALESCE(lag(mstart) OVER (PARTITION BY word ORDER BY pos),
+                         false) AS consumed
+      FROM am{i}c
+    ),
+    a{i + 1} AS (
+      SELECT word,
+             string_agg(CASE WHEN mstart THEN ba || bb ELSE sym END, ' '
+                        ORDER BY pos) AS syms
+      FROM am{i}d
+      WHERE NOT consumed
+      GROUP BY 1
+    )"""
+
+
+def _bpe_apply_sql() -> str:
+    body = "WITH " + _bpe_base_sql()
+    for i in range(BPE_N_MERGES):
+        body += _bpe_iter_sql(i)
+    body += """,
+    a0 AS (SELECT word, trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS syms
+           FROM wordfreq)"""
+    for i in range(BPE_N_MERGES):
+        body += _bpe_apply_iter_sql(i)
+    return body + f""",
+    wlen AS (SELECT word, CAST(len(string_split(syms, ' ')) AS BIGINT)
+                    AS n_syms
+             FROM a{BPE_N_MERGES}),
+    doctok AS (
+      SELECT doc_id, lower(w) AS word
+      FROM (SELECT doc_id, unnest({_TOKS}) AS w FROM documents)
+    ),
+    per_doc AS (
+      SELECT doc_id, COUNT(*) AS n_tokens,
+             CAST(SUM(CASE WHEN regexp_matches(word, '{_BPE_WORD_RE}')
+                           THEN 0 ELSE 1 END) AS BIGINT) AS n_fallback
+      FROM doctok GROUP BY 1
+    ),
+    matched AS (
+      SELECT d.doc_id,
+             CAST(SUM(wl.n_syms) AS BIGINT) AS n_word_syms,
+             COUNT(*) AS n_word_tokens
+      FROM doctok d JOIN wlen wl USING (word)
+      GROUP BY 1
     )
-    return T.bpe_learn_merges(words, BPE_N_MERGES).orderBy("merge_rank")
+    SELECT p.doc_id,
+           p.n_tokens,
+           CAST(COALESCE(m.n_word_tokens, 0) AS BIGINT) AS n_word_tokens,
+           CAST(COALESCE(m.n_word_syms, 0) + p.n_fallback AS BIGINT)
+             AS n_bpe_tokens,
+           CAST(COALESCE(m.n_word_syms, 0) + p.n_fallback AS DOUBLE)
+             / p.n_tokens AS bpe_per_token
+    FROM per_doc p LEFT JOIN matched m USING (doc_id)
+    ORDER BY p.doc_id
+    """
+
+
+@query("q141_bpe_tokenize", oracle=_bpe_apply_sql())
+def q141_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _doc_tokens(spark, sf_dir).select(
+        "doc_id", F.lower("token").alias("word")
+    )
+    is_word = F.col("word").rlike(_BPE_WORD_RE)
+    rules = [(r[1], r[2]) for r in _bpe_rules(spark, sf_dir)]
+    vocab = toks.where(is_word).select("word").distinct()
+    wlen = T.bpe_apply_merges(vocab, rules).select(
+        "word", F.size(F.split("syms", " ")).cast("bigint").alias("n_syms")
+    )
+    per_doc = toks.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(F.when(is_word, 0).otherwise(1)).cast("bigint").alias("n_fallback"),
+    )
+    matched = (
+        toks.where(is_word)
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("cnt"))
+        .join(wlen, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("cnt") * F.col("n_syms")).cast("bigint").alias(
+                "n_word_syms"
+            ),
+            F.sum("cnt").cast("bigint").alias("n_word_tokens"),
+        )
+    )
+    n_bpe = F.coalesce("n_word_syms", F.lit(0)) + F.col("n_fallback")
+    return (
+        per_doc.join(matched, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_word_tokens", F.lit(0)).cast("bigint").alias(
+                "n_word_tokens"
+            ),
+            n_bpe.cast("bigint").alias("n_bpe_tokens"),
+            (n_bpe.cast("double") / F.col("n_tokens")).alias("bpe_per_token"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 # ---------------------------------------------------------------------------
