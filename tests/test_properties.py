@@ -646,6 +646,41 @@ def test_bpe_learn_merges_matches_reference(spark, vocab):
     assert got == _ref_bpe(vocab, 2)
 
 
+def _ref_apply(word: str, rules: list[tuple[str, str]]) -> list[str]:
+    syms = list(word)
+    for a, b in rules:
+        merged, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                merged.append(a + b)
+                i += 2  # leftmost non-overlapping
+            else:
+                merged.append(syms[i])
+                i += 1
+        syms = merged
+    return syms
+
+
+@given(vocab=vocab_strategy)
+@settings(**SETTINGS)
+def test_bpe_apply_merges_matches_reference(spark, vocab):
+    """Applying a FIXED learned rule list (operators/text.py::
+    bpe_apply_merges) must reproduce the pure-Python leftmost-non-
+    overlapping encoder on every word — including words the rules were
+    not learned from (the corpus-wide application path of q141)."""
+    rules = [(a, b) for _, a, b, _, _ in _ref_bpe(vocab, 2)]
+    words = [w for w, _ in vocab] + ["cabbage", "aaaa"]
+    got = {
+        r["word"]: r["syms"].split(" ")
+        for r in T.bpe_apply_merges(
+            spark.createDataFrame([(w,) for w in set(words)], "word string"),
+            rules,
+        ).collect()
+    }
+    for w in set(words):
+        assert got[w] == _ref_apply(w, rules), (w, rules)
+
+
 # ---------------------------------------------------------------------------
 # content_checksum: invariant under partitioning/row order (its whole
 # contract), sensitive to any single-row mutation

@@ -601,6 +601,21 @@ def test_bpe_learn_merges_basic_and_run_parity(spark):
     assert r2.n_symbols_after == 10 * 1 + 5 * 2 + 3 * 3
 
 
+def test_bpe_apply_merges_order_and_identity(spark):
+    """Rule ORDER matters (later rules see earlier merges' output) and
+    an empty rule list is the identity symbolization."""
+    words = spark.createDataFrame([("abab",), ("ab",)], "word string")
+    out = {
+        r["word"]: r["syms"]
+        for r in T.bpe_apply_merges(words, [("a", "b"), ("ab", "ab")]).collect()
+    }
+    assert out == {"abab": "abab", "ab": "ab"}
+    ident = {
+        r["word"]: r["syms"] for r in T.bpe_apply_merges(words, []).collect()
+    }
+    assert ident == {"abab": "a b a b", "ab": "a b"}
+
+
 def test_bpe_learn_merges_tie_break_is_lexicographic(spark):
     words = spark.createDataFrame(
         [("xy", 4), ("ab", 4)], "word string, freq long"
@@ -633,3 +648,28 @@ def test_mutated_sig_cache_is_scoped_per_sf_dir(spark, tmp_path):
     # repeated call returns the SAME cached frame (no recompute)
     d_a = str(tmp_path / "a")
     assert TD._mutated_sig(spark, d_a) is TD._mutated_sig(spark, d_a)
+
+
+def test_decile_cutpoints_skewed_bin_skips_deciles(spark, tmp_path):
+    """q142 (plans/analytics.py): histogram-cutpoint deciles. With 10
+    customers all in ONE spend bin plus one outlier, the shared bin's
+    cutpoints collapse — everyone in it lands in decile 1, the deciles
+    between collapse empty (the documented bin-granularity contract),
+    and counts still total the customer population."""
+    from _multi_source_retail_data_integration_hub_spark.plans.analytics import (
+        q142_decile_cutpoints,
+    )
+
+    rows = [(k, 100.0 + k) for k in range(10)]  # all in bin 0 ($10k bins)
+    rows.append((99, 90_000.0))  # bin 9
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [(i, ck, amt) for i, (ck, amt) in enumerate(rows)],
+        "o_orderkey long, o_custkey long, o_totalprice double",
+    ).write.parquet(d + "/orders.parquet")
+    out = {r["decile"]: r for r in q142_decile_cutpoints(spark, d).collect()}
+    assert sum(r["n_customers"] for r in out.values()) == 11
+    # bin 0 holds deciles 1..9's cutpoints -> its customers are decile 1
+    assert out[1]["n_customers"] == 10
+    # the outlier exceeds all 9 cutpoints -> decile 10; 2..9 are empty
+    assert set(out) == {1, 10} and out[10]["n_customers"] == 1
