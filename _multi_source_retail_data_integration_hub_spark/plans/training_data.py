@@ -2348,18 +2348,26 @@ def q122_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     folded = F.col("_c0")
     for i in range(1, len(BM25_TERMS)):
         folded = folded + F.col(f"_c{i}")
-    w = Window.orderBy(F.desc("score"), "doc_id")
-    return (
+    # top-k FIRST (TakeOrderedAndProject, parallel per-partition heaps),
+    # THEN the ranking window over the <= k survivors — ranking all
+    # matched docs first would be a single-partition sort of every
+    # matching document at corpus scale (same fix as q123, r6 verdict)
+    topk = (
         scored.select(
             "doc_id",
             F.col("n_matched").cast("bigint").alias("n_matched"),
             F.round(folded, 9).alias("score"),
         )
-        .withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .orderBy("rank")
+        .orderBy(F.desc("score"), "doc_id")
         .limit(BM25_TOPK)
-        .select("rank", "doc_id", "n_matched", "score")
     )
+    w = Window.orderBy(F.desc("score"), "doc_id")
+    return topk.select(
+        F.row_number().over(w).cast("bigint").alias("rank"),
+        "doc_id",
+        "n_matched",
+        "score",
+    ).orderBy("rank")
 
 
 # ---------------------------------------------------------------------------
