@@ -1002,3 +1002,126 @@ def q140_hll_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q143 — MERGEABLE QUANTILE ROLLUP: the quantile sibling of q140.
+# Plain quantiles, like distinct counts, do not roll up from
+# sub-aggregates — but fixed-bin HISTOGRAMS do (bin counts are plain
+# sums). The 100 TB serving pattern: per-day histogram partials are
+# built ONCE from the facts (stage 1, map-side combined), and any date
+# range — here per order-year — merges by summing bins (stage 2,
+# touches only the day x bin table, never the facts again); quantiles
+# read off the merged cumulative histogram (stage 3, a window over the
+# per-year bin table, partitioned by year — parallel, and bounded by
+# price-range/bin-width rows per year).
+#
+# Unlike q140's engine-specific HLL estimate, the histogram quantile
+# is fully DETERMINISTIC (integer bins, exact counts, the same integer
+# cut rule as q142: smallest bin with 100*cum >= p*n), so the DuckDB
+# twin replays it exactly and the driver hash-compares the quantiles
+# themselves — no verdict-column indirection needed. Estimates are
+# reported as the cut bin's lower edge in whole dollars; accuracy is
+# bin-granularity by construction (the t-digest/KLL tradeoff, made
+# explicit).
+# ---------------------------------------------------------------------------
+QR_BIN_CENTS = 100_000  # $1k order-price bins
+QR_BIN_USD = QR_BIN_CENTS // 100
+
+
+@query(
+    "q143_quantile_rollup",
+    oracle=f"""
+    WITH binned AS (
+      SELECT o_orderdate AS day,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               // {QR_BIN_CENTS} AS bin
+      FROM orders
+    ),
+    daily AS (SELECT day, bin, COUNT(*) AS cnt FROM binned GROUP BY 1, 2),
+    yearly AS (
+      SELECT CAST(EXTRACT(year FROM day) AS BIGINT) AS order_year, bin,
+             CAST(SUM(cnt) AS BIGINT) AS cnt
+      FROM daily GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT order_year, bin,
+             SUM(cnt) OVER (PARTITION BY order_year ORDER BY bin) AS cum
+      FROM yearly
+    ),
+    tot AS (
+      SELECT order_year, CAST(SUM(cnt) AS BIGINT) AS n
+      FROM yearly GROUP BY 1
+    ),
+    cuts AS (
+      SELECT c.order_year,
+             MIN(CASE WHEN 100 * c.cum >= 50 * t.n THEN c.bin END) AS c50,
+             MIN(CASE WHEN 100 * c.cum >= 90 * t.n THEN c.bin END) AS c90,
+             MIN(CASE WHEN 100 * c.cum >= 99 * t.n THEN c.bin END) AS c99
+      FROM cum c JOIN tot t USING (order_year)
+      GROUP BY 1
+    )
+    SELECT c.order_year,
+           t.n AS n_orders,
+           CAST(c.c50 * {QR_BIN_USD} AS BIGINT) AS p50_lower_usd,
+           CAST(c.c90 * {QR_BIN_USD} AS BIGINT) AS p90_lower_usd,
+           CAST(c.c99 * {QR_BIN_USD} AS BIGINT) AS p99_lower_usd
+    FROM cuts c JOIN tot t USING (order_year)
+    ORDER BY 1
+    """,
+)
+def q143_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    # stage 1: per-day histogram partials — the stored mart state
+    daily = (
+        orders.select(
+            F.to_date("o_orderdate").alias("day"),
+            F.expr(
+                "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) "
+                f"div {QR_BIN_CENTS}"
+            ).alias("bin"),
+        )
+        .groupBy("day", "bin")
+        .agg(F.count("*").alias("cnt"))
+    )
+    # stage 2: merge any range by summing bins (facts never rescanned)
+    yearly = (
+        daily.groupBy(F.year("day").cast("bigint").alias("order_year"), "bin")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+    # stage 3: quantiles from the merged cumulative histogram
+    wcum = (
+        Window.partitionBy("order_year")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = yearly.withColumn("cum", F.sum("cnt").over(wcum))
+    tot = yearly.groupBy("order_year").agg(F.sum("cnt").alias("n"))
+    cuts = (
+        cum.join(tot, "order_year")
+        .groupBy("order_year")
+        .agg(
+            *[
+                F.min(
+                    F.when(100 * F.col("cum") >= p * F.col("n"), F.col("bin"))
+                ).alias(f"c{p}")
+                for p in (50, 90, 99)
+            ]
+        )
+    )
+    return (
+        cuts.join(tot, "order_year")
+        .select(
+            "order_year",
+            F.col("n").alias("n_orders"),
+            *[
+                (F.col(f"c{p}") * QR_BIN_USD).cast("bigint").alias(
+                    f"p{p}_lower_usd"
+                )
+                for p in (50, 90, 99)
+            ],
+        )
+        .orderBy("order_year")
+    )
