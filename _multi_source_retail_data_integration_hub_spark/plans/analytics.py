@@ -1722,6 +1722,9 @@ def q132_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spend"),
     )
+    # NTILE windows over the post-aggregate customer table (exact at
+    # test scale); at 100 TB each score swaps to the histogram-cutpoint
+    # bucketing that q142_decile_cutpoints registers as the scale path.
     r = Window.orderBy("last_order", "o_custkey")
     f = Window.orderBy("n_orders", "o_custkey")
     m = Window.orderBy("spend", "o_custkey")
