@@ -51,9 +51,11 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #   1. q000_generation_fingerprint FIRST — full 10-table generation guard
 #      (red => the two engines compared different testdata generations;
 #      see CORRECTNESS_NOTES.md).
-#   2. Per-table guards q00d/q00e/q00l/q00o — single-table count+checksum
-#      for the four tables the chronic red set touches, so a red names
-#      the mismatched TABLE, not just "a mismatch happened".
+#   2. Per-table guards q00c/q00d/q00e/q00l/q00o — single-table
+#      count+checksum for every table the chronic red set touches
+#      (customer/documents/lineitem/orders; events for the window's
+#      event queries), so a red names the mismatched TABLE, not just
+#      "a mismatch happened".
 #   3. Queries NEW this round (q141+, no prior driver row possible) —
 #      picked up automatically by _ordered()'s is-new check.
 #   4. The five chronic hash-only reds (q81, q103, q128, q129, q139)
@@ -72,6 +74,7 @@ _WINDOW_SIZE = 50
 
 _GUARD_HEAD = [
     "q000_generation_fingerprint",
+    "q00c_fingerprint_customer",
     "q00d_fingerprint_documents",
     "q00e_fingerprint_events",
     "q00l_fingerprint_lineitem",

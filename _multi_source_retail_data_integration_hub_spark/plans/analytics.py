@@ -588,7 +588,7 @@ _DECILE_TARGETS = "(VALUES (1),(2),(3),(4),(5),(6),(7),(8),(9)) AS t(d)"
     cum AS (
       SELECT bin, SUM(cnt) OVER (ORDER BY bin) AS cum FROM hist
     ),
-    tot AS (SELECT COUNT(*) AS n FROM binned),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM hist),
     cuts AS (
       SELECT t.d, MIN(c.bin) AS cut_bin
       FROM cum c CROSS JOIN tot, {_DECILE_TARGETS}
@@ -632,7 +632,10 @@ def q142_decile_cutpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
             Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
         ),
     )
-    tot = binned.agg(F.count("*").alias("n"))
+    # population size from the tiny bin histogram, NOT a third pass over
+    # the orders-scan -> per-customer aggregate chain (review finding);
+    # binned itself feeds exactly two consumers: hist and the assignment
+    tot = hist.agg(F.sum("cnt").alias("n"))
     targets = spark.range(1, 10).select(F.col("id").alias("d"))
     cuts = (
         cum.crossJoin(F.broadcast(tot))

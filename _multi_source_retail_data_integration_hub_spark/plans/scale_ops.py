@@ -507,8 +507,6 @@ def _q123_sql() -> str:
 
 @query("q123_supplier_pagerank", oracle=_q123_sql())
 def q123_supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     from ..operators.graph import pagerank_fixed_point
 
     orders = load_table(spark, sf_dir, "orders")
@@ -527,22 +525,17 @@ def q123_supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = pagerank_fixed_point(
         edges, iterations=PR_ITER, damping_pct=PR_DAMPING_PCT, scale=PR_SCALE
     )
-    # Top-k FIRST (TakeOrderedAndProject — per-partition heaps, parallel),
-    # THEN the ranking window over the <= k survivors. Ranking the full
-    # node table first forced an Exchange SinglePartition + global sort
-    # over every supplier node — fine at sf0.1, a one-task straggler at
-    # 100x (r6 judge finding).
-    topk = (
-        ranks.where(F.col("node").startswith("s"))
-        .orderBy(F.desc("rank_fp"), "node")
-        .limit(PR_TOPK)
-    )
-    w = Window.orderBy(F.desc("rank_fp"), "node")
-    return topk.select(
-        F.row_number().over(w).cast("bigint").alias("rank"),
-        F.col("node").alias("supplier_node"),
-        "rank_fp",
-    ).orderBy("rank")
+    from ..operators.ranking import ranked_topk
+
+    # top-k before the rank window (see operators/ranking.py): ranking
+    # the full node table first forced an Exchange SinglePartition +
+    # global sort over every supplier node — fine at sf0.1, a one-task
+    # straggler at 100x (r6 judge finding).
+    return ranked_topk(
+        ranks.where(F.col("node").startswith("s")),
+        [F.desc("rank_fp"), F.asc("node")],
+        PR_TOPK,
+    ).select("rank", F.col("node").alias("supplier_node"), "rank_fp")
 
 
 # ---------------------------------------------------------------------------
@@ -788,16 +781,19 @@ def q000_generation_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q00d/q00e/q00l/q00o — PER-TABLE generation fingerprints, and
+# q00c/q00d/q00e/q00l/q00o — PER-TABLE generation fingerprints, and
 # q997 — the END-OF-WINDOW fingerprint twin.
 #
 # q000 proved (round 6) that a generation mismatch HAPPENED but not
 # WHERE (its single hash covers all 10 tables) or WHEN in the ~50-row
 # verification window. These split the guard so a CORRECTNESS_rN.json
 # is self-diagnosing end-to-end:
-#   * one single-table guard per table the chronic red set touches
-#     (documents / events / lineitem / orders) — the red/green pattern
-#     across them NAMES the mismatched table(s);
+#   * one single-table guard per table the chronic red set touches —
+#     customer / documents / lineitem / orders cover every input of
+#     q81 (documents), q103/q128 (lineitem+orders) and q129/q139
+#     (orders+customer+lineitem); events is guarded too because half
+#     the backfill window reads it — the red/green pattern across the
+#     guards NAMES the mismatched table(s);
 #   * q997 runs the IDENTICAL computation as q000 but is registered
 #     LAST in the driver window — head-red + tail-green (or the
 #     reverse) proves a mid-window testdata regeneration, head-green +
@@ -823,6 +819,11 @@ def _fingerprint_one_table(
 
 def _fingerprint_one_sql(table: str) -> str:
     return _checksum_table_sql(table, _FINGERPRINT_COLS[table], "key_checksum")
+
+
+@query("q00c_fingerprint_customer", oracle=_fingerprint_one_sql("customer"))
+def q00c_fingerprint_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _fingerprint_one_table(spark, sf_dir, "customer")
 
 
 @query("q00d_fingerprint_documents", oracle=_fingerprint_one_sql("documents"))

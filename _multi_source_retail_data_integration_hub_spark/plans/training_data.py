@@ -155,9 +155,10 @@ def _mutated_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exploded whitespace-token table ``(doc_id, token)`` of the raw
     corpus, computed ONCE per (session, sf_dir) and localCheckpointed —
-    the token twin of ``_mutated_sig``. Five registered queries
-    (q47/q109/q114/q122/q137) consume the identical explode(tokens(text))
-    subtree; in a real pipeline the tokenized corpus is a persisted
+    the token twin of ``_mutated_sig``. Six registered queries
+    (q47/q109/q114/q122/q137 via _bpe_rules/q141) consume the identical
+    explode(tokens(text)) subtree; in a real pipeline the tokenized
+    corpus is a persisted
     upstream table written by the ingestion job, not a per-query
     recompute — this cache is that contract in-process. Oracles are
     unaffected: tokenization is deterministic, so the cached table is
@@ -2348,26 +2349,20 @@ def q122_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     folded = F.col("_c0")
     for i in range(1, len(BM25_TERMS)):
         folded = folded + F.col(f"_c{i}")
-    # top-k FIRST (TakeOrderedAndProject, parallel per-partition heaps),
-    # THEN the ranking window over the <= k survivors — ranking all
-    # matched docs first would be a single-partition sort of every
+    from ..operators.ranking import ranked_topk
+
+    # top-k before the rank window (see operators/ranking.py): ranking
+    # all matched docs first would be a single-partition sort of every
     # matching document at corpus scale (same fix as q123, r6 verdict)
-    topk = (
+    return ranked_topk(
         scored.select(
             "doc_id",
             F.col("n_matched").cast("bigint").alias("n_matched"),
             F.round(folded, 9).alias("score"),
-        )
-        .orderBy(F.desc("score"), "doc_id")
-        .limit(BM25_TOPK)
-    )
-    w = Window.orderBy(F.desc("score"), "doc_id")
-    return topk.select(
-        F.row_number().over(w).cast("bigint").alias("rank"),
-        "doc_id",
-        "n_matched",
-        "score",
-    ).orderBy("rank")
+        ),
+        [F.desc("score"), F.asc("doc_id")],
+        BM25_TOPK,
+    ).select("rank", "doc_id", "n_matched", "score")
 
 
 # ---------------------------------------------------------------------------

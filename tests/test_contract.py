@@ -55,7 +55,8 @@ def test_window_protocol_layout():
     any of them breaks the bracket inference."""
     names = list(entry.queries())
     assert names[0] == "q000_generation_fingerprint"
-    assert names[1:5] == [
+    assert names[1:6] == [
+        "q00c_fingerprint_customer",
         "q00d_fingerprint_documents",
         "q00e_fingerprint_events",
         "q00l_fingerprint_lineitem",
