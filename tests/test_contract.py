@@ -80,3 +80,27 @@ def test_fingerprint_tail_is_byte_identical_to_head():
         oracles["q997_generation_fingerprint_tail"]
         == oracles["q000_generation_fingerprint"]
     )
+
+
+def test_ranked_topk_matches_full_sort(spark):
+    """operators/ranking.py::ranked_topk — rank-after-top-k must equal
+    the naive rank-everything-then-limit result under a total order,
+    and the plan must keep TakeOrderedAndProject below the Window."""
+    import pyspark.sql.functions as F
+    from _multi_source_retail_data_integration_hub_spark.operators.ranking import (
+        ranked_topk,
+    )
+
+    df = spark.range(500).select(
+        F.col("id"), (F.col("id") % 7).alias("score")
+    )
+    got = ranked_topk(df, [F.desc("score"), F.asc("id")], 10).collect()
+    naive = sorted(
+        ((r["score"], r["id"]) for r in df.collect()),
+        key=lambda t: (-t[0], t[1]),
+    )[:10]
+    assert [(r["score"], r["id"]) for r in got] == naive
+    assert [r["rank"] for r in got] == list(range(1, 11))
+    plan = ranked_topk(df, [F.desc("score"), F.asc("id")], 10)
+    physical = plan._jdf.queryExecution().executedPlan().toString()
+    assert physical.index("TakeOrderedAndProject") > physical.index("Window")
