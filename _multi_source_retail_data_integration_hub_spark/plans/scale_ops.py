@@ -261,8 +261,9 @@ def _q81_sql() -> str:
         ON m.bucket = {bucket('m.row_id', 'k.token')}
       GROUP BY 1, 2
     )
-    SELECT e.token, e.exact_count, e.cms_count,
-           e.cms_count - e.exact_count AS overestimate,
+    SELECT e.token, e.exact_count,
+           CAST(e.cms_count AS BIGINT) AS cms_count,
+           CAST(e.cms_count - e.exact_count AS BIGINT) AS overestimate,
            CAST(1 AS BIGINT) AS no_underestimate,
            CAST((e.cms_count - e.exact_count) * {SK.CMS_WIDTH} <= 3 * t.n
                 AS BIGINT) AS within_bound
@@ -561,11 +562,11 @@ def _q128_sql() -> str:
     parts = [
         f"""
     SELECT '{t}.{c}' AS key_col,
-           SUM(cnt) AS n_rows,
+           CAST(SUM(cnt) AS BIGINT) AS n_rows,
            COUNT(*) AS n_keys,
            MAX(cnt) AS max_key_rows,
-           MAX(cnt) * 1000000 // SUM(cnt) AS top1_share_ppm,
-           MAX(cnt) * COUNT(*) // SUM(cnt) AS skew_x
+           CAST(MAX(cnt) * 1000000 // SUM(cnt) AS BIGINT) AS top1_share_ppm,
+           CAST(MAX(cnt) * COUNT(*) // SUM(cnt) AS BIGINT) AS skew_x
     FROM (SELECT {c}, COUNT(*) AS cnt FROM {t} GROUP BY 1) s({c}, cnt)
     """
         for t, c in _SKEW_AUDIT
@@ -660,8 +661,8 @@ def _checksum_table_sql(table: str, cols: tuple[str, ...], alias: str) -> str:
     return f"""
     SELECT '{table}' AS table_name,
            COUNT(*) AS n_rows,
-           SUM(CAST('0x' || substr(md5({rendered}), 1, 8) AS BIGINT)
-               % {_CK_MOD}) AS {alias}
+           CAST(SUM(CAST('0x' || substr(md5({rendered}), 1, 8) AS BIGINT)
+               % {_CK_MOD}) AS BIGINT) AS {alias}
     FROM {table}
     """
 
@@ -851,7 +852,7 @@ def q997_generation_fingerprint_tail(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """Byte-identical twin of q000, pinned to the END of the driver's
-    verification window (see __spark_entry__._window_order). Any
+    verification window (see __spark_entry__._ordered). Any
     difference between the q000 and q997 rows of one artifact is a
     mid-window data regeneration, observed rather than inferred."""
     return q000_generation_fingerprint(spark, sf_dir)
@@ -879,8 +880,8 @@ def _q139_sql() -> str:
             for c in cols
         )
         lanes = ",\n           ".join(
-            f"SUM(CAST('0x' || substr(md5('lane{k}:' || {rendered}), 1, 8) "
-            f"AS BIGINT) % {_CK_MOD}) AS lane{k}"
+            f"CAST(SUM(CAST('0x' || substr(md5('lane{k}:' || {rendered}), 1, 8) "
+            f"AS BIGINT) % {_CK_MOD}) AS BIGINT) AS lane{k}"
             for k in range(CHECKSUM_LANES)
         )
         parts.append(

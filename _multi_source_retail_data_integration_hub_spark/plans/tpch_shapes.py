@@ -777,10 +777,10 @@ def q102_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q103_priority_mix",
     oracle="""
     SELECT l.l_returnflag,
-           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-               THEN 1 ELSE 0 END) AS high_priority_items,
-           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-               THEN 0 ELSE 1 END) AS low_priority_items
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+               THEN 1 ELSE 0 END) AS BIGINT) AS high_priority_items,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+               THEN 0 ELSE 1 END) AS BIGINT) AS low_priority_items
     FROM lineitem l
     JOIN orders o ON o.o_orderkey = l.l_orderkey
     WHERE l.l_shipdate >= DATE '1997-01-01' AND l.l_shipdate < DATE '1998-01-01'

@@ -71,6 +71,41 @@ def test_window_protocol_layout():
     assert len(names) == len(set(names))
 
 
+def test_no_oracle_output_binds_to_hugeint():
+    """DuckDB promotes SUM(BIGINT) and integer ``//`` to HUGEINT
+    (int128), which ``fetchdf()`` renders as float64 while the Spark
+    twin emits int64 — the driver's dtype-sensitive value hash then
+    fails on exactly-equal values. This was the root cause of EVERY
+    driver-red row from rounds 4-7 (q81, q103, q128, q129, q139 and
+    all fingerprint guards; see CORRECTNESS_NOTES.md). Bind each
+    registered oracle against the real views and reject any output
+    column whose DuckDB type is int128 or unsigned, so the class can
+    never come back."""
+    import os
+
+    import duckdb
+
+    sf_dir = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+    banned = {"HUGEINT", "UHUGEINT", "UBIGINT", "UINTEGER", "USMALLINT", "UTINYINT"}
+    offenders = []
+    for name, sql in entry.oracle_sql().items():
+        rel = con.sql(sql)
+        offenders.extend(
+            f"{name}.{col}: {typ}"
+            for col, typ in zip(rel.columns, (str(t) for t in rel.types))
+            if typ in banned
+        )
+    assert not offenders, (
+        "oracle outputs the driver hash will type-mismatch "
+        f"(wrap in CAST(... AS BIGINT)): {offenders}"
+    )
+
+
 def test_fingerprint_tail_is_byte_identical_to_head():
     """q997's oracle must be the SAME SQL as q000's and its Spark side
     must delegate to q000 — the bracket only works if the two ends of

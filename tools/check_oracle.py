@@ -59,6 +59,17 @@ def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
     s, d = normalize(spark_pdf), normalize(duck_pdf)
     for col in s.columns:
         a, b = s[col], d[col]
+        # The driver's value hash is DTYPE-sensitive: an int64 Spark
+        # column vs a float64 oracle column (DuckDB HUGEINT -> fetchdf
+        # float64, the r4-r7 chronic-red root cause) hash-mismatches on
+        # exactly-equal values. The float-tolerant comparison below
+        # would mask that, so surface it as its own failure first.
+        if {a.dtype.kind, b.dtype.kind} == {"i", "f"}:
+            problems.append(
+                f"DTYPE-MISMATCH col={col}: spark={a.dtype} duck={b.dtype} "
+                "(driver hash fails on this even when values are equal; "
+                "CAST the oracle output to BIGINT)"
+            )
         try:
             if a.dtype.kind == "f" or b.dtype.kind == "f":
                 av = a.astype("float64").to_numpy()
