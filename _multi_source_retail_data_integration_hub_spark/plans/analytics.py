@@ -18,6 +18,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.quantiles import (
+    cutpoint_bucket_sql,
+    histogram_bucket,
+    histogram_bucket_map,
+)
 from ..sources.testdata import load_table
 from .registry import query
 
@@ -549,26 +554,19 @@ def q54_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # NTILE that q54's comment has promised since round 3, now a first-
 # class registered query so the two bucketings sit side by side.
 # NTILE(10) OVER (ORDER BY ...) is an Exchange SinglePartition + global
-# sort — a one-task straggler at billions of customers. The scalable
-# shape is the classic histogram quantile:
-#   1. one pass bins each customer's exact decimal spend into fixed
-#      integer buckets (integer division of cents — engine-exact);
-#   2. the BIN histogram (bounded by spend range / bin width, not by
-#      customer count) gets a cumulative sum — the only window here
-#      runs over that tiny table;
-#   3. decile cutpoints = first bin where 10*cum >= i*n (pure integer
-#      comparison, no float quantile semantics to disagree on);
-#   4. assignment is a broadcast of the 9 cutpoints back over the
-#      spend table: decile = 1 + |{cuts below my bin}|.
-# Deciles are approximate at bin granularity — ties within a bin land
-# together, so heavy bins can leave neighboring deciles empty; the
-# output reports achieved counts per NON-EMPTY decile, which is the
-# honest contract of every histogram/t-digest quantile at scale.
-# All arithmetic integer or DECIMAL-exact; the driver hash gate holds.
+# sort — a one-task straggler at billions of customers; the scalable
+# shape is the histogram-cutpoint bucketing, factored (round-8 verdict
+# ask) into operators/quantiles.py::histogram_bucket and shared with
+# q132's RFM quintile scores. Deciles are approximate at bin
+# granularity — ties within a bin land together, so heavy bins can
+# leave neighboring deciles empty; the output reports achieved counts
+# per NON-EMPTY decile, which is the honest contract of every
+# histogram/t-digest quantile at scale. All arithmetic integer or
+# DECIMAL-exact; the driver hash gate holds.
 # ---------------------------------------------------------------------------
 DECILE_BIN_CENTS = 1_000_000  # $10k spend bins
 
-_DECILE_TARGETS = "(VALUES (1),(2),(3),(4),(5),(6),(7),(8),(9)) AS t(d)"
+_Q142_CTES = cutpoint_bucket_sql("binned", "bin", 10, tag="dec", out_col="decile")
 
 
 @query(
@@ -583,26 +581,10 @@ _DECILE_TARGETS = "(VALUES (1),(2),(3),(4),(5),(6),(7),(8),(9)) AS t(d)"
       SELECT custkey, spend_dec,
              CAST(spend_dec * 100 AS BIGINT) // {DECILE_BIN_CENTS} AS bin
       FROM spend
-    ),
-    hist AS (SELECT bin, COUNT(*) AS cnt FROM binned GROUP BY 1),
-    cum AS (
-      SELECT bin, SUM(cnt) OVER (ORDER BY bin) AS cum FROM hist
-    ),
-    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM hist),
-    cuts AS (
-      SELECT t.d, MIN(c.bin) AS cut_bin
-      FROM cum c CROSS JOIN tot, {_DECILE_TARGETS}
-      WHERE 10 * c.cum >= t.d * tot.n
-      GROUP BY 1
-    ),
-    cutarr AS (
-      SELECT list_sort(list(cut_bin)) AS cut_bins FROM cuts
-    ),
+    ),{_Q142_CTES},
     assigned AS (
-      SELECT b.custkey, b.spend_dec,
-             CAST(1 + len(list_filter(ca.cut_bins, c -> b.bin > c))
-                  AS BIGINT) AS decile
-      FROM binned b CROSS JOIN cutarr ca
+      SELECT b.custkey, b.spend_dec, m.decile
+      FROM binned b JOIN map_dec m ON m.bin = b.bin
     )
     SELECT decile,
            COUNT(*) AS n_customers,
@@ -623,38 +605,7 @@ def q142_decile_cutpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bin",
         F.expr(f"CAST(spend_dec * 100 AS BIGINT) div {DECILE_BIN_CENTS}"),
     )
-    hist = binned.groupBy("bin").agg(F.count("*").alias("cnt"))
-    # the ONLY unpartitioned window — over the bin histogram, whose size
-    # is spend-range/bin-width (hundreds), independent of customer count
-    cum = hist.withColumn(
-        "cum",
-        F.sum("cnt").over(
-            Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
-        ),
-    )
-    # population size from the tiny bin histogram, NOT a third pass over
-    # the orders-scan -> per-customer aggregate chain (review finding);
-    # binned itself feeds exactly two consumers: hist and the assignment
-    tot = hist.agg(F.sum("cnt").alias("n"))
-    targets = spark.range(1, 10).select(F.col("id").alias("d"))
-    cuts = (
-        cum.crossJoin(F.broadcast(tot))
-        .crossJoin(F.broadcast(targets))
-        .where(10 * F.col("cum") >= F.col("d") * F.col("n"))
-        .groupBy("d")
-        .agg(F.min("bin").alias("cut_bin"))
-    )
-    cutarr = cuts.agg(
-        F.sort_array(F.collect_list("cut_bin")).alias("cut_bins")
-    )
-    assigned = binned.crossJoin(F.broadcast(cutarr)).select(
-        "custkey",
-        "spend_dec",
-        (
-            1
-            + F.size(F.filter("cut_bins", lambda c: F.col("bin") > c))
-        ).cast("bigint").alias("decile"),
-    )
+    assigned = histogram_bucket(binned, "bin", 10, "decile")
     return (
         assigned.groupBy("decile")
         .agg(
@@ -1687,28 +1638,43 @@ def q131_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # q132 — RFM segmentation: recency / frequency / monetary quintiles
 # per customer, the canonical CRM scoring the reference's one-axis
-# segment binning (D7, q03) stops short of. Each dimension is
-# NTILE(5) with a (metric, custkey) tie-break so bucket boundaries
-# are total-ordered and engine-identical; the output aggregates to
-# (rfm_segment, n_customers, avg spend) so it stays scalar-sized.
-# One orders pass + three windows over the same customer-level frame.
+# segment binning (D7, q03) stops short of. Round 8 (verdict ask #4):
+# the three scores now use the histogram-cutpoint bucketing shared
+# with q142 (operators/quantiles.py::histogram_bucket) instead of
+# three unpartitioned NTILE windows — at ~10^9 customers NTILE is a
+# single-task full sort ×3, while here every per-customer-scale
+# operation is a partial-aggregated groupBy and the only windows run
+# over the tiny bin histograms (recency: day bins; frequency: order
+# count itself; monetary: $10k spend bins). q54 keeps NTILE as the
+# exact-small-data demonstration of the operator. Quintiles are
+# approximate at bin granularity (ties in one bin land together) —
+# the honest scale contract, identical on both engines.
 # ---------------------------------------------------------------------------
+_RFM_CTES = [
+    cutpoint_bucket_sql("per_cust", bin_col, 5, tag=tag, out_col=f"{tag}_score")
+    for bin_col, tag in (("r_bin", "r"), ("f_bin", "f"), ("m_bin", "m"))
+]
+
+
 @query(
     "q132_rfm_segments",
-    oracle="""
+    oracle=f"""
     WITH per_cust AS (
       SELECT o_custkey,
-             MAX(o_orderdate) AS last_order,
-             COUNT(*) AS n_orders,
-             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend,
+             CAST(date_diff('day', DATE '1970-01-01', MAX(o_orderdate))
+                  AS BIGINT) AS r_bin,
+             CAST(COUNT(*) AS BIGINT) AS f_bin,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+               // {DECILE_BIN_CENTS} AS m_bin
       FROM orders GROUP BY 1
-    ),
+    ),{",".join(_RFM_CTES)},
     scored AS (
-      SELECT o_custkey, spend,
-             NTILE(5) OVER (ORDER BY last_order, o_custkey) AS r_score,
-             NTILE(5) OVER (ORDER BY n_orders, o_custkey) AS f_score,
-             NTILE(5) OVER (ORDER BY spend, o_custkey) AS m_score
-      FROM per_cust
+      SELECT p.o_custkey, p.spend, r.r_score, f.f_score, m.m_score
+      FROM per_cust p
+      JOIN map_r r ON r.bin = p.r_bin
+      JOIN map_f f ON f.bin = p.f_bin
+      JOIN map_m m ON m.bin = p.m_bin
     )
     SELECT r_score || '-' || f_score || '-' || m_score AS rfm_segment,
            COUNT(*) AS n_customers,
@@ -1721,23 +1687,29 @@ def q131_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q132_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     per_cust = orders.groupBy("o_custkey").agg(
-        F.max("o_orderdate").alias("last_order"),
-        F.count("*").alias("n_orders"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spend"),
+        F.datediff(F.max("o_orderdate"), F.lit("1970-01-01"))
+        .cast("bigint")
+        .alias("r_bin"),
+        F.count("*").cast("bigint").alias("f_bin"),
+        F.expr(
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) "
+            f"div {DECILE_BIN_CENTS}"
+        ).alias("m_bin"),
     )
-    # NTILE windows over the post-aggregate customer table (exact at
-    # test scale); at 100 TB each score swaps to the histogram-cutpoint
-    # bucketing that q142_decile_cutpoints registers as the scale path.
-    r = Window.orderBy("last_order", "o_custkey")
-    f = Window.orderBy("n_orders", "o_custkey")
-    m = Window.orderBy("spend", "o_custkey")
-    scored = per_cust.select(
-        "o_custkey",
-        "spend",
-        F.ntile(5).over(r).alias("r_score"),
-        F.ntile(5).over(f).alias("f_score"),
-        F.ntile(5).over(m).alias("m_score"),
-    )
+    # three tiny bin->quintile maps off the SAME per_cust aggregate
+    # (exchange-reused), assigned via broadcast hash joins — never a
+    # window or sort over the per-customer table
+    scored = per_cust
+    for bin_col, out_col in (
+        ("r_bin", "r_score"),
+        ("f_bin", "f_score"),
+        ("m_bin", "m_score"),
+    ):
+        scored = scored.join(
+            F.broadcast(histogram_bucket_map(per_cust, bin_col, 5, out_col)),
+            bin_col,
+        )
     seg = F.concat_ws("-", "r_score", "f_score", "m_score")
     return (
         scored.groupBy(seg.alias("rfm_segment"))
