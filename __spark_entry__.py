@@ -28,14 +28,14 @@ from _multi_source_retail_data_integration_hub_spark.plans import (  # noqa: E40
 )
 from _multi_source_retail_data_integration_hub_spark.plans import (  # noqa: E402,F401
     analytics,  # registers q01..q08, q52, q54-q55, q57-q58, q64-q65, q76, q82-q87, q127, q130-q132
-    dashboard,  # registers q09..q16, q50 (incl. unpivot)
+    dashboard,  # registers q09..q16, q50 (incl. unpivot), q144 (top-N per group)
     events_ts,  # registers q29..q31, q48, q51, q62-q63, q113, q118-q119, q126 (windows, sessions, CDC, lateral/recursive SQL, streaming-vs-batch)
     grouped_map,  # registers q39..q40, q61 (grouped map, frame windows, cogroup)
     incremental,  # registers q111, q121 (mergeable-partial + CDC-aware mart refresh)
     multimodal_plan,  # registers q32, q59-q60 (binary payload features, frames)
     quality,  # registers q115 (declarative data-quality expectations)
     rollups,  # registers q38, q46 (rollup, cube)
-    scale_ops,  # registers q33..q35, q45, q49, q81, q110, q123, q128-q129 (JSON, salting, sketches, pagerank, skew/checksum audits)
+    scale_ops,  # registers q33..q35, q45, q49, q81, q110, q123, q128-q129, q145 (JSON, salting, sketches, pagerank, skew/checksum audits, mart HLL rollup)
     scd2_query,  # registers q77 (oracle-checked SCD2 merge)
     temporal,  # registers q36 (as-of join), q44 (interval join)
     tpch_shapes,  # registers q88..q99 (Q2/Q9/Q11/Q13/Q15-Q22 shapes)

@@ -35,3 +35,30 @@ def ranked_topk(
         topk.withColumn(rank_col, F.row_number().over(w).cast("bigint"))
         .orderBy(rank_col)
     )
+
+
+def grouped_topk(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[Column],
+    k: int,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """The per-group generalization: top ``k`` rows WITHIN each group
+    under ``order_cols`` (a total order within the group), ranked 1..k.
+
+    Unlike the global case, the partitioned window is already the
+    scalable plan — one hash-partitioned exchange on ``group_cols``,
+    then per-partition sorts that parallelize across groups; no
+    SinglePartition anywhere. The rank filter is pushed into the
+    window via WindowGroupLimit (Spark >= 3.5 inserts a per-partition
+    top-k heap below the exchange when it sees rank <= k), so a
+    billion-row group never fully sorts either. Feed this
+    post-aggregate frames (entity-grain, not fact-grain) and the
+    exchange stays proportional to entities.
+    """
+    w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w).cast("bigint"))
+        .where(F.col(rank_col) <= k)
+    )

@@ -431,3 +431,67 @@ def q50_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.coalesce(F.col(s), F.lit(0).cast(DEC)).cast("double").alias(s) for s in ("F", "O", "P")],
     )
     return wide.unpivot(["year"], ["F", "O", "P"], "status", "revenue")
+
+
+# ---------------------------------------------------------------------------
+# q144 — TOP-N PER GROUP: the dashboard-grade generalization of the
+# shared ranked_topk operator (r7 verdict ask #7) — "top 3 customers
+# in EVERY market segment", the per-category leaderboard each
+# reference dashboard page draws (streamlit_app.py top-customer
+# tables, sliced per segment). operators/ranking.py::grouped_topk:
+# a hash-partitioned window on the group key (parallel across
+# segments, never SinglePartition) whose rank<=k filter Spark rewrites
+# into a WindowGroupLimit per-partition heap — so neither the segment
+# count nor a hot segment forces a full sort. Input is the
+# customer-grain spend aggregate (facts pre-reduced), the segment dim
+# joins by broadcast.
+# ---------------------------------------------------------------------------
+@query(
+    "q144_topn_per_segment",
+    oracle="""
+    WITH spend AS (
+      SELECT c.c_mktsegment, o.o_custkey,
+             SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS spend_dec
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT c_mktsegment, o_custkey, spend_dec,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                ORDER BY spend_dec DESC, o_custkey) AS rnk
+      FROM spend
+    )
+    SELECT c_mktsegment, CAST(rnk AS BIGINT) AS rnk, o_custkey,
+           CAST(spend_dec AS DOUBLE) AS spend
+    FROM ranked
+    WHERE rnk <= 3
+    ORDER BY c_mktsegment, rnk
+    """,
+)
+def q144_topn_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ranking import grouped_topk
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    # aggregate facts to customer grain FIRST, then broadcast the dim —
+    # the window exchange shuffles customers, never orders
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast(DEC)).alias("spend_dec")
+    )
+    joined = spend.join(
+        F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+        spend.o_custkey == F.col("c_custkey"),
+    )
+    ranked = grouped_topk(
+        joined,
+        ["c_mktsegment"],
+        [F.desc("spend_dec"), F.asc("o_custkey")],
+        3,
+        "rnk",
+    )
+    return ranked.select(
+        "c_mktsegment",
+        "rnk",
+        "o_custkey",
+        F.col("spend_dec").cast("double").alias("spend"),
+    ).orderBy("c_mktsegment", "rnk")

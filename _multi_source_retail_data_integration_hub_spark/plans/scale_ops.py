@@ -1127,3 +1127,70 @@ def q143_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("order_year")
     )
+
+
+# ---------------------------------------------------------------------------
+# q145 — HLL DISTINCT ROLLUP ON THE RETAIL FACT SURFACE: q140's
+# mergeable-sketch pattern applied to the reference's own mart grain
+# (r7 verdict ask #7). The reference dashboard recomputes "unique
+# customers" per slice from the facts every time
+# (streamlit_app.py KPI tiles; sql/analytical_queries.sql segment
+# trends); the 100 TB serving shape stores per-(month, segment) HLL
+# partials ONCE and answers ANY coarser slice — here per-(year,
+# segment) — by sketch union, never rescanning the fact table. Exact
+# distinct counts (recomputed here only to audit) plus the pinned
+# within-bound verdict are what the driver hash-compares; a drifting
+# sketch or union implementation flips the verdict and fails the gate.
+# ---------------------------------------------------------------------------
+@query(
+    "q145_mart_distinct_rollup",
+    oracle="""
+    SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS order_year,
+           c.c_mktsegment,
+           COUNT(DISTINCT o.o_custkey) AS exact_customers,
+           CAST(1 AS BIGINT) AS within_bound
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def q145_mart_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    fact = orders.join(
+        F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+        orders.o_custkey == F.col("c_custkey"),
+    ).select(
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        F.date_trunc("month", "o_orderdate").alias("order_month"),
+        "c_mktsegment",
+        "o_custkey",
+    )
+    # stage 1: per-(month, segment) sketch partials — the stored mart
+    # state; each month's facts are scanned once, ever
+    monthly = fact.groupBy("order_year", "order_month", "c_mktsegment").agg(
+        F.hll_sketch_agg("o_custkey", F.lit(HLL_LGK)).alias("sk")
+    )
+    # stage 2: the coarser slice from sketches alone (no fact rescan)
+    unioned = monthly.groupBy("order_year", "c_mktsegment").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk", F.lit(True))).alias("est")
+    )
+    # exact side recomputed here only to audit the accuracy contract
+    exact = fact.groupBy("order_year", "c_mktsegment").agg(
+        F.countDistinct("o_custkey").alias("exact_customers")
+    )
+    rel_err_bound = HLL_UNION_SLACK * 1.04 / (2 ** (HLL_LGK / 2))
+    return (
+        exact.join(unioned, ["order_year", "c_mktsegment"])
+        .select(
+            "order_year",
+            "c_mktsegment",
+            "exact_customers",
+            (
+                F.abs(F.col("est") - F.col("exact_customers"))
+                / F.col("exact_customers")
+                <= rel_err_bound
+            ).cast("bigint").alias("within_bound"),
+        )
+        .orderBy("order_year", "c_mktsegment")
+    )

@@ -139,3 +139,42 @@ def test_ranked_topk_matches_full_sort(spark):
     plan = ranked_topk(df, [F.desc("score"), F.asc("id")], 10)
     physical = plan._jdf.queryExecution().executedPlan().toString()
     assert physical.index("TakeOrderedAndProject") > physical.index("Window")
+
+
+def test_grouped_topk_matches_per_group_sort(spark):
+    """operators/ranking.py::grouped_topk — per-group rank must equal
+    the naive sort-within-group result under a total order, and the
+    plan must stay partition-parallel (no SinglePartition exchange)."""
+    import pyspark.sql.functions as F
+    from _multi_source_retail_data_integration_hub_spark.operators.ranking import (
+        grouped_topk,
+    )
+
+    df = spark.range(300).select(
+        (F.col("id") % 4).alias("g"),
+        F.col("id"),
+        (F.col("id") * 13 % 101).alias("score"),
+    )
+    got = sorted(
+        (r["g"], r["rank"], r["id"])
+        for r in grouped_topk(
+            df, ["g"], [F.desc("score"), F.asc("id")], 5
+        ).collect()
+    )
+    rows = [(r["g"], r["score"], r["id"]) for r in df.collect()]
+    want = []
+    for g in range(4):
+        grp = sorted(
+            ((s, i) for gg, s, i in rows if gg == g),
+            key=lambda t: (-t[0], t[1]),
+        )[:5]
+        want.extend((g, rank + 1, i) for rank, (_, i) in enumerate(grp))
+    assert got == sorted(want)
+    plan = (
+        grouped_topk(df, ["g"], [F.desc("score"), F.asc("id")], 5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SinglePartition" not in plan
+    assert "WindowGroupLimit" in plan
