@@ -103,13 +103,36 @@ _MUTATED_SQL = f"""
 #: same shape as the shared shingle/signature materialization inside
 #: q80). Keyed by applicationId so a new session never sees another
 #: session's checkpointed blocks.
-_SIG_CACHE: dict[tuple[str, str], DataFrame] = {}
+_SIG_CACHE: dict[tuple[str, str, str], object] = {}
 
 
 def _sig_cache_key(spark: SparkSession, sf_dir: str, what: str):
     import os as _os
 
     return (spark.sparkContext.applicationId, _os.path.abspath(sf_dir), what)
+
+
+def clear_session_caches() -> int:
+    """Release every localCheckpointed table in the session caches
+    (signatures/pairs/labels/tokens + the collected BPE rules) and
+    return how many entries were evicted. The caches model persisted
+    upstream tables, so they deliberately live for the session — but a
+    long-lived driver process that moves on from a corpus (or a memory
+    -pressure hook) can call this to drop the executor storage
+    (footprint ~= exploded token table + signature table for the
+    largest sf_dir touched; see SCALE.md). Consumers re-materialize
+    lazily on next use."""
+    n = len(_SIG_CACHE)
+    for entry in _SIG_CACHE.values():
+        # the cache holds localCheckpointed DataFrames plus the tiny
+        # collected BPE rule list (no executor storage to release)
+        if isinstance(entry, DataFrame):
+            try:
+                entry.unpersist()
+            except Exception:  # noqa: BLE001 — already-released blocks are fine
+                pass
+    _SIG_CACHE.clear()
+    return n
 
 
 def _mutated_sig(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -12,6 +12,18 @@ materializes every output column and discards it — the honest
 benchmark action. The first query pays parquet-footer/codegen warmup,
 so we run a tiny warmup scan first and report per-query seconds plus
 the summed total.
+
+Methodology caveats (r7 advice):
+- Single-run totals carry ~±6% noise plus ~45 s of suite-wide
+  first-touch cost; ``SPARK_GRAFT_BENCH_RUNS=2`` additionally reports
+  a ``steady`` block (best-of-N) tracked round-over-round, while
+  ``value``/``queries`` stay FIRST-run (the driver convention).
+- A few queries share session caches (plans/training_data.py
+  ``_doc_tokens``/``_bpe_rules``: q47/q109/q114/q122/q137/q141):
+  whichever of them runs first pays the one-time tokenize/BPE-learn
+  materialization; the others measure marginal cost. Per-query deltas
+  within that group are only comparable suite-to-suite, not in
+  isolation.
 """
 
 from __future__ import annotations
@@ -111,12 +123,15 @@ def main() -> None:
     # janino compiles, AQE machinery), so heavy-query timings reflect
     # steady-state plan cost. Registration order (priority-first for the
     # driver's correctness window) is independent of bench order.
-    # SPARK_GRAFT_BENCH_RUNS > 1 reports best-of-N (steady state) for
-    # local tuning; the driver's convention stays the default single
-    # cold-ish run, comparable with prior rounds.
+    # SPARK_GRAFT_BENCH_RUNS > 1 keeps value/queries at the FIRST run
+    # (the driver's single-run convention, comparable with prior
+    # rounds) and adds a best-of-N "steady" block — the number to
+    # track round-over-round now that single-run noise exceeds typical
+    # per-round deltas (r7 verdict ask #5).
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "1")))
+    steady_query: dict[str, float] = {}
     for name, fn in sorted(queries.items()):
-        best = None
+        first = best = None
         err = None
         for _ in range(runs):
             t0 = time.perf_counter()
@@ -129,9 +144,11 @@ def main() -> None:
                 err = f"{type(exc).__name__}: {exc}"[:200]
                 continue
             dt = time.perf_counter() - t0
+            first = dt if first is None else first
             best = dt if best is None else min(best, dt)
         if best is not None:
-            per_query[name] = round(best, 3)
+            per_query[name] = round(first, 3)
+            steady_query[name] = round(best, 3)
         elif err is not None:
             failures[name] = err
 
@@ -144,6 +161,12 @@ def main() -> None:
         "sf": sf_num if sf_num is not None else sf,
         "n_queries": len(per_query),
     }
+    if runs > 1:
+        out["steady"] = {
+            "value": round(sum(steady_query.values()), 3),
+            "runs": runs,
+            "queries": steady_query,
+        }
     if streaming_startup_s is not None:
         # one-time Structured Streaming init, paid in warmup (not in any
         # per-query figure); q126's number is marginal stream cost

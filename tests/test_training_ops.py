@@ -673,3 +673,22 @@ def test_decile_cutpoints_skewed_bin_skips_deciles(spark, tmp_path):
     assert out[1]["n_customers"] == 10
     # the outlier exceeds all 9 cutpoints -> decile 10; 2..9 are empty
     assert set(out) == {1, 10} and out[10]["n_customers"] == 1
+
+
+def test_clear_session_caches_evicts_and_rematerializes(spark):
+    """plans/training_data.py::clear_session_caches — the session
+    caches must release cleanly and rebuild lazily with identical
+    results (r7 advice: bounded cache lifetime for long-lived
+    drivers)."""
+    from _multi_source_retail_data_integration_hub_spark.plans import (
+        training_data as td,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    before = td._doc_tokens(spark, sf_dir).count()
+    assert td._SIG_CACHE, "cache should be populated after first use"
+    evicted = td.clear_session_caches()
+    assert evicted >= 1
+    assert not td._SIG_CACHE
+    after = td._doc_tokens(spark, sf_dir).count()
+    assert after == before
