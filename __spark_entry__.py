@@ -28,7 +28,7 @@ from _multi_source_retail_data_integration_hub_spark.plans import (  # noqa: E40
 )
 from _multi_source_retail_data_integration_hub_spark.plans import (  # noqa: E402,F401
     analytics,  # registers q01..q08, q52, q54-q55, q57-q58, q64-q65, q76, q82-q87, q127, q130-q132
-    dashboard,  # registers q09..q16, q50 (incl. unpivot), q144 (top-N per group)
+    dashboard,  # registers q09..q16, q50 (incl. unpivot), q144 (top-N per group), q146 (Pareto curve scale path)
     events_ts,  # registers q29..q31, q48, q51, q62-q63, q113, q118-q119, q126 (windows, sessions, CDC, lateral/recursive SQL, streaming-vs-batch)
     grouped_map,  # registers q39..q40, q61 (grouped map, frame windows, cogroup)
     incremental,  # registers q111, q121 (mergeable-partial + CDC-aware mart refresh)

@@ -297,6 +297,10 @@ def q15_name_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Pareto / cumulative revenue share (W3 + running-total frame)
 # Reference: revenue-share window sql/analytical_queries.sql:35 extended to
 # the cumulative form every dashboard "top customers drive X%" card implies.
+# The per-customer running window here is exact but single-task at scale;
+# q146_pareto_curve below is the registered 100 TB path (bin-granularity
+# curve, windows over the histogram only) — the q54/q142 pairing, applied
+# to cumulative shares.
 # ---------------------------------------------------------------------------
 @query(
     "q16_pareto",
@@ -495,3 +499,82 @@ def q144_topn_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         F.col("spend_dec").cast("double").alias("spend"),
     ).orderBy("c_mktsegment", "rnk")
+
+
+# ---------------------------------------------------------------------------
+# q146 — PARETO CURVE AT BIN GRANULARITY: the registered scale path
+# for q16 (r7 verdict "what's wrong" list: q16's running share is a
+# full-population single-task window, documented-accepted; this is the
+# alternative that removes the caveat). Same histogram idiom as
+# q142/q132: one pass bins each customer's exact decimal revenue into
+# $10k buckets; the cumulative "top customers drive X% of revenue"
+# curve is then read DESCENDING off the bin histogram — every window
+# here runs over the bin table (revenue-range/bin-width rows), never
+# the customer population, and the output is curve points at bin
+# resolution (what a dashboard actually plots), not a row per
+# customer. Decimal-exact sums; shares go double only at the surface
+# with identical expression trees on both engines.
+# ---------------------------------------------------------------------------
+PARETO_BIN_CENTS = 1_000_000  # $10k revenue bins
+PARETO_BIN_USD = PARETO_BIN_CENTS // 100
+
+
+@query(
+    "q146_pareto_curve",
+    oracle=f"""
+    WITH per_cust AS (
+      SELECT o_custkey AS custkey,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec
+      FROM orders GROUP BY 1
+    ),
+    binned AS (
+      SELECT custkey, rev_dec,
+             CAST(rev_dec * 100 AS BIGINT) // {PARETO_BIN_CENTS} AS bin
+      FROM per_cust
+    ),
+    hist AS (
+      SELECT bin, COUNT(*) AS cnt, SUM(rev_dec) AS rev_dec
+      FROM binned GROUP BY 1
+    )
+    SELECT CAST(bin * {PARETO_BIN_USD} AS BIGINT) AS bin_lower_usd,
+           cnt AS n_customers,
+           CAST(SUM(cnt) OVER (ORDER BY bin DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_customers,
+           CAST(rev_dec AS DOUBLE) AS revenue,
+           CAST(SUM(rev_dec) OVER (ORDER BY bin DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / NULLIF(CAST(SUM(rev_dec) OVER () AS DOUBLE), 0) * 100
+             AS cum_revenue_pct
+    FROM hist
+    ORDER BY bin DESC
+    """,
+)
+def q146_pareto_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.sum(F.col("o_totalprice").cast(DEC)).alias("rev_dec")
+    )
+    binned = per_cust.withColumn(
+        "bin", F.expr(f"CAST(rev_dec * 100 AS BIGINT) div {PARETO_BIN_CENTS}")
+    )
+    hist = binned.groupBy("bin").agg(
+        F.count("*").alias("cnt"),
+        F.sum("rev_dec").alias("rev_dec"),
+    )
+    # every window below runs over the bin histogram only
+    running = Window.orderBy(F.desc("bin")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    total_rev = F.sum("rev_dec").over(Window.partitionBy())
+    return hist.select(
+        (F.col("bin") * PARETO_BIN_USD).cast("bigint").alias("bin_lower_usd"),
+        F.col("cnt").alias("n_customers"),
+        F.sum("cnt").over(running).cast("bigint").alias("cum_customers"),
+        F.col("rev_dec").cast("double").alias("revenue"),
+        (
+            F.sum("rev_dec").over(running).cast("double")
+            / F.nullif(total_rev.cast("double"), F.lit(0))
+            * 100
+        ).alias("cum_revenue_pct"),
+    ).orderBy(F.desc("bin_lower_usd"))
