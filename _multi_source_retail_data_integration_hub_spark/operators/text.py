@@ -500,6 +500,170 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFr
     return vote_sums.select(F.col(id_col), packed.alias("simhash"))
 
 
+def simhash_pairs(
+    sig: DataFrame,
+    id_col: str,
+    hash_col: str = "simhash",
+    bits: int = 32,
+    n_bands: int = 4,
+    hamming_max: int = 3,
+    max_bucket_size: int | None = LSH_MAX_BUCKET_SIZE,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance: ``(id_a, id_b,
+    hamming)`` for every pair with ``bit_count(xor) <= hamming_max``.
+
+    The classic banded scheme (Manku/Google): split the ``bits``-bit
+    fingerprint into ``n_bands`` contiguous bands; by pigeonhole, any
+    pair within Hamming distance ``hamming_max < n_bands`` agrees
+    exactly on at least one band, so a per-band bucket equi-join finds
+    every such pair — never an all-pairs comparison. Candidates are
+    then verified with an exact popcount of the XOR (``F.bit_count``,
+    JVM-side), which also filters the band-collision false positives.
+
+    Scale shape: one posexplode (xN_bands), one self-equi-join on
+    (band_id, bucket) whose cost is Σ bucket_size², one distinct. The
+    fingerprints ride along through the join so verification needs no
+    join back to the corpus. Hot buckets (mass-identical boilerplate
+    fingerprints) are dropped over ``max_bucket_size`` exactly like
+    ``lsh_candidate_pairs``'s "drop" mode and auditable the same way.
+    At 100 TB, band width is the recall/cost dial: production SimHash
+    uses 64-bit fingerprints with 16-bit bands (65k buckets/band); this
+    implementation takes ``bits``/``n_bands`` as parameters and keeps
+    the same plan shape at any width ``md5`` can feed (<= 32 here).
+    """
+    if bits % n_bands != 0:
+        raise ValueError(f"bits={bits} must be divisible by n_bands={n_bands}")
+    if hamming_max >= n_bands:
+        raise ValueError(
+            f"hamming_max={hamming_max} needs n_bands > hamming_max "
+            f"(got {n_bands}) for the pigeonhole recall guarantee"
+        )
+    width = bits // n_bands
+    mask = F.lit((1 << width) - 1).cast("bigint")
+    melted = sig.select(
+        F.col(id_col),
+        F.col(hash_col).cast("bigint").alias("_h"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col(hash_col).cast("bigint"), b * width)
+                    .bitwiseAND(mask)
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band_id", "bucket"),
+    )
+    if max_bucket_size is not None:
+        ok = (
+            melted.groupBy("band_id", "bucket")
+            .agg(F.count("*").alias("bucket_size"))
+            .where(F.col("bucket_size") <= max_bucket_size)
+            .select("band_id", "bucket")
+        )
+        melted = melted.join(ok, ["band_id", "bucket"])
+    a = melted.select(
+        F.col(id_col).alias("id_a"), F.col("_h").alias("_ha"), "band_id", "bucket"
+    )
+    b = melted.select(
+        F.col(id_col).alias("id_b"), F.col("_h").alias("_hb"), "band_id", "bucket"
+    )
+    return (
+        a.join(b, ["band_id", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "_ha", "_hb")
+        .distinct()
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
+            .cast("bigint")
+            .alias("hamming"),
+        )
+        .where(F.col("hamming") <= hamming_max)
+    )
+
+
+def bigram_surprisal(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document corpus-LM novelty/surprisal signals — the quality-
+    filter family a KenLM perplexity filter belongs to, kept in exact
+    integer arithmetic so the DuckDB twin hash-matches bit-for-bit.
+
+    A bigram LM is trained on the corpus itself (history counts
+    ``C(w1)`` = token occurrences, bigram counts ``C(w1 w2)``), then
+    each document is scored against it:
+
+    - ``n_bigrams``: total bigram occurrences (``n_words - 1``).
+    - ``n_novel``: occurrences whose bigram appears exactly ONCE in the
+      whole corpus — the document is its sole source (high = novel or
+      noisy text; low = templated text the LM has seen elsewhere).
+    - ``novelty_ppm``: ``n_novel * 1e6 DIV n_bigrams``.
+    - ``surprisal_bits``: Σ over occurrences of ``floor_log2 C(w1) -
+      floor_log2 C(w1 w2)`` — the integer quantization of the true
+      bigram surprisal ``log2(C(w1)/C(w1 w2))``, exact to within 1
+      bit/term. ``floor_log2`` is ``length(bin(x)) - 1`` (bit length),
+      pure integer — no libm ``ln`` whose last ulp differs between
+      engines, and the SUM is order-independent where a float SUM of
+      log-probs is not (registry determinism convention).
+    - ``mean_milli_bits``: ``surprisal_bits * 1000 DIV n_bigrams``.
+
+    Scale shape: one bigram explode, a (doc, bigram) pre-aggregation
+    (shrinks the join input to distinct bigrams per doc), a shuffle
+    equi-join against the corpus bigram table (vocabulary-keyed — this
+    IS the LM at 100 TB, partial-aggregated map-side), a broadcast of
+    the unigram table (bounded by vocabulary), one per-doc aggregation.
+    Documents with < 2 tokens have no bigrams and are excluded by
+    contract, mirroring ``repetition_signals``.
+    """
+    toks = tokens(F.col(text_col))
+    base = df.select(
+        F.col(id_col), shingles(toks, 2).alias("_bigrams")
+    ).where(F.size(toks) >= 2)
+    # materialized for the same InferFiltersFromGenerate reason as
+    # repetition_signals: keep the shingle transform off the scan filter
+    base = base.localCheckpoint(eager=False)
+    bgd = (
+        base.select(id_col, F.explode("_bigrams").alias("bigram"))
+        .groupBy(id_col, "bigram")
+        .agg(F.count("*").alias("cnt_in_doc"))
+    )
+    c_b = bgd.groupBy("bigram").agg(F.sum("cnt_in_doc").alias("c_b"))
+    c_w = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c_w"))
+    )
+    bit_len = lambda c: F.length(F.bin(c))  # noqa: E731  floor_log2(x) + 1
+    scored = (
+        bgd.join(c_b, "bigram")
+        .join(
+            F.broadcast(c_w),
+            F.split(F.col("bigram"), " ").getItem(0) == F.col("tok"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt_in_doc").cast("bigint").alias("n_bigrams"),
+            F.sum(
+                F.when(F.col("c_b") == 1, F.col("cnt_in_doc")).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("n_novel"),
+            F.sum(
+                F.col("cnt_in_doc") * (bit_len(F.col("c_w")) - bit_len(F.col("c_b")))
+            )
+            .cast("bigint")
+            .alias("surprisal_bits"),
+        )
+    )
+    return scored.select(
+        id_col,
+        "n_bigrams",
+        "n_novel",
+        F.expr("n_novel * 1000000 DIV n_bigrams").alias("novelty_ppm"),
+        "surprisal_bits",
+        F.expr("surprisal_bits * 1000 DIV n_bigrams").alias("mean_milli_bits"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Quality / language heuristics
 # ---------------------------------------------------------------------------

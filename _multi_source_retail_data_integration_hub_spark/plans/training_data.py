@@ -2514,3 +2514,140 @@ def q125_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig_hist = T.minhash_signatures(hist, "text", "id").localCheckpoint()
     sig_new = T.minhash_signatures(batch, "text", "id")
     return T.lsh_probe_pairs(sig_new, sig_hist, "id").orderBy("id_new", "id_hist")
+
+
+# ---------------------------------------------------------------------------
+# q147 — SimHash Hamming near-dup JOIN. Capability class: the second
+# half of the SimHash dedup pipeline (q25 computes fingerprints; this
+# finds the pairs): banded bucket equi-join with pigeonhole recall,
+# exact popcount verification. Configuration here: the q25 16-bit
+# fingerprint split into two 8-bit bands (recall guarantee for
+# Hamming <= 1) — the synthetic corpus draws from a small shared
+# vocabulary, so fingerprints land close together and genuine pairs
+# abound, with the hot-bucket cap genuinely activating. The wider
+# 32-bit/4-band/Hamming<=3 configuration is pinned by
+# tests/test_training_ops.py against a brute-force popcount join (a
+# 32-agg fingerprint pass costs ~4s of one-time codegen at bench
+# scale for no added semantics coverage). Mirrored exactly in the
+# oracle. Reference analogue: near-identical product descriptions
+# across source systems (/root/reference/etl/transform.py dedup
+# stage) at corpus scale.
+# ---------------------------------------------------------------------------
+def _simhash_neardup_sql() -> str:
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+    ),
+    h AS (SELECT doc_id, md5(tok) AS h FROM toks),
+    pos AS (SELECT doc_id, h, unnest(range(1, 17)) AS i FROM h),
+    votes AS (
+      SELECT doc_id, i,
+             CASE WHEN strpos('0123456789abcdef', substr(h, CAST(i AS INT), 1)) - 1 >= 8
+                  THEN 1 ELSE -1 END AS vote
+      FROM pos
+    ),
+    bitsums AS (SELECT doc_id, i, SUM(vote) AS vs FROM votes GROUP BY 1, 2),
+    sig AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN vs >= 0 THEN CAST(1 AS BIGINT) << CAST(i - 1 AS INT)
+                           ELSE 0 END) AS BIGINT) AS simhash
+      FROM bitsums GROUP BY 1
+    ),
+    melted AS (
+      SELECT doc_id, simhash, band_id,
+             (simhash >> CAST(band_id * 8 AS INT)) & 255 AS bucket
+      FROM sig, (SELECT unnest(range(0, 2)) AS band_id)
+    ),
+    ok AS (
+      SELECT band_id, bucket FROM melted
+      GROUP BY 1, 2 HAVING COUNT(*) <= {_SIMHASH_MAX_BUCKET}
+    ),
+    kept AS (SELECT m.* FROM melted m JOIN ok USING (band_id, bucket)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.simhash AS ha, b.simhash AS hb
+      FROM kept a JOIN kept b USING (band_id, bucket)
+      WHERE a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(ha, hb)) <= 1
+    ORDER BY id_a, id_b
+    """
+
+
+# Tighter than LSH_MAX_BUCKET_SIZE on purpose: the synthetic corpus
+# draws from a small shared vocabulary, so fingerprints correlate and
+# the 8-bit band buckets run hot (uncapped at 32-bit/Hamming<=3: 766k
+# candidate pairs and a 6s+ join at sf0.1). Dropping buckets > 64
+# bounds the join at 64 * Σ bucket_size and exercises the guard the
+# 100 TB deployment relies on; the dropped center-of-mass region is
+# exactly where SimHash near-dup is least informative
+# (boilerplate-identical band values).
+_SIMHASH_MAX_BUCKET = 64
+
+
+@query("q147_simhash_neardup", oracle=_simhash_neardup_sql())
+def q147_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = T.simhash(_docs(spark, sf_dir), "text", "doc_id", bits=16)
+    pairs = T.simhash_pairs(
+        sig,
+        "doc_id",
+        bits=16,
+        n_bands=2,
+        hamming_max=1,
+        max_bucket_size=_SIMHASH_MAX_BUCKET,
+    )
+    return pairs.orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# q148 — corpus-LM bigram novelty/surprisal. Capability class: LM-based
+# quality filtering (the KenLM-perplexity family): train bigram stats on
+# the corpus, score each doc's novelty (sole-source bigrams) and
+# quantized surprisal. Everything is integer arithmetic — floor-log2 via
+# bit length — so the per-doc SUM is order-independent and the oracle
+# hash-matches exactly (a float sum of ln() probs would drift by ulps
+# and by addition order; see operators/text.py::bigram_surprisal).
+# ---------------------------------------------------------------------------
+@query(
+    "q148_bigram_surprisal",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(toks)),
+                    i -> array_to_string(list_slice(toks, i, i + 1), ' ')))
+               AS bigram
+      FROM base WHERE len(toks) >= 2
+    ),
+    bgd AS (SELECT doc_id, bigram, COUNT(*) AS cnt_in_doc FROM bg GROUP BY 1, 2),
+    cb AS (SELECT bigram, CAST(SUM(cnt_in_doc) AS BIGINT) AS c_b FROM bgd GROUP BY 1),
+    tf AS (SELECT unnest(toks) AS tok FROM base),
+    cw AS (SELECT tok, COUNT(*) AS c_w FROM tf GROUP BY 1),
+    per_doc AS (
+      SELECT d.doc_id,
+             CAST(SUM(d.cnt_in_doc) AS BIGINT) AS n_bigrams,
+             CAST(SUM(CASE WHEN cb.c_b = 1 THEN d.cnt_in_doc ELSE 0 END)
+                  AS BIGINT) AS n_novel,
+             CAST(SUM(d.cnt_in_doc *
+                      (length(bin(cw.c_w)) - length(bin(cb.c_b))))
+                  AS BIGINT) AS surprisal_bits
+      FROM bgd d
+      JOIN cb USING (bigram)
+      JOIN cw ON cw.tok = split_part(d.bigram, ' ', 1)
+      GROUP BY 1
+    )
+    SELECT doc_id, n_bigrams, n_novel,
+           CAST(n_novel * 1000000 // n_bigrams AS BIGINT) AS novelty_ppm,
+           surprisal_bits,
+           CAST(surprisal_bits * 1000 // n_bigrams AS BIGINT) AS mean_milli_bits
+    FROM per_doc ORDER BY doc_id
+    """,
+)
+def q148_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.bigram_surprisal(_docs(spark, sf_dir), "text", "doc_id").orderBy(
+        "doc_id"
+    )

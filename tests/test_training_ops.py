@@ -692,3 +692,118 @@ def test_clear_session_caches_evicts_and_rematerializes(spark):
     assert not td._SIG_CACHE
     after = td._doc_tokens(spark, sf_dir).count()
     assert after == before
+
+
+# ---------------------------------------------------------------------------
+# simhash_pairs (banded Hamming near-dup join)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def hamming_corpus(spark):
+    # 30 docs over a small vocabulary: enough fingerprint collisions
+    # that genuine Hamming-close pairs exist at 32 bits
+    rows = [
+        (i, " ".join(["alpha", "beta", "gamma", "delta"][: 2 + i % 3] * (3 + i % 4))
+         + f" tail{i % 5}")
+        for i in range(30)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_simhash_pairs_equals_bruteforce(hamming_corpus):
+    """Pigeonhole recall + exact popcount verify => the banded join is
+    EXACT (not approximate) for hamming_max < n_bands when no bucket is
+    capped: it must equal the brute-force all-pairs popcount join."""
+    sig = T.simhash(hamming_corpus, "text", "doc_id", bits=32)
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in T.simhash_pairs(
+            sig, "doc_id", bits=32, n_bands=4, hamming_max=3,
+            max_bucket_size=None,
+        ).collect()
+    }
+    a = sig.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("ha"))
+    b = sig.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("hb"))
+    brute = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+            .cast("bigint")
+            .alias("hamming"),
+        )
+        .where(F.col("hamming") <= 3)
+        .collect()
+    }
+    assert got == brute
+    assert brute, "fixture must actually produce Hamming<=3 pairs"
+
+
+def test_simhash_pairs_hot_bucket_drop_is_subset(hamming_corpus):
+    sig = T.simhash(hamming_corpus, "text", "doc_id", bits=32)
+    full = {
+        (r.id_a, r.id_b)
+        for r in T.simhash_pairs(
+            sig, "doc_id", bits=32, n_bands=4, hamming_max=3,
+            max_bucket_size=None,
+        ).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b)
+        for r in T.simhash_pairs(
+            sig, "doc_id", bits=32, n_bands=4, hamming_max=3,
+            max_bucket_size=2,
+        ).collect()
+    }
+    assert capped <= full
+    assert capped != full  # the tiny cap must actually drop something
+
+
+def test_simhash_pairs_validation():
+    with pytest.raises(ValueError, match="divisible"):
+        T.simhash_pairs(None, "doc_id", bits=32, n_bands=5)
+    with pytest.raises(ValueError, match="pigeonhole"):
+        T.simhash_pairs(None, "doc_id", bits=32, n_bands=4, hamming_max=4)
+
+
+# ---------------------------------------------------------------------------
+# bigram_surprisal (integer corpus-LM novelty/surprisal)
+# ---------------------------------------------------------------------------
+
+
+def test_bigram_surprisal_hand_computed(spark):
+    # corpus: C(a)=3 C(b)=3 C(c)=1 C(x)=1; C('a b')=3 C('b a')=1 C('b c')=1
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "x")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in T.bigram_surprisal(df, "text", "doc_id").collect()}
+    assert set(out) == {1, 2}  # doc 3 has < 2 tokens: excluded by contract
+    d1 = out[1]
+    # bigrams: 'a b' x2 (C=3, novel no, bits C(a)=2 - bits 3=2 -> 0),
+    # 'b a' x1 (C=1, novel, bits C(b)=2 - bits 1=1 -> 1)
+    assert (d1.n_bigrams, d1.n_novel, d1.surprisal_bits) == (3, 1, 1)
+    assert d1.novelty_ppm == 333333  # 1_000_000 DIV 3
+    assert d1.mean_milli_bits == 333
+    d2 = out[2]
+    # 'a b' (0 bits, not novel), 'b c' (C=1: novel, 2-1=1 bit)
+    assert (d2.n_bigrams, d2.n_novel, d2.surprisal_bits) == (2, 1, 1)
+    assert d2.novelty_ppm == 500000
+    assert d2.mean_milli_bits == 500
+
+
+def test_bigram_surprisal_repeated_doc_zero_novelty(spark):
+    # the same text twice: NO bigram is sole-source, so novelty is 0
+    # for both docs and surprisal reflects shared counts
+    df = spark.createDataFrame(
+        [(1, "p q r"), (2, "p q r")], "doc_id long, text string"
+    )
+    rows = T.bigram_surprisal(df, "text", "doc_id").collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert r.n_novel == 0
+        assert r.novelty_ppm == 0
