@@ -103,6 +103,94 @@ def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+WINNOW_POS_SPACE = 1 << 22  # positions per doc the packed key can encode
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowed local fingerprints per document (Schleimer, Wilkerson,
+    Aiken, "Winnowing: Local Algorithms for Document Fingerprinting",
+    SIGMOD 2003 — the MOSS scheme): hash every k-token gram, slide a
+    window of ``w`` consecutive gram hashes, and select each window's
+    minimum (rightmost on ties). The selected set is position-robust —
+    any shared substring of at least ``w + k - 1`` tokens between two
+    documents is guaranteed to share a fingerprint — and its density is
+    ~2/(w+1) of the grams, independent of document length.
+
+    Output per doc: ``n_grams``, ``n_windows`` (= n_grams - w + 1),
+    ``n_fingerprints`` (distinct selections), ``fp_set_checksum``
+    (order-independent integer checksum of the selected (hash, pos)
+    set: SUM over distinct packed keys of ``key % 1_000_000_007`` —
+    pins the exact fingerprint SET without shipping it). Documents
+    with fewer than ``w`` grams (< k + w - 1 tokens) have no full
+    window and are excluded by contract.
+
+    Determinism: the argmin-with-rightmost-tie-break is packed into ONE
+    bigint — ``hash32 * 2^22 + (2^22 - 1 - pos)`` — so a plain MIN
+    window aggregate implements it identically in Spark and DuckDB
+    (the registry's packed-argmax convention). hash32 is the first 8
+    md5 hex digits, the engine-portable 32-bit hash family used by the
+    LSH salts. Positions are capped at 2^22 grams per document by the
+    packing (a >4M-token single document should be chunked long before
+    fingerprinting; ``doc_chunks`` is the operator for that).
+
+    Scale shape: one gram explode, one per-doc window (partitioned by
+    document — parallel across docs, linear within), one distinct, one
+    aggregate. Nothing global, nothing quadratic; the fingerprint
+    index this feeds (fingerprint -> doc inverted index) is the
+    standard copy-detection join and stays equi-join-shaped.
+    """
+    toks = tokens(F.col(text_col))
+    # the pre-explode length guard and n_grams both come from the CHEAP
+    # token split, never from size(shingles(...)) — a filter on the
+    # shingle array would be pushed to the scan by
+    # InferFiltersFromGenerate and re-evaluate the whole interpreted
+    # shingle transform per row (the repetition_signals pathology, which
+    # needed a checkpoint; deriving from size(tokens) needs none)
+    g = df.where(F.size(toks) >= k + w - 1).select(
+        F.col(id_col),
+        (F.size(toks) - F.lit(k - 1)).alias("n_grams"),
+        F.posexplode(shingles(toks, k)).alias("pos0", "gram"),
+    )
+    h32 = F.conv(F.md5("gram").substr(1, 8), 16, 10).cast("bigint")
+    key = h32 * F.lit(WINNOW_POS_SPACE) + (
+        F.lit(WINNOW_POS_SPACE - 1) - F.col("pos0")
+    )
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    win = (
+        Window.partitionBy(id_col).orderBy("pos0").rowsBetween(0, w - 1)
+    )
+    selected = (
+        g.select(F.col(id_col), "n_grams", "pos0", key.alias("key"))
+        .withColumn("fp_key", F.min("key").over(win))
+        .where(F.col("pos0") <= F.col("n_grams") - w)
+        .select(F.col(id_col), "n_grams", "fp_key")
+        .distinct()
+    )
+    return (
+        selected.groupBy(id_col, "n_grams")
+        .agg(
+            F.count("*").cast("bigint").alias("n_fingerprints"),
+            F.sum(F.pmod(F.col("fp_key"), F.lit(1_000_000_007)))
+            .cast("bigint")
+            .alias("fp_set_checksum"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_grams").cast("bigint").alias("n_grams"),
+            (F.col("n_grams") - F.lit(w - 1)).cast("bigint").alias("n_windows"),
+            "n_fingerprints",
+            "fp_set_checksum",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash signatures + LSH bands
 # ---------------------------------------------------------------------------

@@ -2651,3 +2651,68 @@ def q148_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.bigram_surprisal(_docs(spark, sf_dir), "text", "doc_id").orderBy(
         "doc_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# q149 — winnowed document fingerprints (Schleimer/Wilkerson/Aiken,
+# SIGMOD 2003 — the MOSS copy-detection scheme). Capability class:
+# rolling-hash/local document fingerprinting — position-robust
+# fingerprint sets whose density is ~2/(w+1) regardless of document
+# length, the primitive behind plagiarism/copy detection and
+# substring-robust dedup (exact dedup q17 misses any-edit copies;
+# winnowing guarantees a shared fingerprint for any shared run of
+# >= w + k - 1 tokens). The per-doc fingerprint SET is pinned
+# order-independently via an integer checksum over the packed
+# (hash, pos) keys; argmin-with-rightmost-tie-break is one MIN window
+# over the packed key in both engines.
+# ---------------------------------------------------------------------------
+_WINNOW_K = 3
+_WINNOW_W = 4
+
+
+@query(
+    "q149_winnowing_fingerprints",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             len(toks) - {_WINNOW_K - 1} AS n_grams,
+             unnest(range(1, len(toks) - {_WINNOW_K - 2})) - 1 AS pos0,
+             unnest(list_transform(range(1, len(toks) - {_WINNOW_K - 2}),
+                    i -> array_to_string(
+                           list_slice(toks, i, i + {_WINNOW_K - 1}), ' ')))
+               AS gram
+      FROM base WHERE len(toks) >= {_WINNOW_K + _WINNOW_W - 1}
+    ),
+    keyed AS (
+      SELECT doc_id, n_grams, pos0,
+             CAST('0x' || substr(md5(gram), 1, 8) AS BIGINT) * {T.WINNOW_POS_SPACE}
+               + ({T.WINNOW_POS_SPACE - 1} - pos0) AS key
+      FROM grams
+    ),
+    wmin AS (
+      SELECT doc_id, n_grams, pos0,
+             MIN(key) OVER (PARTITION BY doc_id ORDER BY pos0
+                            ROWS BETWEEN CURRENT ROW
+                            AND {_WINNOW_W - 1} FOLLOWING) AS fp_key
+      FROM keyed
+    ),
+    sel AS (
+      SELECT DISTINCT doc_id, n_grams, fp_key
+      FROM wmin WHERE pos0 <= n_grams - {_WINNOW_W}
+    )
+    SELECT doc_id,
+           CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(n_grams - {_WINNOW_W - 1} AS BIGINT) AS n_windows,
+           CAST(COUNT(*) AS BIGINT) AS n_fingerprints,
+           CAST(SUM(fp_key % 1000000007) AS BIGINT) AS fp_set_checksum
+    FROM sel GROUP BY doc_id, n_grams
+    ORDER BY doc_id
+    """,
+)
+def q149_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.winnowing_fingerprints(
+        _docs(spark, sf_dir), "text", "doc_id", k=_WINNOW_K, w=_WINNOW_W
+    ).orderBy("doc_id")

@@ -807,3 +807,94 @@ def test_bigram_surprisal_repeated_doc_zero_novelty(spark):
     for r in rows:
         assert r.n_novel == 0
         assert r.novelty_ppm == 0
+
+
+# ---------------------------------------------------------------------------
+# winnowing_fingerprints (MOSS local document fingerprints)
+# ---------------------------------------------------------------------------
+
+
+def _winnow_py(text: str, k: int, w: int):
+    """Reference implementation straight from the SIGMOD'03 definition:
+    every window of w gram-hashes selects its min (rightmost on ties);
+    the fingerprint set is the distinct (hash, pos) selections."""
+    import hashlib
+
+    toks = text.split()
+    grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+    if len(grams) < w:
+        return None
+    hashes = [int(hashlib.md5(g.encode()).hexdigest()[:8], 16) for g in grams]
+    sel = set()
+    for j in range(len(grams) - w + 1):
+        window = hashes[j : j + w]
+        m = min(window)
+        # rightmost occurrence of the min
+        pos = j + max(i for i, h in enumerate(window) if h == m)
+        sel.add((hashes[pos], pos))
+    return {
+        "n_grams": len(grams),
+        "n_windows": len(grams) - w + 1,
+        "n_fingerprints": len(sel),
+        "fp_set_checksum": sum(
+            (h * T.WINNOW_POS_SPACE + (T.WINNOW_POS_SPACE - 1 - p)) % 1_000_000_007
+            for h, p in sel
+        ),
+    }
+
+
+def test_winnowing_matches_bruteforce(spark):
+    texts = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "x x x x x x x x"),  # all grams identical: rightmost tie-break
+        (3, "a b c a b c a b c a b"),  # periodic text: repeated hashes
+        (4, "one two three four five six"),
+        (5, "too short"),  # < k + w - 1 tokens: excluded
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in T.winnowing_fingerprints(df, "text", "doc_id", k=3, w=4).collect()
+    }
+    expected = {i: _winnow_py(t, 3, 4) for i, t in texts}
+    assert set(out) == {i for i, e in expected.items() if e is not None}
+    for i, row in out.items():
+        e = expected[i]
+        got = (row.n_grams, row.n_windows, row.n_fingerprints, row.fp_set_checksum)
+        want = (e["n_grams"], e["n_windows"], e["n_fingerprints"], e["fp_set_checksum"])
+        assert got == want, f"doc {i}: {got} != {want}"
+
+
+def test_winnowing_shared_run_guarantees_shared_fingerprint(spark):
+    # the winnowing coverage guarantee: two docs sharing a run of
+    # >= w + k - 1 tokens share at least one selected (hash) fingerprint
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 tokens = w + k - 1
+    df = spark.createDataFrame(
+        [
+            (1, "unrelated prefix words here " + shared),
+            (2, shared + " totally different suffix tokens"),
+        ],
+        "doc_id long, text string",
+    )
+    e1 = _winnow_py("unrelated prefix words here " + shared, 3, 4)
+    e2 = _winnow_py(shared + " totally different suffix tokens", 3, 4)
+    assert e1 and e2
+    out = T.winnowing_fingerprints(df, "text", "doc_id", k=3, w=4).collect()
+    assert {r.doc_id for r in out} == {1, 2}
+    # verify via the reference mirror that the HASH sets overlap
+    import hashlib
+
+    def hashes(text):
+        toks = text.split()
+        grams = [" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)]
+        hs = [int(hashlib.md5(g.encode()).hexdigest()[:8], 16) for g in grams]
+        sel = set()
+        for j in range(len(grams) - 3):
+            window = hs[j : j + 4]
+            m = min(window)
+            sel.add(m)
+        return sel
+
+    assert hashes("unrelated prefix words here " + shared) & hashes(
+        shared + " totally different suffix tokens"
+    )
