@@ -40,7 +40,7 @@ from _multi_source_retail_data_integration_hub_spark.plans import (  # noqa: E40
     temporal,  # registers q36 (as-of join), q44 (interval join)
     tpch_shapes,  # registers q88..q99 (Q2/Q9/Q11/Q13/Q15-Q22 shapes)
     similarity,  # registers q26..q28, q37, q41-q42, q53 (embedding ANN, dedup)
-    training_data,  # registers q17..q25, q47, q56, q100-q109, q112, q114, q116, q120, q122, q124-q125, q147-q149 (dedup, text analysis, curation, BM25, sampling, simhash join, bigram LM, winnowing)
+    training_data,  # registers q17..q25, q47, q56, q100-q109, q112, q114, q116, q120, q122, q124-q125, q147-q150 (dedup, text analysis, curation, BM25, sampling, simhash join, bigram LM, winnowing)
 )
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"

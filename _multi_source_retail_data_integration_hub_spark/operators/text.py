@@ -106,6 +106,40 @@ def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 WINNOW_POS_SPACE = 1 << 22  # positions per doc the packed key can encode
 
 
+def _winnow_selection(
+    df: DataFrame, text_col: str, id_col: str, k: int, w: int
+) -> DataFrame:
+    """Distinct winnowing selections per doc: (id, n_grams, fp_key),
+    fp_key = hash32 * 2^22 + (2^22 - 1 - pos). See
+    ``winnowing_fingerprints`` for the algorithm and determinism notes."""
+    toks = tokens(F.col(text_col))
+    # the pre-explode length guard and n_grams both come from the CHEAP
+    # token split, never from size(shingles(...)) — a filter on the
+    # shingle array would be pushed to the scan by
+    # InferFiltersFromGenerate and re-evaluate the whole interpreted
+    # shingle transform per row (the repetition_signals pathology, which
+    # needed a checkpoint; deriving from size(tokens) needs none)
+    g = df.where(F.size(toks) >= k + w - 1).select(
+        F.col(id_col),
+        (F.size(toks) - F.lit(k - 1)).alias("n_grams"),
+        F.posexplode(shingles(toks, k)).alias("pos0", "gram"),
+    )
+    h32 = F.conv(F.md5("gram").substr(1, 8), 16, 10).cast("bigint")
+    key = h32 * F.lit(WINNOW_POS_SPACE) + (
+        F.lit(WINNOW_POS_SPACE - 1) - F.col("pos0")
+    )
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    win = Window.partitionBy(id_col).orderBy("pos0").rowsBetween(0, w - 1)
+    return (
+        g.select(F.col(id_col), "n_grams", "pos0", key.alias("key"))
+        .withColumn("fp_key", F.min("key").over(win))
+        .where(F.col("pos0") <= F.col("n_grams") - w)
+        .select(F.col(id_col), "n_grams", "fp_key")
+        .distinct()
+    )
+
+
 def winnowing_fingerprints(
     df: DataFrame,
     text_col: str,
@@ -143,36 +177,10 @@ def winnowing_fingerprints(
     document — parallel across docs, linear within), one distinct, one
     aggregate. Nothing global, nothing quadratic; the fingerprint
     index this feeds (fingerprint -> doc inverted index) is the
-    standard copy-detection join and stays equi-join-shaped.
+    standard copy-detection join (``winnowing_matches``) and stays
+    equi-join-shaped.
     """
-    toks = tokens(F.col(text_col))
-    # the pre-explode length guard and n_grams both come from the CHEAP
-    # token split, never from size(shingles(...)) — a filter on the
-    # shingle array would be pushed to the scan by
-    # InferFiltersFromGenerate and re-evaluate the whole interpreted
-    # shingle transform per row (the repetition_signals pathology, which
-    # needed a checkpoint; deriving from size(tokens) needs none)
-    g = df.where(F.size(toks) >= k + w - 1).select(
-        F.col(id_col),
-        (F.size(toks) - F.lit(k - 1)).alias("n_grams"),
-        F.posexplode(shingles(toks, k)).alias("pos0", "gram"),
-    )
-    h32 = F.conv(F.md5("gram").substr(1, 8), 16, 10).cast("bigint")
-    key = h32 * F.lit(WINNOW_POS_SPACE) + (
-        F.lit(WINNOW_POS_SPACE - 1) - F.col("pos0")
-    )
-    from pyspark.sql import Window  # noqa: PLC0415
-
-    win = (
-        Window.partitionBy(id_col).orderBy("pos0").rowsBetween(0, w - 1)
-    )
-    selected = (
-        g.select(F.col(id_col), "n_grams", "pos0", key.alias("key"))
-        .withColumn("fp_key", F.min("key").over(win))
-        .where(F.col("pos0") <= F.col("n_grams") - w)
-        .select(F.col(id_col), "n_grams", "fp_key")
-        .distinct()
-    )
+    selected = _winnow_selection(df, text_col, id_col, k, w)
     return (
         selected.groupBy(id_col, "n_grams")
         .agg(
@@ -188,6 +196,52 @@ def winnowing_fingerprints(
             "n_fingerprints",
             "fp_set_checksum",
         )
+    )
+
+
+def winnowing_matches(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 2,
+    max_fp_df: int = 50,
+) -> DataFrame:
+    """Copy-detection pairs from winnowed fingerprints: ``(id_a, id_b,
+    n_shared)`` for documents sharing >= ``min_shared`` distinct
+    fingerprint HASHES (positions intentionally ignored — a moved
+    passage still matches). This is the MOSS match step on top of
+    ``winnowing_fingerprints``'s selection.
+
+    Scale shape: the fingerprint -> doc inverted index self-joins on
+    the hash — the same never-all-pairs pattern as
+    ``ngram_jaccard_pairs``, with the same hot-key guard: fingerprints
+    selected by more than ``max_fp_df`` documents are dropped before
+    the join (a fingerprint that common is corpus boilerplate, and its
+    contribution to any pair's count is the least informative), so the
+    join cost is bounded by ``max_fp_df * |index|``.
+    """
+    sel = (
+        _winnow_selection(df, text_col, id_col, k, w)
+        .select(F.col(id_col), F.shiftright("fp_key", 22).alias("fp_hash"))
+        .distinct()
+    )
+    rare = (
+        sel.groupBy("fp_hash")
+        .agg(F.count("*").alias("fp_df"))
+        .where(F.col("fp_df") <= max_fp_df)
+        .select("fp_hash")
+    )
+    indexed = sel.join(rare, "fp_hash")
+    a = indexed.select(F.col("fp_hash"), F.col(id_col).alias("id_a"))
+    b = indexed.select(F.col("fp_hash"), F.col(id_col).alias("id_b"))
+    return (
+        a.join(b, "fp_hash")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
     )
 
 

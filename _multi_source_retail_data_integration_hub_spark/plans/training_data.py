@@ -2716,3 +2716,78 @@ def q149_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.winnowing_fingerprints(
         _docs(spark, sf_dir), "text", "doc_id", k=_WINNOW_K, w=_WINNOW_W
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q150 — winnowing copy-detection matches: the MOSS match step over
+# q149's fingerprint selection. Capability class: substring-robust
+# duplicate/plagiarism pair detection — two documents sharing any
+# >= w + k - 1-token run share a fingerprint by the winnowing
+# guarantee, and pairs sharing >= min_shared distinct fingerprint
+# hashes surface here via a fingerprint->doc inverted index self-join
+# (never all-pairs; hot boilerplate fingerprints with document
+# frequency > max_fp_df are dropped, the ngram_jaccard stop-shingle
+# pattern). The synthetic corpus shares real token runs, so genuine
+# matches exist without any synthetic doubling (~100 pairs at sf0.01).
+# ---------------------------------------------------------------------------
+_WINNOW_MIN_SHARED = 2
+_WINNOW_MAX_FP_DF = 50
+
+
+@query(
+    "q150_winnowing_matches",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             len(toks) - {_WINNOW_K - 1} AS n_grams,
+             unnest(range(1, len(toks) - {_WINNOW_K - 2})) - 1 AS pos0,
+             unnest(list_transform(range(1, len(toks) - {_WINNOW_K - 2}),
+                    i -> array_to_string(
+                           list_slice(toks, i, i + {_WINNOW_K - 1}), ' ')))
+               AS gram
+      FROM base WHERE len(toks) >= {_WINNOW_K + _WINNOW_W - 1}
+    ),
+    keyed AS (
+      SELECT doc_id, n_grams, pos0,
+             CAST('0x' || substr(md5(gram), 1, 8) AS BIGINT) * {T.WINNOW_POS_SPACE}
+               + ({T.WINNOW_POS_SPACE - 1} - pos0) AS key
+      FROM grams
+    ),
+    wmin AS (
+      SELECT doc_id, n_grams, pos0,
+             MIN(key) OVER (PARTITION BY doc_id ORDER BY pos0
+                            ROWS BETWEEN CURRENT ROW
+                            AND {_WINNOW_W - 1} FOLLOWING) AS fp_key
+      FROM keyed
+    ),
+    sel AS (
+      SELECT DISTINCT doc_id, fp_key >> 22 AS fp_hash
+      FROM wmin WHERE pos0 <= n_grams - {_WINNOW_W}
+    ),
+    rare AS (
+      SELECT fp_hash FROM sel
+      GROUP BY 1 HAVING COUNT(*) <= {_WINNOW_MAX_FP_DF}
+    ),
+    indexed AS (SELECT s.* FROM sel s JOIN rare USING (fp_hash))
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM indexed a JOIN indexed b USING (fp_hash)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= {_WINNOW_MIN_SHARED}
+    ORDER BY 1, 2
+    """,
+)
+def q150_winnowing_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.winnowing_matches(
+        _docs(spark, sf_dir),
+        "text",
+        "doc_id",
+        k=_WINNOW_K,
+        w=_WINNOW_W,
+        min_shared=_WINNOW_MIN_SHARED,
+        max_fp_df=_WINNOW_MAX_FP_DF,
+    ).orderBy("id_a", "id_b")

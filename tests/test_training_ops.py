@@ -898,3 +898,38 @@ def test_winnowing_shared_run_guarantees_shared_fingerprint(spark):
     assert hashes("unrelated prefix words here " + shared) & hashes(
         shared + " totally different suffix tokens"
     )
+
+
+def test_winnowing_matches_shared_passage(spark):
+    passage = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = spark.createDataFrame(
+        [
+            (1, "intro words before " + passage + " and some outro"),
+            (2, passage + " entirely different continuation here now"),
+            (3, "nothing in common with either document at all whatsoever"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r.id_a, r.id_b): r.n_shared
+        for r in T.winnowing_matches(
+            df, "text", "doc_id", k=3, w=4, min_shared=1
+        ).collect()
+    }
+    assert (1, 2) in pairs  # the winnowing coverage guarantee
+    assert not any(3 in p for p in pairs)
+
+
+def test_winnowing_matches_hot_fingerprint_drop(spark):
+    # 60 docs all containing the same passage: its fingerprints have
+    # df=60 > max_fp_df=50, so they are dropped and NO pair emits —
+    # boilerplate must not quadratically blow up the join
+    passage = "common boilerplate header shared by every single document"
+    df = spark.createDataFrame(
+        [(i, passage + f" unique tail token{i} marker{i} end{i}") for i in range(60)],
+        "doc_id long, text string",
+    )
+    out = T.winnowing_matches(
+        df, "text", "doc_id", k=3, w=4, min_shared=1, max_fp_df=50
+    )
+    assert out.count() == 0
