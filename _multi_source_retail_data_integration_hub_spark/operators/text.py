@@ -106,12 +106,16 @@ def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 WINNOW_POS_SPACE = 1 << 22  # positions per doc the packed key can encode
 
 
-def _winnow_selection(
-    df: DataFrame, text_col: str, id_col: str, k: int, w: int
+def winnow_selection(
+    df: DataFrame, text_col: str, id_col: str, k: int = 3, w: int = 4
 ) -> DataFrame:
     """Distinct winnowing selections per doc: (id, n_grams, fp_key),
     fp_key = hash32 * 2^22 + (2^22 - 1 - pos). See
-    ``winnowing_fingerprints`` for the algorithm and determinism notes."""
+    ``winnowing_fingerprints`` for the algorithm and determinism notes.
+    Exposed so callers can materialize ONE selection and feed it to
+    both consumers via their ``selection=`` parameter (at scale the
+    selection is the stored artifact; the per-doc summary and the
+    match join both derive from it without re-fingerprinting)."""
     toks = tokens(F.col(text_col))
     # the pre-explode length guard and n_grams both come from the CHEAP
     # token split, never from size(shingles(...)) — a filter on the
@@ -146,6 +150,8 @@ def winnowing_fingerprints(
     id_col: str,
     k: int = 3,
     w: int = 4,
+    *,
+    selection: DataFrame | None = None,
 ) -> DataFrame:
     """Winnowed local fingerprints per document (Schleimer, Wilkerson,
     Aiken, "Winnowing: Local Algorithms for Document Fingerprinting",
@@ -178,9 +184,15 @@ def winnowing_fingerprints(
     aggregate. Nothing global, nothing quadratic; the fingerprint
     index this feeds (fingerprint -> doc inverted index) is the
     standard copy-detection join (``winnowing_matches``) and stays
-    equi-join-shaped.
+    equi-join-shaped. ``selection`` short-circuits the fingerprinting
+    with a precomputed ``winnow_selection`` table (k/w are then only
+    used for the n_windows arithmetic and must match the selection's).
     """
-    selected = _winnow_selection(df, text_col, id_col, k, w)
+    selected = (
+        selection
+        if selection is not None
+        else winnow_selection(df, text_col, id_col, k, w)
+    )
     return (
         selected.groupBy(id_col, "n_grams")
         .agg(
@@ -207,6 +219,8 @@ def winnowing_matches(
     w: int = 4,
     min_shared: int = 2,
     max_fp_df: int = 50,
+    *,
+    selection: DataFrame | None = None,
 ) -> DataFrame:
     """Copy-detection pairs from winnowed fingerprints: ``(id_a, id_b,
     n_shared)`` for documents sharing >= ``min_shared`` distinct
@@ -220,11 +234,19 @@ def winnowing_matches(
     selected by more than ``max_fp_df`` documents are dropped before
     the join (a fingerprint that common is corpus boilerplate, and its
     contribution to any pair's count is the least informative), so the
-    join cost is bounded by ``max_fp_df * |index|``.
+    join cost is bounded by ``max_fp_df * |index|``. ``selection``
+    short-circuits the fingerprinting with a precomputed
+    ``winnow_selection`` table.
     """
+    selected = (
+        selection
+        if selection is not None
+        else winnow_selection(df, text_col, id_col, k, w)
+    )
     sel = (
-        _winnow_selection(df, text_col, id_col, k, w)
-        .select(F.col(id_col), F.shiftright("fp_key", 22).alias("fp_hash"))
+        selected.select(
+            F.col(id_col), F.shiftright("fp_key", 22).alias("fp_hash")
+        )
         .distinct()
     )
     rare = (
