@@ -141,3 +141,63 @@ def test_dynamic_partition_pruning_on_fact_dim_join(spark, tmp_path):
     keys = [r.date_key for r in dim.where(F.col("month") == 2).collect()]
     want = fact.where(F.col("date_key").isin(keys)).count()
     assert joined.count() == want
+
+
+def test_winnow_selection_scan_filter_stays_cheap(spark):
+    """q149/q150's scale contract: the pre-explode length guard is
+    derived from size(split(...)), so InferFiltersFromGenerate must NOT
+    end up re-evaluating the interpreted shingle transform() inside the
+    scan-side Filter (the repetition_signals pathology — measured 2x+
+    on the whole query when it regresses)."""
+    from _multi_source_retail_data_integration_hub_spark.operators.text import (
+        winnow_selection,
+    )
+    from _multi_source_retail_data_integration_hub_spark.sources.testdata import (
+        load_table,
+    )
+
+    df = load_table(spark, "/root/testdata/sf0.001", "documents")
+    plan = winnow_selection(df, "text", "doc_id")._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Filter" in line and "transform(" in line:
+            raise AssertionError(
+                f"shingle transform leaked into a filter: {line.strip()[:200]}"
+            )
+
+
+def test_bigram_surprisal_broadcasts_unigram_lm(spark):
+    """q148's scale contract: the unigram (history-count) table is
+    vocabulary-bounded and must broadcast; the bigram LM join is the
+    only shuffle join."""
+    from _multi_source_retail_data_integration_hub_spark.operators.text import (
+        bigram_surprisal,
+    )
+    from _multi_source_retail_data_integration_hub_spark.sources.testdata import (
+        load_table,
+    )
+
+    df = load_table(spark, "/root/testdata/sf0.001", "documents")
+    plan = bigram_surprisal(df, "text", "doc_id")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_simhash_pairs_no_cartesian(spark):
+    """q147's scale contract: candidates come from the banded bucket
+    equi-join — never a cross join of the corpus."""
+    from _multi_source_retail_data_integration_hub_spark.operators.text import (
+        simhash,
+        simhash_pairs,
+    )
+    from _multi_source_retail_data_integration_hub_spark.sources.testdata import (
+        load_table,
+    )
+
+    df = load_table(spark, "/root/testdata/sf0.001", "documents")
+    sig = simhash(df, "text", "doc_id", bits=16)
+    plan = (
+        simhash_pairs(sig, "doc_id", bits=16, n_bands=2, hamming_max=1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
