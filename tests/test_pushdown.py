@@ -201,3 +201,37 @@ def test_simhash_pairs_no_cartesian(spark):
         .toString()
     )
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_parquet_aggregate_pushdown_reads_footers_only(spark):
+    """100 TB scale feature: with the DSv2 parquet reader,
+    MIN/MAX/COUNT global aggregates are answered from parquet footer
+    statistics — the scan's output schema IS the aggregate and no data
+    pages are decoded. (Timestamp min/max is not a supported pushdown
+    type and silently falls back to a normal scan, so the contract is
+    pinned on numeric columns.)"""
+    import pyspark.sql.functions as F
+
+    path = "/root/testdata/sf0.001/orders.parquet"
+    baseline = (
+        spark.read.parquet(path)
+        .agg(F.min("o_orderkey"), F.max("o_orderkey"), F.count("*"))
+        .collect()[0]
+    )
+    old_v1 = spark.conf.get("spark.sql.sources.useV1SourceList", None)
+    try:
+        spark.conf.set("spark.sql.sources.useV1SourceList", "")
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+        df = spark.read.parquet(path).agg(
+            F.min("o_orderkey"), F.max("o_orderkey"), F.count("*")
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        scan_lines = [l for l in plan.splitlines() if "BatchScan" in l]
+        assert scan_lines and "min(o_orderkey)" in scan_lines[0], scan_lines
+        assert df.collect()[0] == baseline
+    finally:
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", "false")
+        if old_v1 is None:
+            spark.conf.unset("spark.sql.sources.useV1SourceList")
+        else:
+            spark.conf.set("spark.sql.sources.useV1SourceList", old_v1)
