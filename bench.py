@@ -115,6 +115,12 @@ def main() -> None:
         pass  # warmup is best-effort; queries still run without it
 
     queries = entrymod.queries()
+    # Retired per-table guards stay registered for incident diagnosis
+    # but are demoted from the suite loop (r8 verdict ask #7): ~1.7 s/run
+    # of permanent diagnostic spend the window protocol no longer needs —
+    # q000 + q997 retain the generation bracket.
+    for g in getattr(entrymod, "_RETIRED_GUARDS", ()):
+        queries.pop(g, None)
     per_query: dict[str, float] = {}
     failures: dict[str, str] = {}
     # Numeric order (q01, q02, ...) — the same measurement convention as
@@ -130,10 +136,15 @@ def main() -> None:
     # per-round deltas (r7 verdict ask #5).
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "1")))
     steady_query: dict[str, float] = {}
+    # queries whose run 0 errored but a retry succeeded: their recorded
+    # "first" time is actually a WARM run (caches primed by the failed
+    # attempt), so cold-run totals are skewed — flag instead of hiding
+    # (r8 advice).
+    warm_first: list[str] = []
     for name, fn in sorted(queries.items()):
         first = best = None
         err = None
-        for _ in range(runs):
+        for run_idx in range(runs):
             t0 = time.perf_counter()
             try:
                 df = fn(spark, sf_dir)
@@ -144,7 +155,10 @@ def main() -> None:
                 err = f"{type(exc).__name__}: {exc}"[:200]
                 continue
             dt = time.perf_counter() - t0
-            first = dt if first is None else first
+            if first is None:
+                first = dt
+                if run_idx > 0:
+                    warm_first.append(name)
             best = dt if best is None else min(best, dt)
         if best is not None:
             per_query[name] = round(first, 3)
@@ -171,6 +185,8 @@ def main() -> None:
         # one-time Structured Streaming init, paid in warmup (not in any
         # per-query figure); q126's number is marginal stream cost
         out["streaming_startup_s"] = streaming_startup_s
+    if warm_first:
+        out["warm_first"] = warm_first
     if failures:
         out["failures"] = failures
     # Full machine-readable artifact on disk (the driver's BENCH_r{N}

@@ -48,26 +48,29 @@ def test_oracles_reference_only_registered_tables():
 
 def test_window_protocol_layout():
     """The self-diagnosing window protocol (CORRECTNESS_NOTES.md,
-    round 7): the driver records the first ~50 registered queries, so
-    the full fingerprint guard must be FIRST, the per-table guards
-    right behind it, and the end-of-window fingerprint twin pinned at
-    exactly position 50 — a refactor of _ordered() that silently moves
-    any of them breaks the bracket inference."""
+    rounds 7-9): the driver records the first ~50 registered queries,
+    so the fingerprint guard must be FIRST and the end-of-window
+    fingerprint twin pinned at exactly position 50 — a refactor of
+    _ordered() that silently moves either breaks the bracket
+    inference. Round-9 rotation (r8 verdict asks #1/#7): the per-table
+    guards are retired PAST the window (registered for incident use
+    only), and the backfill block is front-loaded with the three
+    queries whose rewired implementations were never driver-scored,
+    then the rest of the r5-generation block — all 25 must land inside
+    the recorded window."""
     names = list(entry.queries())
     assert names[0] == "q000_generation_fingerprint"
-    assert names[1:6] == [
-        "q00c_fingerprint_customer",
-        "q00d_fingerprint_documents",
-        "q00e_fingerprint_events",
-        "q00l_fingerprint_lineitem",
-        "q00o_fingerprint_orders",
-    ]
     assert names[49] == "q997_generation_fingerprint_tail"
-    # the chronic-red block sits mid-window, after the new-query block
-    reds = ["q81_heavy_hitters", "q103_priority_mix", "q128_key_skew_audit",
-            "q129_table_checksum", "q139_multilane_checksum"]
-    idx = [names.index(r) for r in reds]
-    assert idx == sorted(idx) and 5 <= idx[0] and idx[-1] < 20
+    # retired guards stay registered but OUTSIDE the recorded window
+    for g in entry._RETIRED_GUARDS:
+        assert names.index(g) > 49, f"{g} must sit past the window"
+    # the three never-driver-scored rewires lead the backfill, in order
+    rewired = ["q122_bm25_search", "q123_supplier_pagerank", "q132_rfm_segments"]
+    idx = [names.index(r) for r in rewired]
+    assert idx == sorted(idx) and idx[-1] < 20
+    # every r5-stale row fits in this window
+    stale_r5 = [q for q in entry._BACKFILL[:28] if q in names]
+    assert all(names.index(q) < 49 for q in stale_r5[:25])
     assert len(names) == len(set(names))
 
 
