@@ -113,25 +113,27 @@ def _sig_cache_key(spark: SparkSession, sf_dir: str, what: str):
 
 
 def clear_session_caches() -> int:
-    """Release every localCheckpointed table in the session caches
-    (signatures/pairs/labels/tokens/winnow selections + the collected
-    BPE rules) and
+    """Drop every session-cache entry (signatures/pairs/labels/tokens/
+    winnow selections/bigram bases + the collected BPE rules) and
     return how many entries were evicted. The caches model persisted
     upstream tables, so they deliberately live for the session — but a
     long-lived driver process that moves on from a corpus (or a memory
-    -pressure hook) can call this to drop the executor storage
-    (footprint ~= exploded token table + signature table for the
-    largest sf_dir touched; see SCALE.md). Consumers re-materialize
-    lazily on next use."""
+    -pressure hook) can call this to stop retaining them (footprint ~=
+    exploded token table + signature table for the largest sf_dir
+    touched; see SCALE.md). Consumers re-materialize lazily on next
+    use.
+
+    Release timing (r8 advice): the cached frames are
+    ``localCheckpoint``-ed, and checkpointed RDD blocks are NOT
+    registered with the SQL cache manager — ``DataFrame.unpersist()``
+    would be a no-op on them. Eviction here therefore works by
+    dropping the LAST Python/JVM references and letting Spark's
+    ContextCleaner reclaim the blocks when the RDD objects are
+    garbage-collected: deferred, not immediate. Callers needing
+    deterministic block release should persist+checkpoint explicitly
+    and unpersist their own handle instead of relying on this cache.
+    """
     n = len(_SIG_CACHE)
-    for entry in _SIG_CACHE.values():
-        # the cache holds localCheckpointed DataFrames plus the tiny
-        # collected BPE rule list (no executor storage to release)
-        if isinstance(entry, DataFrame):
-            try:
-                entry.unpersist()
-            except Exception:  # noqa: BLE001 — already-released blocks are fine
-                pass
     _SIG_CACHE.clear()
     return n
 
@@ -2610,7 +2612,29 @@ def q147_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # bit length — so the per-doc SUM is order-independent and the oracle
 # hash-matches exactly (a float sum of ln() probs would drift by ulps
 # and by addition order; see operators/text.py::bigram_surprisal).
+# Both LM joins (bigram AND unigram) are plain vocabulary-keyed
+# equi-joins with no broadcast hint — r8's forced unigram broadcast was
+# the flagged 100 TB scale-killer (a web-scale vocab is 1e8-1e9 rows);
+# tests/test_training_ops.py pins the hint-free plan.
 # ---------------------------------------------------------------------------
+def _bigram_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached ``(doc_id, _bigrams)`` frame for q148 — routes
+    bigram_surprisal's materialization through the _SIG_CACHE
+    discipline (r8 advice: the operator's internal per-invocation
+    localCheckpoint is untracked, so bench runs/sweeps would
+    accumulate checkpoint storage the session caches can't evict)."""
+    key = _sig_cache_key(spark, sf_dir, "bigram_base")
+    base = _SIG_CACHE.get(key)
+    if base is None:
+        d = _docs(spark, sf_dir)
+        toks = T.tokens(F.col("text"))
+        base = (
+            d.select(F.col("doc_id"), T.shingles(toks, 2).alias("_bigrams"))
+            .where(F.size(toks) >= 2)
+            .localCheckpoint(eager=False)
+        )
+        _SIG_CACHE[key] = base
+    return base
 @query(
     "q148_bigram_surprisal",
     oracle=f"""
@@ -2649,9 +2673,12 @@ def q147_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q148_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return T.bigram_surprisal(_docs(spark, sf_dir), "text", "doc_id").orderBy(
-        "doc_id"
-    )
+    return T.bigram_surprisal(
+        _docs(spark, sf_dir),
+        "text",
+        "doc_id",
+        base=_bigram_base(spark, sf_dir),
+    ).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------

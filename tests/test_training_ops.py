@@ -796,6 +796,26 @@ def test_bigram_surprisal_hand_computed(spark):
     assert d2.mean_milli_bits == 500
 
 
+def test_bigram_surprisal_no_forced_broadcast(spark):
+    """The unigram C(w) table is corpus-vocabulary-sized (1e8-1e9 rows
+    at web scale) — it must never sit under a broadcast HINT (the r8
+    scale-killer). AQE may still pick a runtime broadcast from actual
+    sizes at small sf; what this pins is that the CHOICE stays with
+    the planner: no join-strategy hint anywhere in q148's logical
+    plan."""
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c")], "doc_id long, text string"
+    )
+    out = T.bigram_surprisal(df, "text", "doc_id")
+    analyzed = out._jdf.queryExecution().analyzed().toString()
+    assert "UnresolvedHint" not in analyzed
+    assert "ResolvedHint" not in analyzed
+    optimized = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "strategy=broadcast" not in optimized
+    # both LM legs are plain equi-joins the planner is free to shuffle
+    assert "Join Inner" in optimized
+
+
 def test_bigram_surprisal_repeated_doc_zero_novelty(spark):
     # the same text twice: NO bigram is sole-source, so novelty is 0
     # for both docs and surprisal reflects shared counts
@@ -918,6 +938,24 @@ def test_winnowing_matches_shared_passage(spark):
     }
     assert (1, 2) in pairs  # the winnowing coverage guarantee
     assert not any(3 in p for p in pairs)
+
+
+def test_winnow_selection_pos_space_guard(spark, monkeypatch):
+    """The packed-key contract caps documents at 2^22 grams; beyond it
+    the position arithmetic would bleed into the hash bits. The guard
+    must RAISE, not silently corrupt (r8 advice). Exercised by
+    shrinking the pos space rather than building a 4M-token doc."""
+    import pytest
+
+    monkeypatch.setattr(T, "WINNOW_POS_SPACE", 8)
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(20)))], "doc_id long, text string"
+    )
+    with pytest.raises(Exception, match="exceeds 2\\^22 grams|ASSERT"):
+        T.winnow_selection(df, "text", "doc_id", k=3, w=4).collect()
+    # under the cap: no raise, selection intact
+    monkeypatch.setattr(T, "WINNOW_POS_SPACE", 1 << 22)
+    assert T.winnow_selection(df, "text", "doc_id", k=3, w=4).count() > 0
 
 
 def test_winnowing_matches_hot_fingerprint_drop(spark):
