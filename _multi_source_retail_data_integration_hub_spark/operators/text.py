@@ -287,6 +287,204 @@ def winnowing_matches(
     )
 
 
+def winnow_dup_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    w: int = 4,
+    max_fp_df: int = 50,
+    *,
+    selection: DataFrame | None = None,
+) -> DataFrame:
+    """Duplicated TOKEN SPANS per document from the winnowing
+    selection — the span-granularity exact-substring dedup of Lee et
+    al., "Deduplicating Training Data Makes Language Models Better"
+    (ACL 2022), re-expressed over winnowed fingerprints instead of a
+    suffix array: where ``winnowing_matches`` scores document PAIRS,
+    this EMITS the duplicated regions so they can be surgically
+    removed (``winnow_span_trim``).
+
+    Why the selection suffices (coverage argument): inside any run of
+    >= w + k - 1 tokens shared by two documents, the gram-hash
+    sequence is identical in both, so every window of ``w`` grams
+    fully inside the run selects the SAME gram in both documents (the
+    packed-key argmin compares (hash, rightmost-relative-position),
+    both identical within the run). The selected positions therefore
+    cover every shared run in BOTH documents with gram gaps <= w,
+    except for < w grams at each boundary — merging selected
+    duplicate positions whose gram gap is <= w chains each run into
+    ONE span, leaving at most w + k - 2 < w + k - 1 tokens of the run
+    untrimmed at each edge (too short to re-match by the winnowing
+    guarantee).
+
+    Keep-first policy (Lee et al. keep one occurrence): for each
+    duplicated fingerprint hash the document with the smallest id
+    keeps its copy; only positions in HIGHER-id documents are emitted.
+    Hashes selected by more than ``max_fp_df`` documents are corpus
+    boilerplate and excluded, same guard as ``winnowing_matches``
+    (boilerplate stripping is its own upstream operator).
+
+    Output: one row per (document, merged span) — ``span_start`` /
+    ``span_end`` (inclusive token offsets, 0-based), ``span_tokens``,
+    ``n_fps`` (matched fingerprints merged into the span).
+
+    Scale shape: the selection (linear, per-doc parallel), one
+    hash-keyed aggregate for (df, keeper), one equi-join back, one
+    per-doc window for the gaps-and-islands merge. Nothing pairwise —
+    cost is O(|selection|) regardless of how many document PAIRS share
+    a span (the pair-join of ``winnowing_matches`` is not needed to
+    locate spans).
+    """
+    selected = (
+        selection
+        if selection is not None
+        else winnow_selection(df, text_col, id_col, k, w)
+    )
+    occ = selected.select(
+        F.col(id_col),
+        F.shiftright("fp_key", 22).alias("fp_hash"),
+        (
+            F.lit(WINNOW_POS_SPACE - 1)
+            - F.pmod("fp_key", F.lit(WINNOW_POS_SPACE))
+        ).alias("pos0"),
+    )
+    stats = occ.groupBy("fp_hash").agg(
+        F.countDistinct(id_col).alias("fp_df"),
+        F.min(id_col).alias("keeper"),
+    )
+    dup = (
+        occ.join(
+            stats.where(
+                (F.col("fp_df") >= 2) & (F.col("fp_df") <= max_fp_df)
+            ),
+            "fp_hash",
+        )
+        .where(F.col(id_col) > F.col("keeper"))
+        .select(id_col, "pos0")
+        .distinct()
+    )
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    win = Window.partitionBy(id_col).orderBy("pos0")
+    flagged = dup.withColumn("_prev", F.lag("pos0").over(win)).withColumn(
+        "_new",
+        F.when(
+            F.col("_prev").isNull() | (F.col("pos0") - F.col("_prev") > w),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    islands = flagged.withColumn(
+        "_island",
+        F.sum("_new").over(win.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        islands.groupBy(id_col, "_island")
+        .agg(
+            F.min("pos0").cast("bigint").alias("span_start"),
+            (F.max("pos0") + F.lit(k - 1)).cast("bigint").alias("span_end"),
+            F.count("*").cast("bigint").alias("n_fps"),
+        )
+        .select(
+            F.col(id_col),
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+            "n_fps",
+        )
+    )
+
+
+def winnow_span_trim(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    w: int = 4,
+    max_fp_df: int = 50,
+    *,
+    spans: DataFrame | None = None,
+    selection: DataFrame | None = None,
+) -> DataFrame:
+    """Apply ``winnow_dup_spans`` surgically: remove every token
+    covered by a duplicated span (keep-first policy — the lowest-id
+    document keeps its copy) and rebuild the document from the kept
+    tokens. The remove-and-reassemble step of Lee et al.'s
+    exact-substring dedup.
+
+    Output per document (ALL documents, trimmed or not): ``n_before``
+    (token count), ``n_removed``, ``n_spans``, ``trimmed_md5`` (md5 of
+    the kept tokens joined by single spaces — documents fully covered
+    by spans hash the empty string). The md5 pins the exact
+    reassembled sequence without shipping the text; callers wanting
+    the text itself select ``trimmed_text`` before the final
+    projection (kept internal here so the oracle hash stays compact).
+
+    Merging already bridges intra-run gaps, so removal can only
+    CREATE a new cross-boundary adjacency shorter than w + k - 1
+    shared tokens on each side — below the winnowing match guarantee.
+    The property tests pin this: post-trim, no w + k - 1-token run of
+    a planted duplicate passage survives contiguously.
+
+    Scale shape: spans explode to covered positions (bounded by Σ doc
+    length), one anti equi-join against the position-exploded corpus,
+    one per-doc reassembly aggregate. No pairwise work, no window over
+    the corpus population.
+    """
+    span_df = (
+        spans
+        if spans is not None
+        else winnow_dup_spans(
+            df, text_col, id_col, k, w, max_fp_df, selection=selection
+        )
+    )
+    covered = span_df.select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(F.col("span_start"), F.col("span_end"))
+        ).alias("tpos"),
+    ).distinct()
+    span_stats = span_df.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_spans")
+    )
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(tokens(F.col(text_col))).alias("tpos", "tok"),
+    )
+    kept = toks.join(covered, [id_col, "tpos"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("tpos"), F.col("tok")))
+                ),
+                lambda s: s.getField("tok"),
+            ),
+        ).alias("trimmed_text"),
+    )
+    base = df.select(
+        F.col(id_col),
+        F.size(tokens(F.col(text_col))).cast("bigint").alias("n_before"),
+    )
+    return (
+        base.join(rebuilt, id_col, "left")
+        .join(span_stats, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_before",
+            (F.col("n_before") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_removed"),
+            F.coalesce(F.col("n_spans"), F.lit(0)).cast("bigint").alias("n_spans"),
+            F.md5(F.coalesce(F.col("trimmed_text"), F.lit(""))).alias(
+                "trimmed_md5"
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash signatures + LSH bands
 # ---------------------------------------------------------------------------

@@ -2605,6 +2605,83 @@ def q147_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q151 — the PRODUCTION-shape SimHash banded join: 32-bit fingerprints,
+# 4 bands of 8 bits, Hamming <= 3 (the Manku/Google configuration
+# COVERAGE.md cites, scaled to what md5 hex digits feed). r8 shipped
+# only the 16-bit/2-band/h<=1 demonstration under the driver gate
+# (q147) with 32/4/3 pinned by a brute-force unit test; this registers
+# the wide config itself so the driver scores a hamming_max > 1 banded
+# recall (r8 verdict What's-wrong #2). Same plan shape — band
+# equi-join, pigeonhole recall, exact bit_count(xor) verify, hot-bucket
+# drop — at production band width. The one-time ~4 s codegen for the
+# 32-aggregate fingerprint pass is accepted suite cost per the verdict.
+# ---------------------------------------------------------------------------
+_SIMHASH_WIDE_BITS = 32
+_SIMHASH_WIDE_BANDS = 4
+_SIMHASH_WIDE_HMAX = 3
+
+
+def _simhash_neardup_wide_sql() -> str:
+    width = _SIMHASH_WIDE_BITS // _SIMHASH_WIDE_BANDS
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+    ),
+    h AS (SELECT doc_id, md5(tok) AS h FROM toks),
+    pos AS (SELECT doc_id, h, unnest(range(1, {_SIMHASH_WIDE_BITS + 1})) AS i FROM h),
+    votes AS (
+      SELECT doc_id, i,
+             CASE WHEN strpos('0123456789abcdef', substr(h, CAST(i AS INT), 1)) - 1 >= 8
+                  THEN 1 ELSE -1 END AS vote
+      FROM pos
+    ),
+    bitsums AS (SELECT doc_id, i, SUM(vote) AS vs FROM votes GROUP BY 1, 2),
+    sig AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN vs >= 0 THEN CAST(1 AS BIGINT) << CAST(i - 1 AS INT)
+                           ELSE 0 END) AS BIGINT) AS simhash
+      FROM bitsums GROUP BY 1
+    ),
+    melted AS (
+      SELECT doc_id, simhash, band_id,
+             (simhash >> CAST(band_id * {width} AS INT)) & {(1 << width) - 1} AS bucket
+      FROM sig, (SELECT unnest(range(0, {_SIMHASH_WIDE_BANDS})) AS band_id)
+    ),
+    ok AS (
+      SELECT band_id, bucket FROM melted
+      GROUP BY 1, 2 HAVING COUNT(*) <= {_SIMHASH_MAX_BUCKET}
+    ),
+    kept AS (SELECT m.* FROM melted m JOIN ok USING (band_id, bucket)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.simhash AS ha, b.simhash AS hb
+      FROM kept a JOIN kept b USING (band_id, bucket)
+      WHERE a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(ha, hb)) <= {_SIMHASH_WIDE_HMAX}
+    ORDER BY id_a, id_b
+    """
+
+
+@query("q151_simhash_neardup_wide", oracle=_simhash_neardup_wide_sql())
+def q151_simhash_neardup_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = T.simhash(
+        _docs(spark, sf_dir), "text", "doc_id", bits=_SIMHASH_WIDE_BITS
+    )
+    pairs = T.simhash_pairs(
+        sig,
+        "doc_id",
+        bits=_SIMHASH_WIDE_BITS,
+        n_bands=_SIMHASH_WIDE_BANDS,
+        hamming_max=_SIMHASH_WIDE_HMAX,
+        max_bucket_size=_SIMHASH_MAX_BUCKET,
+    )
+    return pairs.orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
 # q148 — corpus-LM bigram novelty/surprisal. Capability class: LM-based
 # quality filtering (the KenLM-perplexity family): train bigram stats on
 # the corpus, score each doc's novelty (sole-source bigrams) and
@@ -2842,3 +2919,165 @@ def q150_winnowing_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_fp_df=_WINNOW_MAX_FP_DF,
         selection=_winnow_sel(spark, sf_dir),
     ).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# q152/q153 — span-granularity exact-substring dedup (Lee et al.,
+# "Deduplicating Training Data Makes Language Models Better", ACL 2022)
+# over the winnowing selection. q120 SCORES cross-doc gram duplication
+# and q150 finds the PAIRS; these EMIT the duplicated spans (q152) and
+# surgically remove them keep-first (q153) — the missing apply step of
+# the dedup pipeline (r8 verdict ask #5). Both derive from the SAME
+# materialized selection as q149/q150 (one fingerprinting pass feeds
+# four queries), and neither does pairwise work: span location is a
+# hash-keyed df/keeper aggregate + a per-doc gaps-and-islands window,
+# O(|selection|) however many pairs share a span. Coverage argument in
+# operators/text.py::winnow_dup_spans.
+# ---------------------------------------------------------------------------
+def _winnow_span_ctes() -> str:
+    """Shared oracle CTE chain ending in ``spans`` — the DuckDB twin of
+    winnow_selection -> winnow_dup_spans (keep-first, df-capped,
+    gap<=w merged)."""
+    return f"""
+    WITH base AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             len(toks) - {_WINNOW_K - 1} AS n_grams,
+             unnest(range(1, len(toks) - {_WINNOW_K - 2})) - 1 AS pos0,
+             unnest(list_transform(range(1, len(toks) - {_WINNOW_K - 2}),
+                    i -> array_to_string(
+                           list_slice(toks, i, i + {_WINNOW_K - 1}), ' ')))
+               AS gram
+      FROM base WHERE len(toks) >= {_WINNOW_K + _WINNOW_W - 1}
+    ),
+    keyed AS (
+      SELECT doc_id, n_grams, pos0,
+             CAST('0x' || substr(md5(gram), 1, 8) AS BIGINT) * {T.WINNOW_POS_SPACE}
+               + ({T.WINNOW_POS_SPACE - 1} - pos0) AS key
+      FROM grams
+    ),
+    wmin AS (
+      SELECT doc_id, n_grams, pos0,
+             MIN(key) OVER (PARTITION BY doc_id ORDER BY pos0
+                            ROWS BETWEEN CURRENT ROW
+                            AND {_WINNOW_W - 1} FOLLOWING) AS fp_key
+      FROM keyed
+    ),
+    sel AS (
+      SELECT DISTINCT doc_id, fp_key
+      FROM wmin WHERE pos0 <= n_grams - {_WINNOW_W}
+    ),
+    occ AS (
+      SELECT doc_id, fp_key >> 22 AS fp_hash,
+             {T.WINNOW_POS_SPACE - 1} - (fp_key % {T.WINNOW_POS_SPACE}) AS pos0
+      FROM sel
+    ),
+    stats AS (
+      SELECT fp_hash, COUNT(DISTINCT doc_id) AS fp_df, MIN(doc_id) AS keeper
+      FROM occ GROUP BY 1
+    ),
+    dup AS (
+      SELECT DISTINCT o.doc_id, o.pos0
+      FROM occ o JOIN stats s USING (fp_hash)
+      WHERE s.fp_df BETWEEN 2 AND {_WINNOW_MAX_FP_DF} AND o.doc_id > s.keeper
+    ),
+    flagged AS (
+      SELECT doc_id, pos0,
+             CASE WHEN pos0 - lag(pos0) OVER w IS NULL
+                  OR pos0 - lag(pos0) OVER w > {_WINNOW_W} THEN 1 ELSE 0 END
+               AS new_isl
+      FROM dup WINDOW w AS (PARTITION BY doc_id ORDER BY pos0)
+    ),
+    islands AS (
+      SELECT doc_id, pos0,
+             SUM(new_isl) OVER (PARTITION BY doc_id ORDER BY pos0) AS island
+      FROM flagged
+    ),
+    spans AS (
+      SELECT doc_id,
+             CAST(MIN(pos0) AS BIGINT) AS span_start,
+             CAST(MAX(pos0) + {_WINNOW_K - 1} AS BIGINT) AS span_end,
+             CAST(MAX(pos0) + {_WINNOW_K - 1} - MIN(pos0) + 1 AS BIGINT)
+               AS span_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_fps
+      FROM islands GROUP BY doc_id, island
+    )
+    """
+
+
+@query(
+    "q152_winnow_dup_spans",
+    oracle=_winnow_span_ctes()
+    + """
+    SELECT doc_id, span_start, span_end, span_tokens, n_fps
+    FROM spans ORDER BY doc_id, span_start
+    """,
+)
+def q152_winnow_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.winnow_dup_spans(
+        _docs(spark, sf_dir),
+        "text",
+        "doc_id",
+        k=_WINNOW_K,
+        w=_WINNOW_W,
+        max_fp_df=_WINNOW_MAX_FP_DF,
+        selection=_winnow_sel(spark, sf_dir),
+    ).orderBy("doc_id", "span_start")
+
+
+@query(
+    "q153_winnow_span_trim",
+    oracle=_winnow_span_ctes()
+    + """
+    ,
+    covered AS (
+      SELECT DISTINCT doc_id,
+             unnest(range(span_start, span_end + 1)) AS tpos
+      FROM spans
+    ),
+    toks_pos AS (
+      SELECT doc_id,
+             unnest(range(1, len(toks) + 1)) - 1 AS tpos,
+             unnest(toks) AS tok
+      FROM base
+    ),
+    kept AS (
+      SELECT t.doc_id, t.tpos, t.tok
+      FROM toks_pos t
+      WHERE NOT EXISTS (
+        SELECT 1 FROM covered c
+        WHERE c.doc_id = t.doc_id AND c.tpos = t.tpos
+      )
+    ),
+    rebuilt AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+             string_agg(tok, ' ' ORDER BY tpos) AS trimmed_text
+      FROM kept GROUP BY doc_id
+    ),
+    span_stats AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans
+      FROM spans GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           CAST(len(b.toks) AS BIGINT) AS n_before,
+           CAST(len(b.toks) - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed,
+           COALESCE(s.n_spans, CAST(0 AS BIGINT)) AS n_spans,
+           md5(COALESCE(r.trimmed_text, '')) AS trimmed_md5
+    FROM base b
+    LEFT JOIN rebuilt r USING (doc_id)
+    LEFT JOIN span_stats s USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def q153_winnow_span_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.winnow_span_trim(
+        _docs(spark, sf_dir),
+        "text",
+        "doc_id",
+        k=_WINNOW_K,
+        w=_WINNOW_W,
+        max_fp_df=_WINNOW_MAX_FP_DF,
+        selection=_winnow_sel(spark, sf_dir),
+    ).orderBy("doc_id")

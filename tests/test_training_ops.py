@@ -958,6 +958,132 @@ def test_winnow_selection_pos_space_guard(spark, monkeypatch):
     assert T.winnow_selection(df, "text", "doc_id", k=3, w=4).count() > 0
 
 
+def _apply_spans_py(text: str, spans) -> list[str]:
+    toks = text.split()
+    covered = set()
+    for s in spans:
+        covered.update(range(s.span_start, s.span_end + 1))
+    return [t for i, t in enumerate(toks) if i not in covered]
+
+
+def _has_shared_run(a_toks: list[str], b_toks: list[str], run: int) -> bool:
+    a_runs = {
+        tuple(a_toks[i : i + run]) for i in range(len(a_toks) - run + 1)
+    }
+    return any(
+        tuple(b_toks[i : i + run]) in a_runs
+        for i in range(len(b_toks) - run + 1)
+    )
+
+
+def test_winnow_dup_spans_planted_passage(spark):
+    # doc 1 (lowest id) keeps its copy; doc 2's planted passage is
+    # emitted as ONE merged span covering all but < w+k-1 tokens at
+    # each edge; unrelated doc 3 emits nothing
+    passage = " ".join(f"dup{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [
+            (1, "intro alpha beta " + passage + " outro gamma"),
+            (2, "different start words " + passage + " other ending here"),
+            (3, "nothing shared with either of the other documents at all"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = T.winnow_dup_spans(df, "text", "doc_id", k=3, w=4).collect()
+    by_doc = {}
+    for r in spans:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert 1 not in by_doc  # keep-first: the keeper is untouched
+    assert 3 not in by_doc
+    assert len(by_doc[2]) == 1  # gap<=w merging chains the run into ONE span
+    s = by_doc[2][0]
+    # doc 2's passage occupies token offsets [3, 32]; the span must sit
+    # inside it extended by at most the k-1 gram tail, and leave at most
+    # w + k - 2 tokens uncovered at each edge
+    k, w = 3, 4
+    assert s.span_start >= 3 and s.span_end <= 32 + (k - 1)
+    assert s.span_start - 3 <= w + k - 2
+    assert 32 - s.span_end <= w + k - 2
+    assert s.span_tokens == s.span_end - s.span_start + 1
+    assert s.n_fps >= 2
+
+
+def test_winnow_span_trim_kills_shared_runs(spark):
+    # THE dedup guarantee (r8 verdict ask #5): after keep-first span
+    # trimming, the trimmed document shares no contiguous run of
+    # >= w + k - 1 tokens with the kept document
+    k, w = 3, 4
+    passage = " ".join(f"p{i}" for i in range(40))
+    doc1 = "unique one two three " + passage + " tail x y z"
+    doc2 = "other prefix tokens here " + passage + " suffix q r s t"
+    df = spark.createDataFrame(
+        [(1, doc1), (2, doc2)], "doc_id long, text string"
+    )
+    spans = [
+        r for r in T.winnow_dup_spans(df, "text", "doc_id", k=k, w=w).collect()
+        if r.doc_id == 2
+    ]
+    assert spans
+    trimmed2 = _apply_spans_py(doc2, spans)
+    assert not _has_shared_run(doc1.split(), trimmed2, w + k - 1)
+    # and the operator's reassembly hash matches the python replay
+    import hashlib
+
+    out = {
+        r.doc_id: r
+        for r in T.winnow_span_trim(df, "text", "doc_id", k=k, w=w).collect()
+    }
+    assert out[1].n_removed == 0 and out[1].n_spans == 0
+    assert out[2].n_spans == len(spans)
+    assert out[2].n_before == len(doc2.split())
+    assert out[2].n_removed == len(doc2.split()) - len(trimmed2)
+    assert (
+        out[2].trimmed_md5
+        == hashlib.md5(" ".join(trimmed2).encode()).hexdigest()
+    )
+    assert (
+        out[1].trimmed_md5
+        == hashlib.md5(" ".join(doc1.split()).encode()).hexdigest()
+    )
+
+
+@pytest.mark.parametrize("seed", [7, 23, 99])
+def test_winnow_span_trim_randomized_property(spark, seed):
+    # randomized replay of the guarantee: random docs with a random
+    # planted shared passage; post-trim no w+k-1 run survives between
+    # the trimmed doc and ANY keeper
+    import random
+
+    rng = random.Random(seed)
+    k, w = 3, 4
+    vocab = [f"v{i}" for i in range(200)]
+    passage = " ".join(rng.choices(vocab, k=rng.randint(15, 40)))
+    docs = []
+    for i in range(1, 6):
+        body = rng.choices(vocab, k=rng.randint(10, 30))
+        cut = rng.randint(0, len(body))
+        text = " ".join(body[:cut]) + " " + passage + " " + " ".join(body[cut:])
+        docs.append((i, " ".join(text.split())))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    spans = T.winnow_dup_spans(df, "text", "doc_id", k=k, w=w).collect()
+    by_doc = {}
+    for r in spans:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    trimmed = {
+        i: _apply_spans_py(t, by_doc.get(i, [])) for i, t in docs
+    }
+    # doc 1 never trims (global keeper of every shared hash it holds)
+    for i, t in docs:
+        for j, u in docs:
+            if j >= i:
+                continue
+            # trimmed doc i vs ORIGINAL lower-id doc j: no shared run
+            assert not _has_shared_run(u.split(), trimmed[i], w + k - 1), (
+                f"seed={seed}: trimmed doc {i} still shares a "
+                f"{w + k - 1}-run with doc {j}"
+            )
+
+
 def test_winnowing_matches_hot_fingerprint_drop(spark):
     # 60 docs all containing the same passage: its fingerprints have
     # df=60 > max_fp_df=50, so they are dropped and NO pair emits —
