@@ -341,14 +341,7 @@ def winnow_dup_spans(
         if selection is not None
         else winnow_selection(df, text_col, id_col, k, w)
     )
-    occ = selected.select(
-        F.col(id_col),
-        F.shiftright("fp_key", 22).alias("fp_hash"),
-        (
-            F.lit(WINNOW_POS_SPACE - 1)
-            - F.pmod("fp_key", F.lit(WINNOW_POS_SPACE))
-        ).alias("pos0"),
-    )
+    occ = _winnow_occurrences(selected, id_col)
     stats = occ.groupBy("fp_hash").agg(
         F.countDistinct(id_col).alias("fp_df"),
         F.min(id_col).alias("keeper"),
@@ -364,10 +357,35 @@ def winnow_dup_spans(
         .select(id_col, "pos0")
         .distinct()
     )
+    return _merge_pos_islands(dup, id_col, k, w)
+
+
+def _winnow_occurrences(selected: DataFrame, id_col: str) -> DataFrame:
+    """Unpack a winnowing selection into ``(id, fp_hash, pos0)``
+    occurrence rows (the position half of the packed key inverted back
+    to a 0-based gram offset)."""
+    return selected.select(
+        F.col(id_col),
+        F.shiftright("fp_key", 22).alias("fp_hash"),
+        (
+            F.lit(WINNOW_POS_SPACE - 1)
+            - F.pmod("fp_key", F.lit(WINNOW_POS_SPACE))
+        ).alias("pos0"),
+    )
+
+
+def _merge_pos_islands(
+    pos: DataFrame, id_col: str, k: int, w: int
+) -> DataFrame:
+    """Gaps-and-islands merge of per-doc gram positions into token
+    spans: positions whose gram gap is <= w chain into one island
+    (winnowing selects at least once per w grams inside a shared run,
+    so intra-run gaps never split an island); each island becomes the
+    token interval [min pos, max pos + k - 1]."""
     from pyspark.sql import Window  # noqa: PLC0415
 
     win = Window.partitionBy(id_col).orderBy("pos0")
-    flagged = dup.withColumn("_prev", F.lag("pos0").over(win)).withColumn(
+    flagged = pos.withColumn("_prev", F.lag("pos0").over(win)).withColumn(
         "_new",
         F.when(
             F.col("_prev").isNull() | (F.col("pos0") - F.col("_prev") > w),
@@ -393,6 +411,54 @@ def winnow_dup_spans(
             "n_fps",
         )
     )
+
+
+def winnow_boilerplate_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    w: int = 4,
+    min_df: int = 51,
+    *,
+    selection: DataFrame | None = None,
+) -> DataFrame:
+    """Corpus-BOILERPLATE token spans per document — the complement of
+    ``winnow_dup_spans``: fingerprint hashes selected by at least
+    ``min_df`` documents mark template content (headers, footers,
+    navigation chrome, license blurbs — the C4/CCNet boilerplate
+    class), and unlike near-dup content it must be removed from EVERY
+    document, keeper included. Emitting it as merged spans makes
+    ``winnow_span_trim(spans=...)`` the apply step, so the dedup and
+    boilerplate pipelines share one selection, one merge operator, and
+    one trimmer.
+
+    Pick ``min_df`` one past the dedup cap (``max_fp_df``) and the two
+    span sets partition the duplicated-fingerprint mass: df in
+    [2, max_fp_df] -> keep-first dedup (q152), df >= min_df ->
+    strip-everywhere boilerplate (this operator).
+
+    Output and scale shape are identical to ``winnow_dup_spans``: one
+    hash-keyed df aggregate, one equi-join back, one per-doc
+    gaps-and-islands window — O(|selection|), never pairwise. The
+    hash-df skeleton is the same at 100 TB: the boilerplate table
+    (hashes with df >= min_df) is tiny relative to the corpus and the
+    join back is vocabulary-keyed.
+    """
+    selected = (
+        selection
+        if selection is not None
+        else winnow_selection(df, text_col, id_col, k, w)
+    )
+    occ = _winnow_occurrences(selected, id_col)
+    hot = (
+        occ.groupBy("fp_hash")
+        .agg(F.countDistinct(id_col).alias("fp_df"))
+        .where(F.col("fp_df") >= min_df)
+        .select("fp_hash")
+    )
+    pos = occ.join(hot, "fp_hash").select(id_col, "pos0").distinct()
+    return _merge_pos_islands(pos, id_col, k, w)
 
 
 def winnow_span_trim(

@@ -2934,10 +2934,15 @@ def q150_winnowing_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
 # O(|selection|) however many pairs share a span. Coverage argument in
 # operators/text.py::winnow_dup_spans.
 # ---------------------------------------------------------------------------
-def _winnow_span_ctes() -> str:
+def _winnow_span_ctes(
+    dup_pred: str = "s.fp_df BETWEEN 2 AND "
+    f"{_WINNOW_MAX_FP_DF} AND o.doc_id > s.keeper",
+) -> str:
     """Shared oracle CTE chain ending in ``spans`` — the DuckDB twin of
-    winnow_selection -> winnow_dup_spans (keep-first, df-capped,
-    gap<=w merged)."""
+    winnow_selection -> (winnow_dup_spans | winnow_boilerplate_spans):
+    only the ``dup_pred`` predicate over (fp_df, keeper) differs
+    between keep-first dedup (default) and strip-everywhere
+    boilerplate."""
     return f"""
     WITH base AS (
       SELECT doc_id, {_TOKS} AS toks FROM documents
@@ -2981,7 +2986,7 @@ def _winnow_span_ctes() -> str:
     dup AS (
       SELECT DISTINCT o.doc_id, o.pos0
       FROM occ o JOIN stats s USING (fp_hash)
-      WHERE s.fp_df BETWEEN 2 AND {_WINNOW_MAX_FP_DF} AND o.doc_id > s.keeper
+      WHERE {dup_pred}
     ),
     flagged AS (
       SELECT doc_id, pos0,
@@ -3081,3 +3086,42 @@ def q153_winnow_span_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_fp_df=_WINNOW_MAX_FP_DF,
         selection=_winnow_sel(spark, sf_dir),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q154 — corpus-boilerplate spans: the strip-everywhere complement of
+# q152 (C4/CCNet boilerplate class). Fingerprint hashes selected by
+# >= min_df documents are template content (headers/footers/license
+# blurbs); unlike near-dup content they are removed from EVERY doc, no
+# keeper. In production min_df sits one past the dedup cap so the two
+# span sets partition the duplicated-fingerprint mass (df in
+# [2, max_fp_df] keep-first dedup, df > max_fp_df boilerplate); the
+# REGISTERED threshold is tuned to the synthetic corpus's df tail
+# (max observed fingerprint df at sf0.01 is 7) so the driver row
+# exercises a non-empty hot set — the strip-everywhere unit test runs
+# the production-style 60-doc/df-51 shape. Shares the materialized
+# selection, the islands merge, and (via winnow_span_trim(spans=...))
+# the trimmer with q152/q153 — one fingerprinting pass feeds FIVE
+# queries.
+# ---------------------------------------------------------------------------
+_BOILER_MIN_DF = 5
+
+
+@query(
+    "q154_boilerplate_spans",
+    oracle=_winnow_span_ctes(dup_pred=f"s.fp_df >= {_BOILER_MIN_DF}")
+    + """
+    SELECT doc_id, span_start, span_end, span_tokens, n_fps
+    FROM spans ORDER BY doc_id, span_start
+    """,
+)
+def q154_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.winnow_boilerplate_spans(
+        _docs(spark, sf_dir),
+        "text",
+        "doc_id",
+        k=_WINNOW_K,
+        w=_WINNOW_W,
+        min_df=_BOILER_MIN_DF,
+        selection=_winnow_sel(spark, sf_dir),
+    ).orderBy("doc_id", "span_start")

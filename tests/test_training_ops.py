@@ -1097,3 +1097,55 @@ def test_winnowing_matches_hot_fingerprint_drop(spark):
         df, "text", "doc_id", k=3, w=4, min_shared=1, max_fp_df=50
     )
     assert out.count() == 0
+
+
+def test_winnow_boilerplate_spans_strip_everywhere(spark):
+    # the complement of the drop test above: the df=60 header IS the
+    # boilerplate signal — every document (keeper included) gets a span
+    # over it, and none over its unique tail
+    passage = "common boilerplate header shared by every single document"
+    n_head = len(passage.split())  # 9 tokens at offsets [0, 8]
+    # tails are unique in EVERY token so no gram crossing the header
+    # boundary is hot (a shared word there would extend the hot region)
+    docs = [
+        (i, passage + " " + " ".join(f"d{i}t{j}" for j in range(7)))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    spans = T.winnow_boilerplate_spans(
+        df, "text", "doc_id", k=3, w=4, min_df=51
+    ).collect()
+    by_doc = {}
+    for r in spans:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(range(60))  # EVERY doc, keeper included
+    k, w = 3, 4
+    for i, rows in by_doc.items():
+        assert len(rows) == 1
+        s = rows[0]
+        # span confined to the header (plus the k-1 gram tail may lap
+        # at most k-1 tokens into the unique tail via boundary grams —
+        # those grams are unique per doc, so they are NOT hot; the
+        # span must end within the header's gram range)
+        assert s.span_start <= w + k - 2
+        assert n_head - 1 - (w + k - 2) <= s.span_end <= n_head - 1
+    # composition: the shared trimmer applies boilerplate spans too
+    trimmed = {
+        r.doc_id: r
+        for r in T.winnow_span_trim(
+            df,
+            "text",
+            "doc_id",
+            k=3,
+            w=4,
+            spans=T.winnow_boilerplate_spans(
+                df, "text", "doc_id", k=3, w=4, min_df=51
+            ),
+        ).collect()
+    }
+    for i, text in docs:
+        r = trimmed[i]
+        assert r.n_spans == 1
+        assert r.n_removed == by_doc[i][0].span_tokens
+        # the unique tail always survives
+        assert r.n_before - r.n_removed >= 5
