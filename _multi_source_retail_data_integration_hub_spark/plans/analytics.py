@@ -120,11 +120,12 @@ def q01_monthly_sales_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q02_category_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
-    # part is the dimension side: broadcast it so the big fact never
-    # shuffles (reference hand-rolls this with a dict-map at
-    # etl/transform.py:364-369; here it is a real broadcast hash join).
+    # part is the dimension side (reference hand-rolls this with a
+    # dict-map at etl/transform.py:364-369; here it is a hash join).
+    # No broadcast HINT: part scales with SF, so the planner owns the
+    # decision — broadcast under the ceiling, shuffle join past it.
     joined = lineitem.join(
-        F.broadcast(part.select("p_partkey", "p_type")),
+        part.select("p_partkey", "p_type"),
         lineitem.l_partkey == part.p_partkey,
     )
     by_type = joined.groupBy(F.col("p_type").alias("category")).agg(
@@ -785,7 +786,7 @@ def q64_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     region = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
     joined = (
-        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
     )
@@ -837,7 +838,7 @@ def q65_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") > cutoff
     )
     joined = (
-        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
         .join(lineitem, lineitem.l_orderkey == orders.o_orderkey)
     )
     rev = F.sum(
@@ -1089,8 +1090,8 @@ def q82_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = (
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(supplier, lineitem.l_suppkey == supplier.s_suppkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
         .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
         .where(F.col("ns_key") != F.col("nc_key"))
@@ -1143,7 +1144,7 @@ def q83_returned_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     joined = (
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
     )
     rev = F.sum(
@@ -1196,9 +1197,9 @@ def q84_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
     joined = (
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .join(
-            F.broadcast(supplier),
+            supplier,
             (lineitem.l_suppkey == supplier.s_suppkey)
             & (supplier.s_nationkey == customer.c_nationkey),
         )
@@ -1261,7 +1262,7 @@ def q86_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("double")
     total = F.sum(rev_expr).cast("double")
     return (
-        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        lineitem.join(part, lineitem.l_partkey == part.p_partkey)
         .groupBy(
             F.year("l_shipdate").cast("bigint").alias("ship_year"),
             F.month("l_shipdate").cast("bigint").alias("ship_month"),
@@ -1337,10 +1338,10 @@ def q87_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     flows = (
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
         .join(F.broadcast(region), F.col("nc_region") == region.r_regionkey)
-        .join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
+        .join(supplier, lineitem.l_suppkey == supplier.s_suppkey)
         .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
         .groupBy(
             F.col("r_name").alias("market_region"),
@@ -1780,7 +1781,7 @@ def q133_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ords = load_table(spark, sf_dir, "orders").select(
         pseudo(F.col("o_custkey").cast("string")).alias("pseudo_key")
     )
-    joined = ords.join(F.broadcast(cust), "pseudo_key")
+    joined = ords.join(cust, "pseudo_key")
     return (
         joined.groupBy("c_mktsegment")
         .agg(

@@ -483,7 +483,7 @@ def q144_topn_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("o_totalprice").cast(DEC)).alias("spend_dec")
     )
     joined = spend.join(
-        F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+        customer.select("c_custkey", "c_mktsegment"),
         spend.o_custkey == F.col("c_custkey"),
     )
     ranked = grouped_topk(

@@ -76,8 +76,10 @@ def q46_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment"
     )
+    # customer scales with SF — no hint; the planner broadcasts it at
+    # bench scale from size stats and shuffle-joins past the ceiling
     base = orders.join(
-        F.broadcast(customer), orders.o_custkey == customer.c_custkey
+        customer, orders.o_custkey == customer.c_custkey
     ).select(
         F.year("o_orderdate").cast("long").alias("year"),
         F.col("c_mktsegment").alias("mktsegment"),

@@ -1157,8 +1157,10 @@ def q143_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q145_mart_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
+    # customer scales with SF — hint-free; planner broadcasts at
+    # bench scale, shuffle-joins when the dim outgrows the ceiling
     fact = orders.join(
-        F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+        customer.select("c_custkey", "c_mktsegment"),
         orders.o_custkey == F.col("c_custkey"),
     ).select(
         F.year("o_orderdate").cast("long").alias("order_year"),

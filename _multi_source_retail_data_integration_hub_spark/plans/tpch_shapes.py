@@ -99,8 +99,8 @@ def q88_best_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("best_price") == F.col("part_best")
     )
     return (
-        best.join(F.broadcast(part), best.l_partkey == part.p_partkey)
-        .join(F.broadcast(supplier), best.l_suppkey == supplier.s_suppkey)
+        best.join(part, best.l_partkey == part.p_partkey)
+        .join(supplier, best.l_suppkey == supplier.s_suppkey)
         .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
         .select(
             "p_partkey",
@@ -162,8 +162,8 @@ def q89_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.lit(0.5).cast("decimal(2,1)")
     )
     return (
-        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
-        .join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
+        lineitem.join(part, lineitem.l_partkey == part.p_partkey)
+        .join(supplier, lineitem.l_suppkey == supplier.s_suppkey)
         .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
         .groupBy(
             F.col("n_name").alias("nation"),
@@ -218,7 +218,7 @@ def q90_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("part_value")
             > F.col("total_value") * F.lit(0.0007).cast("decimal(5,5)")
         )
-        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .join(part, F.col("l_partkey") == part.p_partkey)
         .select(
             F.col("l_partkey").alias("p_partkey"),
             "p_name",
@@ -321,7 +321,7 @@ def q92_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total_rev") == F.col("max_rev")
     )
     return (
-        best.join(F.broadcast(supplier), best.supplier_no == supplier.s_suppkey)
+        best.join(supplier, best.supplier_no == supplier.s_suppkey)
         .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
         .select(
             "s_suppkey",
@@ -370,11 +370,11 @@ def q93_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         pairs.join(
-            F.broadcast(excluded),
+            excluded,
             pairs.l_suppkey == excluded.s_suppkey,
             "left_anti",
         )
-        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .join(part, F.col("l_partkey") == part.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
@@ -415,13 +415,13 @@ def q94_small_order_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     pl = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_partkey", "l_quantity", "l_extendedprice")
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
         .drop("p_partkey")
     )
     # AVG over integer-valued doubles: partial sums are exact in IEEE
     # for any order, so Spark and DuckDB agree bit-for-bit
     avgq = pl.groupBy("l_partkey").agg(F.avg("l_quantity").alias("avg_qty"))
-    small = pl.join(F.broadcast(avgq), "l_partkey").where(
+    small = pl.join(avgq, "l_partkey").where(
         F.col("l_quantity") < 0.5 * F.col("avg_qty")
     )
     return small.agg(
@@ -469,7 +469,7 @@ def q95_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         big.join(orders, big.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .select(
             "c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice",
             "sum_qty",
@@ -519,7 +519,7 @@ def q96_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     # equi-join on partkey first; the OR stays a residual filter so the
     # plan is a broadcast hash join, not a nested loop
     return (
-        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        lineitem.join(part, lineitem.l_partkey == part.p_partkey)
         .where(
             arm("Brand#1", 1, 10, 1, 20)
             | arm("Brand#2", 11, 25, 10, 30)
@@ -573,7 +573,7 @@ def q97_excess_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     excess = (
-        lineitem.join(F.broadcast(red_parts), F.col("l_partkey") == F.col("p_partkey"))
+        lineitem.join(red_parts, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum("l_quantity").alias("qty"))
         .where(F.col("qty") > 40)
@@ -646,7 +646,7 @@ def q98_sole_failing_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         culprits.groupBy("failing_supp")
         .agg(F.count("*").alias("numwait"))
         .join(
-            F.broadcast(supplier), F.col("failing_supp") == supplier.s_suppkey
+            supplier, F.col("failing_supp") == supplier.s_suppkey
         )
         .select("s_name", "s_suppkey", "numwait")
         .orderBy(F.desc("numwait"), "s_suppkey")

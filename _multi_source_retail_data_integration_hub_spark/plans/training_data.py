@@ -708,8 +708,13 @@ def q47_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     df_counts = tf.groupBy("term").agg(F.count("*").alias("df"))
     w = Window.partitionBy("doc_id").orderBy("df", F.desc("tf"), "term")
+    # df_counts is VOCABULARY-cardinality (1e8-1e9 distinct tokens at
+    # web scale) — the same class as q148's r8-flagged unigram table,
+    # so no broadcast hint: tf and df_counts are both term-keyed, the
+    # planner co-partitions the shuffle join (and still broadcasts at
+    # small sf from runtime sizes).
     ranked = (
-        tf.join(F.broadcast(df_counts), "term")
+        tf.join(df_counts, "term")
         .withColumn("term_rank", F.row_number().over(w))
         .where(F.col("term_rank") <= 3)
     )

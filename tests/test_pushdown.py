@@ -165,10 +165,15 @@ def test_winnow_selection_scan_filter_stays_cheap(spark):
             )
 
 
-def test_bigram_surprisal_broadcasts_unigram_lm(spark):
-    """q148's scale contract: the unigram (history-count) table is
-    vocabulary-bounded and must broadcast; the bigram LM join is the
-    only shuffle join."""
+def test_bigram_surprisal_planner_owns_unigram_join(spark):
+    """q148's scale contract, REVISED in round 9: the unigram table is
+    VOCABULARY-cardinality (1e8-1e9 distinct tokens at web scale), so
+    it must never be hint-broadcast (the r8 verdict scale-killer). At
+    tiny sf the planner still picks a broadcast from size statistics —
+    asserted here as the small-scale behavior — but the analyzed plan
+    must carry NO join-strategy hint, so the same code shuffle-joins
+    once the vocab outgrows the ceiling (the companion hint-free test
+    lives in test_training_ops.py)."""
     from _multi_source_retail_data_integration_hub_spark.operators.text import (
         bigram_surprisal,
     )
@@ -177,8 +182,9 @@ def test_bigram_surprisal_broadcasts_unigram_lm(spark):
     )
 
     df = load_table(spark, "/root/testdata/sf0.001", "documents")
-    plan = bigram_surprisal(df, "text", "doc_id")._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan
+    out = bigram_surprisal(df, "text", "doc_id")
+    assert "BroadcastHashJoin" in out._jdf.queryExecution().executedPlan().toString()
+    assert "ResolvedHint" not in out._jdf.queryExecution().analyzed().toString()
 
 
 def test_simhash_pairs_no_cartesian(spark):
