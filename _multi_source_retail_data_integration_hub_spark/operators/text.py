@@ -1135,6 +1135,114 @@ def bigram_surprisal(
     )
 
 
+DSIR_BUCKETS = 4096  # hashed n-gram feature space (bounded by construction)
+
+
+def dsir_importance(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    target_pred: Column,
+    n_buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """Per-document DSIR-style importance score against a declared
+    target subset (Xie et al. 2023, "Data Selection for Language Models
+    via Importance Resampling"): hashed bigram features, per-feature
+    log-ratio of target-vs-raw probability, summed per document. High
+    score = the document's feature profile looks like the target
+    distribution — the data-SELECTION family (DSIR, DoReMi, fastText
+    quality classifiers), distinct from the dedup and quality-signal
+    families already in this module.
+
+    Kept in exact integer arithmetic per the registry determinism
+    convention (same ``floor_log2``-via-bit-length quantization as
+    ``bigram_surprisal``, exact to 1 bit/term and order-independent
+    where a float SUM of log-ratios is not):
+
+    - features: bigrams hashed into ``n_buckets`` buckets via the md5
+      cross-engine recipe (first 8 hex digits -> BIGINT -> mod).
+    - per-bucket counts ``c_tgt`` (target subset) / ``c_raw`` (whole
+      corpus), +1 smoothed so unseen-in-target buckets stay finite.
+    - ``score_bits`` = sum over doc features of
+      ``cnt * (bit_len(c_tgt+1) - bit_len(c_raw+1))``
+      ``+ n_feats * (bit_len(raw_total+1) - bit_len(tgt_total+1))``
+      — the integer quantization of ``sum cnt * log2(p_tgt/p_raw)``.
+    - ``n_tgt_feats``: feature occurrences whose bucket the target has
+      seen at all (model-coverage diagnostic).
+
+    Scale shape: ONE bigram explode feeds both model builds and the
+    scoring join; every join is keyed on the bucket id, and the bucket
+    tables are bounded by construction (<= ``n_buckets`` rows), so the
+    planner broadcasts them from size statistics at any corpus scale —
+    no hint needed, and no corpus-cardinality relation ever sits under
+    a BroadcastExchange. The totals frame is a 1-row scalar combined
+    via the allowlisted 1-row cross-join pattern. Documents with < 2
+    tokens have no bigram features and are excluded by contract,
+    mirroring ``bigram_surprisal``.
+    """
+    toks = tokens(F.col(text_col))
+    bg = (
+        df.where(F.size(toks) >= 2)
+        .select(
+            F.col(id_col),
+            target_pred.alias("_is_tgt"),
+            F.explode(shingles(toks, 2)).alias("bigram"),
+        )
+        .select(
+            id_col,
+            "_is_tgt",
+            F.pmod(
+                F.conv(F.md5(F.col("bigram")).substr(1, 8), 16, 10).cast("bigint"),
+                F.lit(n_buckets),
+            ).alias("bkt"),
+        )
+    )
+    # per-(doc, bucket) counts: shrinks every downstream join/agg input
+    # to distinct buckets per doc (map-side combined)
+    per_doc = bg.groupBy(id_col, F.col("_is_tgt"), F.col("bkt")).agg(
+        F.count("*").alias("cnt")
+    )
+    c_raw = per_doc.groupBy("bkt").agg(F.sum("cnt").alias("c_raw"))
+    c_tgt = (
+        per_doc.where(F.col("_is_tgt"))
+        .groupBy("bkt")
+        .agg(F.sum("cnt").alias("c_tgt"))
+    )
+    totals = c_raw.join(c_tgt, "bkt", "left").agg(
+        F.sum("c_raw").cast("bigint").alias("raw_total"),
+        F.sum(F.coalesce("c_tgt", F.lit(0))).cast("bigint").alias("tgt_total"),
+    )
+    bit_len = lambda c: F.length(F.bin(c))  # noqa: E731  floor_log2(x) + 1
+    smoothed_tgt = F.coalesce("c_tgt", F.lit(0)) + F.lit(1)
+    scored = (
+        per_doc.join(c_raw, "bkt")
+        .join(c_tgt, "bkt", "left")
+        .groupBy(id_col, "_is_tgt")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_feats"),
+            F.sum(F.when(F.col("c_tgt").isNotNull(), F.col("cnt")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("n_tgt_feats"),
+            F.sum(F.col("cnt") * (bit_len(smoothed_tgt) - bit_len(F.col("c_raw") + 1)))
+            .cast("bigint")
+            .alias("_ratio_bits"),
+        )
+    )
+    return scored.crossJoin(F.broadcast(totals)).select(
+        id_col,
+        F.col("_is_tgt").alias("is_target"),
+        "n_feats",
+        "n_tgt_feats",
+        (
+            F.col("_ratio_bits")
+            + F.col("n_feats")
+            * (bit_len(F.col("raw_total") + 1) - bit_len(F.col("tgt_total") + 1))
+        )
+        .cast("bigint")
+        .alias("score_bits"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Quality / language heuristics
 # ---------------------------------------------------------------------------

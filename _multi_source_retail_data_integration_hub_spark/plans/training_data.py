@@ -3130,3 +3130,149 @@ def q154_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_df=_BOILER_MIN_DF,
         selection=_winnow_sel(spark, sf_dir),
     ).orderBy("doc_id", "span_start")
+
+
+# ---------------------------------------------------------------------------
+# q155 — DSIR importance scoring (Xie et al. 2023): score every document
+# by how target-like its hashed-bigram feature profile is, against a
+# declared target subset (here lang='en', the classic "select web data
+# that looks like the target domain" setup). Capability class: data
+# SELECTION — the third leg of corpus curation next to dedup and
+# quality signals; DoReMi / fastText-classifier filtering are the same
+# shape with different weight tables. Integer-exact floor-log2
+# arithmetic per the registry determinism convention (see the operator
+# docstring, operators/text.py::dsir_importance).
+#
+# Scale shape: one bigram explode; every join keyed on the hashed
+# bucket id whose table is bounded by construction (DSIR_BUCKETS
+# rows) — the planner broadcasts the model tables from size stats at
+# any corpus scale, and no corpus-cardinality relation is ever hinted.
+# ---------------------------------------------------------------------------
+DSIR_TARGET_LANG = "en"
+
+_DSIR_CTES = f"""
+    WITH base AS (
+      SELECT doc_id, lang, {_TOKS} AS toks FROM documents
+    ),
+    bg0 AS (
+      SELECT doc_id, (lang = '{DSIR_TARGET_LANG}') AS is_tgt,
+             unnest(list_transform(range(1, len(toks)),
+                    i -> array_to_string(list_slice(toks, i, i + 1), ' ')))
+               AS bigram
+      FROM base WHERE len(toks) >= 2
+    ),
+    bg AS (
+      SELECT doc_id, is_tgt,
+             CAST('0x' || substr(md5(bigram), 1, 8) AS BIGINT)
+               % {T.DSIR_BUCKETS} AS bkt
+      FROM bg0
+    ),
+    pd AS (
+      SELECT doc_id, is_tgt, bkt, COUNT(*) AS cnt FROM bg GROUP BY 1, 2, 3
+    ),
+    craw AS (SELECT bkt, CAST(SUM(cnt) AS BIGINT) AS c_raw FROM pd GROUP BY 1),
+    ctgt AS (
+      SELECT bkt, CAST(SUM(cnt) AS BIGINT) AS c_tgt
+      FROM pd WHERE is_tgt GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(SUM(r.c_raw) AS BIGINT) AS raw_total,
+             CAST(SUM(COALESCE(t.c_tgt, 0)) AS BIGINT) AS tgt_total
+      FROM craw r LEFT JOIN ctgt t USING (bkt)
+    ),
+    scored AS (
+      SELECT p.doc_id, p.is_tgt,
+             CAST(SUM(p.cnt) AS BIGINT) AS n_feats,
+             CAST(SUM(CASE WHEN t.c_tgt IS NOT NULL THEN p.cnt ELSE 0 END)
+                  AS BIGINT) AS n_tgt_feats,
+             CAST(SUM(p.cnt * (length(bin(COALESCE(t.c_tgt, 0) + 1))
+                               - length(bin(r.c_raw + 1)))) AS BIGINT)
+               AS ratio_bits
+      FROM pd p JOIN craw r USING (bkt) LEFT JOIN ctgt t USING (bkt)
+      GROUP BY 1, 2
+    ),
+    dsir AS (
+      SELECT s.doc_id, s.is_tgt AS is_target, s.n_feats, s.n_tgt_feats,
+             CAST(s.ratio_bits
+                  + s.n_feats * (length(bin(tot.raw_total + 1))
+                                 - length(bin(tot.tgt_total + 1)))
+                  AS BIGINT) AS score_bits
+      FROM scored s CROSS JOIN tot
+    )
+"""
+
+
+def _dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached per-doc DSIR score frame shared by q155/q156 —
+    same _SIG_CACHE discipline as _winnow_sel: in a real pipeline the
+    importance scores are a persisted curation table consumed by many
+    selection jobs, not a per-query recompute."""
+    key = _sig_cache_key(spark, sf_dir, "dsir")
+    s = _SIG_CACHE.get(key)
+    if s is None:
+        s = T.dsir_importance(
+            _docs(spark, sf_dir),
+            "text",
+            "doc_id",
+            F.col("lang") == DSIR_TARGET_LANG,
+        ).localCheckpoint()
+        _SIG_CACHE[key] = s
+    return s
+
+
+@query(
+    "q155_dsir_importance",
+    oracle=_DSIR_CTES
+    + """
+    SELECT doc_id, is_target, n_feats, n_tgt_feats, score_bits
+    FROM dsir ORDER BY doc_id
+    """,
+)
+def q155_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dsir_scores(spark, sf_dir).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q156 — quota-constrained importance selection: the resampling half of
+# DSIR, made deterministic — within each language take the K documents
+# whose feature profile scores most target-like (score desc, doc_id
+# tiebreak). Composes the shared score table with grouped_topk, so the
+# plan is one hash-partitioned exchange on lang with per-partition
+# top-K heaps (WindowGroupLimit) — a billion-doc language never fully
+# sorts. The per-language quota is how production mixtures keep
+# low-resource languages from being starved by a global threshold.
+# ---------------------------------------------------------------------------
+DSIR_QUOTA_K = 10
+
+
+@query(
+    "q156_dsir_select",
+    oracle=_DSIR_CTES
+    + f"""
+    ,
+    ranked AS (
+      SELECT d.lang, s.doc_id, s.score_bits,
+             CAST(ROW_NUMBER() OVER (PARTITION BY d.lang
+                   ORDER BY s.score_bits DESC, s.doc_id) AS BIGINT) AS rank
+      FROM dsir s JOIN documents d USING (doc_id)
+    )
+    SELECT lang, doc_id, score_bits, rank
+    FROM ranked WHERE rank <= {DSIR_QUOTA_K}
+    ORDER BY lang, rank
+    """,
+)
+def q156_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ranking import grouped_topk
+
+    scores = _dsir_scores(spark, sf_dir)
+    langs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return (
+        grouped_topk(
+            scores.join(langs, "doc_id"),
+            ["lang"],
+            [F.desc("score_bits"), F.asc("doc_id")],
+            DSIR_QUOTA_K,
+        )
+        .select("lang", "doc_id", "score_bits", "rank")
+        .orderBy("lang", "rank")
+    )

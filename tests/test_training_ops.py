@@ -1149,3 +1149,105 @@ def test_winnow_boilerplate_spans_strip_everywhere(spark):
         assert r.n_removed == by_doc[i][0].span_tokens
         # the unique tail always survives
         assert r.n_before - r.n_removed >= 5
+
+
+# ---------------------------------------------------------------------------
+# dsir_importance (DSIR hashed-bigram importance scoring)
+# ---------------------------------------------------------------------------
+
+
+def _dsir_py(docs: dict, target_ids: set, nb: int = T.DSIR_BUCKETS):
+    """Reference implementation straight from the operator contract:
+    hashed-bigram bucket counts, +1-smoothed floor-log2 target/raw
+    ratio (bit_length == length(bin(x)) for x >= 1), totals offset."""
+    import hashlib
+
+    feats = {}
+    for i, t in docs.items():
+        toks = t.split()
+        if len(toks) < 2:
+            continue
+        f: dict = {}
+        for a, b in zip(toks, toks[1:]):
+            bkt = int(hashlib.md5(f"{a} {b}".encode()).hexdigest()[:8], 16) % nb
+            f[bkt] = f.get(bkt, 0) + 1
+        feats[i] = f
+    c_raw: dict = {}
+    c_tgt: dict = {}
+    for i, f in feats.items():
+        for b, c in f.items():
+            c_raw[b] = c_raw.get(b, 0) + c
+            if i in target_ids:
+                c_tgt[b] = c_tgt.get(b, 0) + c
+    raw_total = sum(c_raw.values())
+    tgt_total = sum(c_tgt.values())
+    out = {}
+    for i, f in feats.items():
+        n = sum(f.values())
+        n_tgt = sum(c for b, c in f.items() if b in c_tgt)
+        score = sum(
+            c * ((c_tgt.get(b, 0) + 1).bit_length() - (c_raw[b] + 1).bit_length())
+            for b, c in f.items()
+        )
+        score += n * ((raw_total + 1).bit_length() - (tgt_total + 1).bit_length())
+        out[i] = (n, n_tgt, score)
+    return out
+
+
+def test_dsir_importance_matches_pure_python(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "en"),
+        (2, "the quick brown cat naps under the warm sun", "en"),
+        (3, "pack my box with five dozen quick brown jugs", "en"),
+        (4, "der schnelle braune fuchs springt sehr hoch", "de"),
+        (5, "le renard brun rapide saute par dessus", "fr"),
+        (6, "the quick brown fox naps under the dog", "de"),
+        (7, "zzz", "en"),  # single token: excluded by contract
+        (8, "", "fr"),  # empty: excluded
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {
+        r.doc_id: (r.n_feats, r.n_tgt_feats, r.score_bits, r.is_target)
+        for r in T.dsir_importance(
+            df, "text", "doc_id", F.col("lang") == "en"
+        ).collect()
+    }
+    docs = {i: t for i, t, _ in rows}
+    expected = _dsir_py(docs, {i for i, _, lang in rows if lang == "en"})
+    assert set(got) == set(expected)  # 7/8 excluded
+    for i, (n, n_tgt, score) in expected.items():
+        assert got[i][:3] == (n, n_tgt, score), f"doc {i}"
+        assert got[i][3] == (dict((r[0], r[2]) for r in rows)[i] == "en")
+
+
+def test_dsir_importance_scores_target_like_docs_higher(spark):
+    # target profile is 't t' bigrams; doc 20 (non-target text matching
+    # the target profile) must outscore doc 21 (bigrams the target has
+    # never seen), since only doc 20's buckets have target mass
+    rows = [(i, "t t t t t", "en") for i in range(10)] + [
+        (20, "t t t t t", "de"),
+        (21, "z z z z z", "de"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {
+        r.doc_id: r.score_bits
+        for r in T.dsir_importance(
+            df, "text", "doc_id", F.col("lang") == "en"
+        ).collect()
+    }
+    assert got[20] > got[21]
+
+
+def test_dsir_importance_no_corpus_scale_broadcast_hint(spark):
+    """The only broadcast HINT in the DSIR pipeline is the 1-row totals
+    scalar; the model tables join hint-free (they are bounded by
+    construction at DSIR_BUCKETS rows, so the planner broadcasts them
+    from size statistics — the decision stays with the planner)."""
+    df = spark.createDataFrame(
+        [(1, "a b c", "en"), (2, "b c d", "de")],
+        "doc_id long, text string, lang string",
+    )
+    out = T.dsir_importance(df, "text", "doc_id", F.col("lang") == "en")
+    analyzed = out._jdf.queryExecution().analyzed().toString()
+    # exactly one hint: the totals scalar
+    assert analyzed.count("ResolvedHint") + analyzed.count("UnresolvedHint") <= 1

@@ -78,6 +78,8 @@ DEFAULT_QUERIES = [
     "q152_winnow_dup_spans",
     "q153_winnow_span_trim",
     "q154_boilerplate_spans",
+    "q155_dsir_importance",
+    "q156_dsir_select",
 ]
 
 
@@ -124,10 +126,29 @@ def _winnow_span_trim_uncached(spark, sf_dir):
     )
 
 
+def _dsir_importance_uncached(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from _multi_source_retail_data_integration_hub_spark.operators.text import (
+        dsir_importance,
+    )
+    from _multi_source_retail_data_integration_hub_spark.sources.testdata import (
+        load_table,
+    )
+
+    return dsir_importance(
+        load_table(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        F.col("lang") == "en",
+    )
+
+
 EXTRA_PLANS = {
     "winnow_selection (uncached operator; feeds q149/q150/q152/q153)": _winnow_selection_uncached,
     "bigram_surprisal (uncached operator; q148 — unigram leg must NOT be hint-broadcast)": _bigram_surprisal_uncached,
     "winnow_span_trim (uncached operator; q153 end-to-end)": _winnow_span_trim_uncached,
+    "dsir_importance (uncached operator; q155/q156 — model joins keyed on the bounded bucket table; the only broadcast is the 1-row totals scalar)": _dsir_importance_uncached,
 }
 
 
