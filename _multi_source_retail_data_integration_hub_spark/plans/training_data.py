@@ -2339,8 +2339,8 @@ def _bm25_sql() -> str:
     """
 
 
-@query("q122_bm25_search", oracle=_bm25_sql())
-def q122_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _bm25_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q122's ranked BM25 result, shared with the q157 hybrid fusion."""
     # shared session token table feeds dl (all terms) and tf (query
     # terms only) without re-tokenizing the corpus
     toks = _doc_tokens(spark, sf_dir).withColumnRenamed("token", "term")
@@ -2394,6 +2394,11 @@ def q122_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.desc("score"), F.asc("doc_id")],
         BM25_TOPK,
     ).select("rank", "doc_id", "n_matched", "score")
+
+
+@query("q122_bm25_search", oracle=_bm25_sql())
+def q122_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _bm25_ranked(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------
@@ -3276,3 +3281,94 @@ def q156_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "doc_id", "score_bits", "rank")
         .orderBy("lang", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# q157 — hybrid retrieval fusion (Reciprocal Rank Fusion, Cormack et
+# al. SIGIR'09): fuse the BM25 keyword ranking (q122's pipeline,
+# shared) with an exact embedding-cosine ranking for the aligned query
+# (vec_id HYBRID_QV's embedding; the synthetic embeddings table is
+# row-aligned with documents by id). Capability class: hybrid
+# lexical+dense retrieval — the production RAG pattern where neither
+# leg alone ranks well. RRF contributions are kept integer
+# (1000000 DIV (k + rank)) so the fused scores are exact in both
+# engines; a doc absent from one leg's top-K contributes 0 from that
+# leg (rank sentinel 0 = "not retrieved by this leg").
+#
+# Scale shape: each leg is already a registered scale path (BM25:
+# term-bounded tf join + ranked_topk; ANN: shuffle-free mapInPandas
+# partial top-k). The fusion itself joins two <= topK-row frames —
+# driver-trivial at any corpus scale.
+# ---------------------------------------------------------------------------
+HYBRID_QV = 50  # query vector id (doc-aligned by the synthetic data model)
+HYBRID_ANN_TOPK = 20
+HYBRID_RRF_K = 60  # the standard RRF damping constant
+HYBRID_TOPK = 20
+
+from .similarity import _BASE_SQL as _EMB_BASE_SQL  # noqa: E402
+
+
+def _hybrid_sql() -> str:
+    return f"""
+    WITH bm AS ({_bm25_sql()}),
+    {_EMB_BASE_SQL},
+    q AS (SELECT qe, nsq AS qn FROM n WHERE vec_id = {HYBRID_QV}),
+    sims AS (
+      SELECT c.vec_id AS neighbor_id,
+             CAST(list_dot_product(q.qe, c.qe) AS BIGINT) AS dot,
+             q.qn, c.nsq AS cn
+      FROM q JOIN n c ON c.vec_id != {HYBRID_QV}
+    ),
+    ann AS (
+      SELECT neighbor_id,
+             CAST(ROW_NUMBER() OVER (
+               ORDER BY CAST(dot AS DOUBLE) / sqrt(CAST(qn * cn AS DOUBLE))
+                          DESC,
+                        neighbor_id) AS BIGINT) AS knn_rank
+      FROM sims
+      QUALIFY knn_rank <= {HYBRID_ANN_TOPK}
+    ),
+    fused AS (
+      SELECT COALESCE(b.doc_id, a.neighbor_id) AS doc_id,
+             CAST(COALESCE(b.rank, 0) AS BIGINT) AS bm25_rank,
+             CAST(COALESCE(a.knn_rank, 0) AS BIGINT) AS ann_rank,
+             CAST((CASE WHEN b.rank IS NULL THEN 0
+                        ELSE 1000000 // ({HYBRID_RRF_K} + b.rank) END)
+                  + (CASE WHEN a.knn_rank IS NULL THEN 0
+                          ELSE 1000000 // ({HYBRID_RRF_K} + a.knn_rank) END)
+                  AS BIGINT) AS rrf_milli
+      FROM bm b FULL OUTER JOIN ann a ON a.neighbor_id = b.doc_id
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY rrf_milli DESC, doc_id)
+                AS BIGINT) AS rank,
+           doc_id, bm25_rank, ann_rank, rrf_milli
+    FROM fused
+    QUALIFY rank <= {HYBRID_TOPK}
+    ORDER BY rank
+    """
+
+
+@query("q157_hybrid_rrf", oracle=_hybrid_sql())
+def q157_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import similarity as S
+    from ..operators.ranking import ranked_topk
+
+    bm = _bm25_ranked(spark, sf_dir).select(
+        "doc_id", F.col("rank").alias("bm25_rank")
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    ann = S.brute_force_topk(
+        emb, emb.where(F.col("vec_id") == HYBRID_QV), k=HYBRID_ANN_TOPK
+    ).select(F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("ann_rank"))
+    contrib = lambda c: F.when(F.col(c).isNull(), F.lit(0)).otherwise(  # noqa: E731
+        F.expr(f"1000000 DIV ({HYBRID_RRF_K} + {c})")
+    )
+    fused = bm.join(ann, "doc_id", "full_outer").select(
+        "doc_id",
+        F.coalesce("bm25_rank", F.lit(0)).cast("bigint").alias("bm25_rank"),
+        F.coalesce("ann_rank", F.lit(0)).cast("bigint").alias("ann_rank"),
+        (contrib("bm25_rank") + contrib("ann_rank")).cast("bigint").alias("rrf_milli"),
+    )
+    return ranked_topk(
+        fused, [F.desc("rrf_milli"), F.asc("doc_id")], HYBRID_TOPK
+    ).select("rank", "doc_id", "bm25_rank", "ann_rank", "rrf_milli")

@@ -80,6 +80,7 @@ DEFAULT_QUERIES = [
     "q154_boilerplate_spans",
     "q155_dsir_importance",
     "q156_dsir_select",
+    "q157_hybrid_rrf",
 ]
 
 

@@ -130,7 +130,16 @@ ALLOW: dict[tuple[str, str], str] = {
     ("q115_data_expectations", "NESTEDLOOP"): (
         "expectation checks against 1-row corpus stats scalars"
     ),
+    ("q157_hybrid_rrf", "NESTEDLOOP"): (
+        "embedded BM25 leg: corpus stats (n_docs, avgdl) 1-row "
+        "scalar cross join (same allowlisted site as q122)"
+    ),
     # ---- 1PART: single partition bounded by construction ----
+    ("q157_hybrid_rrf", "1PART"): (
+        "RRF rank window over the fused frame — bounded at "
+        "BM25_TOPK + HYBRID_ANN_TOPK rows by construction (both "
+        "legs are top-K-bounded before the fusion join)"
+    ),
     ("q16_pareto", "1PART"): (
         "documented exact demo; q146 is the registered Pareto scale "
         "path (cumulative share off the revenue-bin histogram)"
