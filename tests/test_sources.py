@@ -125,3 +125,45 @@ def test_json_scan_captures_corrupt_records(spark, tmp_path):
         spark.read.schema("id long, v string").option("mode", "FAILFAST").json(
             p
         ).collect()
+
+
+# ---------------------------------------------------------------------------
+# sources/corpus.py — JSONL document-corpus interchange
+# ---------------------------------------------------------------------------
+
+
+def test_documents_jsonl_roundtrip_real_corpus(spark, tmp_path):
+    from _multi_source_retail_data_integration_hub_spark.sources import corpus
+    from _multi_source_retail_data_integration_hub_spark.sources.testdata import (
+        load_table,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    out = str(tmp_path / "docs_jsonl")
+    corpus.write_documents_jsonl(docs, out, compression="gzip", num_shards=4)
+    back = corpus.clean_documents(corpus.read_documents_jsonl(spark, out))
+    assert back.schema.simpleString() == docs.schema.simpleString()
+    a = sorted(docs.collect(), key=lambda r: r.doc_id)
+    b = sorted(back.collect(), key=lambda r: r.doc_id)
+    assert a == b
+    # gzip is not splittable: the writer must have sharded
+    import glob
+
+    assert len(glob.glob(out + "/part-*.json.gz")) == 4
+
+
+def test_documents_jsonl_corrupt_quarantine(spark, tmp_path):
+    from _multi_source_retail_data_integration_hub_spark.sources import corpus
+
+    p = str(tmp_path / "dump.jsonl")
+    with open(p, "w") as f:
+        f.write('{"doc_id": 1, "text": "ok", "lang": "en", "source": "s", "n_chars": 2}\n')
+        f.write("{TRUNCATED GARBAGE\n")
+        f.write('{"doc_id": 2, "text": "fine", "lang": "de", "source": "s", "n_chars": 4}\n')
+    df = corpus.read_documents_jsonl(spark, p)
+    clean = corpus.clean_documents(df)
+    bad = corpus.corrupt_documents(df)
+    assert {r.doc_id for r in clean.collect()} == {1, 2}
+    bad_rows = bad.collect()
+    assert len(bad_rows) == 1 and "TRUNCATED" in bad_rows[0].raw_line
+    assert bad_rows[0].doc_id is None  # declared cols ride along, null
