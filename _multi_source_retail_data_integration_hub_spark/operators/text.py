@@ -1144,6 +1144,8 @@ def dsir_importance(
     id_col: str,
     target_pred: Column,
     n_buckets: int = DSIR_BUCKETS,
+    *,
+    base: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document DSIR-style importance score against a declared
     target subset (Xie et al. 2023, "Data Selection for Language Models
@@ -1179,15 +1181,23 @@ def dsir_importance(
     via the allowlisted 1-row cross-join pattern. Documents with < 2
     tokens have no bigram features and are excluded by contract,
     mirroring ``bigram_surprisal``.
+
+    ``base`` short-circuits the bigram-array derivation with a
+    precomputed ``(id_col, _is_tgt, _bigrams)`` frame (rows with < 2
+    tokens already excluded, same contract as ``bigram_surprisal``'s
+    ``base``) so callers can share ONE materialized bigram table
+    between the surprisal and importance scorers instead of
+    re-exploding the corpus per scorer.
     """
-    toks = tokens(F.col(text_col))
-    bg = (
-        df.where(F.size(toks) >= 2)
-        .select(
+    if base is None:
+        toks = tokens(F.col(text_col))
+        base = df.where(F.size(toks) >= 2).select(
             F.col(id_col),
             target_pred.alias("_is_tgt"),
-            F.explode(shingles(toks, 2)).alias("bigram"),
+            shingles(toks, 2).alias("_bigrams"),
         )
+    bg = (
+        base.select(F.col(id_col), "_is_tgt", F.explode("_bigrams").alias("bigram"))
         .select(
             id_col,
             "_is_tgt",

@@ -258,9 +258,10 @@ _NEARDUP_CTES = f"""
 """
 
 
-def _neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(id_a, id_b, cos_sim) near-dup pairs over the augmented corpus —
-    the shared stage behind q37 (pairs) and q53 (clusters)."""
+def _augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Base corpus + deterministic near-dup mutants (the q37 data
+    augmentation), shared by the near-dup pair stage and q158's
+    negative-pair embedding lookups."""
     emb = load_table(spark, sf_dir, "embeddings")
     max_id = emb.agg(F.max("vec_id")).first()[0] or 0
     offset = max(NEARDUP_OFFSET, max_id + 1)
@@ -269,7 +270,32 @@ def _neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") + offset).alias("vec_id"),
         F.concat(F.slice("embedding", 1, 56), zeros).alias("embedding"),
     )
-    aug = emb.select("vec_id", "embedding").unionByName(mutants)
+    return emb.select("vec_id", "embedding").unionByName(mutants)
+
+
+def _neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(id_a, id_b, cos_sim) near-dup pairs over the augmented corpus —
+    the shared stage behind q37 (pairs), q53 (clusters), and q158
+    (contrastive positives). Session-cached under training_data's
+    _SIG_CACHE discipline (one eviction point,
+    plans/training_data.py::clear_session_caches): three queries
+    consume the identical LSH+verify stage, which in a real pipeline
+    is a persisted pair table. Function-level import — q157 imports
+    this module at module level, so the reverse import must stay
+    deferred. The uncached pipeline stays snapshot in PLANS.md via
+    tools/dump_plans.py's EXTRA_PLANS."""
+    from .training_data import _SIG_CACHE, _sig_cache_key
+
+    key = _sig_cache_key(spark, sf_dir, "embpairs")
+    cached = _SIG_CACHE.get(key)
+    if cached is None:
+        cached = _neardup_pairs_uncached(spark, sf_dir).localCheckpoint()
+        _SIG_CACHE[key] = cached
+    return cached
+
+
+def _neardup_pairs_uncached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    aug = _augmented(spark, sf_dir)
     b = S.lsh_buckets(aug, "embedding", "vec_id")
     a_side = b.select(F.col("vec_id").alias("id_a"), F.col("qe").alias("qa"), F.col("nsq").alias("na"), "bucket")
     b_side = b.select(F.col("vec_id").alias("id_b"), F.col("qe").alias("qb"), F.col("nsq").alias("nb"), "bucket")
@@ -515,3 +541,99 @@ def q105_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     q = S.scalar_quantize(emb, "embedding", "vec_id", bits=8)
     return S.dequantize_error(q).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# q158 — contrastive training-pair mining: turn the near-dup pair graph
+# into a labeled dataset for embedding/reranker training (SimCSE /
+# sentence-transformers data-prep class). Positives are the exact-
+# verified near-dup pairs (the q37 stage, shared); each positive anchor
+# gets one deterministic pseudo-random negative partner from the base
+# corpus (md5-derived index, anti-joined against the near-dup set in
+# both orientations so no true near-dup leaks into the negatives), and
+# both classes carry their exact cosine so downstream training can
+# margin-filter.
+#
+# Scale shape: anchors are bounded by the positive set; the negative
+# partner is computed arithmetically (no sampling shuffle) and the
+# embedding lookups are id-keyed equi-joins — nothing quadratic. The
+# corpus-size scalar is the allowlisted 1-row cross-join.
+# ---------------------------------------------------------------------------
+@query(
+    "q158_contrastive_pairs",
+    oracle=f"""
+    WITH {_NEARDUP_CTES},
+    nn AS (SELECT COUNT(*) AS n_base FROM embeddings),
+    anchors AS (SELECT DISTINCT id_a FROM neardup),
+    negc AS (
+      SELECT a.id_a,
+             (a.id_a + 1
+              + (CAST('0x' || substr(md5(CAST(a.id_a AS VARCHAR)), 1, 8)
+                      AS BIGINT) % (nn.n_base - 1))) % nn.n_base AS id_b
+      FROM anchors a CROSS JOIN nn
+    ),
+    negf AS (
+      SELECT c.id_a, c.id_b FROM negc c
+      WHERE c.id_a != c.id_b
+        AND NOT EXISTS (SELECT 1 FROM neardup d
+                        WHERE (d.id_a = c.id_a AND d.id_b = c.id_b)
+                           OR (d.id_a = c.id_b AND d.id_b = c.id_a))
+    ),
+    negs AS (
+      SELECT f.id_a, f.id_b,
+             CAST(list_dot_product(x.qe, y.qe) AS BIGINT) AS dot,
+             x.nsq AS na, y.nsq AS nb
+      FROM negf f
+      JOIN n x ON x.vec_id = f.id_a
+      JOIN n y ON y.vec_id = f.id_b
+    )
+    SELECT 1 AS label, id_a, id_b, cos_sim FROM neardup
+    UNION ALL
+    SELECT 0 AS label, id_a, id_b,
+           CAST(dot AS DOUBLE) / sqrt(CAST(na * nb AS DOUBLE)) AS cos_sim
+    FROM negs
+    ORDER BY label DESC, id_a, id_b
+    """,
+)
+def q158_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pos = _neardup_pairs(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.agg(F.count("*").alias("n_base"))
+    anchors = pos.select("id_a").distinct()
+    h = F.conv(
+        F.md5(F.col("id_a").cast("string")).substr(1, 8), 16, 10
+    ).cast("bigint")
+    negc = anchors.crossJoin(F.broadcast(n)).select(
+        "id_a",
+        F.pmod(
+            F.col("id_a") + 1 + F.pmod(h, F.col("n_base") - 1), F.col("n_base")
+        ).alias("id_b"),
+    )
+    sym = pos.select("id_a", "id_b").union(
+        pos.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    )
+    neg = negc.where(F.col("id_a") != F.col("id_b")).join(
+        sym, ["id_a", "id_b"], "left_anti"
+    )
+    q = S.with_quantized(_augmented(spark, sf_dir), "embedding", "vec_id")
+    a_side = q.select(
+        F.col("vec_id").alias("id_a"), F.col("qe").alias("qa"), F.col("nsq").alias("na")
+    )
+    b_side = q.select(
+        F.col("vec_id").alias("id_b"), F.col("qe").alias("qb"), F.col("nsq").alias("nb")
+    )
+    negs = (
+        neg.join(a_side, "id_a")
+        .join(b_side, "id_b")
+        .withColumn("dot", S.dot_long_vec(F.col("qa"), F.col("qb")))
+        .withColumn(
+            "cos_sim", S.cosine_from_ints(F.col("dot"), F.col("na"), F.col("nb"))
+        )
+        .select("id_a", "id_b", "cos_sim")
+    )
+    out = pos.withColumn("label", F.lit(1)).unionByName(
+        negs.withColumn("label", F.lit(0))
+    )
+    return out.select(
+        F.col("label").cast("int").alias("label"), "id_a", "id_b", "cos_sim"
+    ).orderBy(F.desc("label"), "id_a", "id_b")

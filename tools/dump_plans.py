@@ -81,6 +81,8 @@ DEFAULT_QUERIES = [
     "q155_dsir_importance",
     "q156_dsir_select",
     "q157_hybrid_rrf",
+    "q158_contrastive_pairs",
+    "q159_length_buckets",
 ]
 
 
@@ -127,6 +129,22 @@ def _winnow_span_trim_uncached(spark, sf_dir):
     )
 
 
+def _bm25_ranked_uncached_plan(spark, sf_dir):
+    from _multi_source_retail_data_integration_hub_spark.plans.training_data import (
+        _bm25_ranked_uncached,
+    )
+
+    return _bm25_ranked_uncached(spark, sf_dir)
+
+
+def _neardup_pairs_uncached_plan(spark, sf_dir):
+    from _multi_source_retail_data_integration_hub_spark.plans.similarity import (
+        _neardup_pairs_uncached,
+    )
+
+    return _neardup_pairs_uncached(spark, sf_dir)
+
+
 def _dsir_importance_uncached(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -150,6 +168,8 @@ EXTRA_PLANS = {
     "bigram_surprisal (uncached operator; q148 — unigram leg must NOT be hint-broadcast)": _bigram_surprisal_uncached,
     "winnow_span_trim (uncached operator; q153 end-to-end)": _winnow_span_trim_uncached,
     "dsir_importance (uncached operator; q155/q156 — model joins keyed on the bounded bucket table; the only broadcast is the 1-row totals scalar)": _dsir_importance_uncached,
+    "bm25_ranked (uncached pipeline; q122/q157 — term-bounded tf join, 1-row stats scalar, ranked_topk final)": _bm25_ranked_uncached_plan,
+    "neardup_pairs (uncached pipeline; q37/q53/q158 — LSH bucket equi-join + exact cosine verify)": _neardup_pairs_uncached_plan,
 }
 
 

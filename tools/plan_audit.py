@@ -130,6 +130,10 @@ ALLOW: dict[tuple[str, str], str] = {
     ("q115_data_expectations", "NESTEDLOOP"): (
         "expectation checks against 1-row corpus stats scalars"
     ),
+    ("q158_contrastive_pairs", "NESTEDLOOP"): (
+        "negative-partner index arithmetic against the 1-row "
+        "corpus-count scalar (allowlisted 1-row cross-join pattern)"
+    ),
     ("q157_hybrid_rrf", "NESTEDLOOP"): (
         "embedded BM25 leg: corpus stats (n_docs, avgdl) 1-row "
         "scalar cross join (same allowlisted site as q122)"
