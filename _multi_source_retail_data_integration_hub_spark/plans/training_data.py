@@ -3468,3 +3468,81 @@ def q159_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# q160 — selection-calibration curve: precision/recall of the DSIR
+# score as a classifier of the target class, at every distinct score
+# threshold ("select every doc scoring >= s"). This is the audit a
+# production data-selection job ships with its curation table: where
+# to put the threshold, and what target recall it buys. Integer-exact
+# (ppm ratios of integer cumulative counts).
+#
+# Scale shape: the population is reduced to the score-grain histogram
+# FIRST (one hash aggregate; distinct integer scores are bounded by
+# the score range, not the corpus), and the cumulative window runs
+# over that bounded table — same histogram-then-window scheme as the
+# q142/q146 scale paths; the corpus is never sorted or windowed.
+# ---------------------------------------------------------------------------
+@query(
+    "q160_dsir_calibration",
+    oracle=_DSIR_CTES
+    + """
+    ,
+    hist AS (
+      SELECT score_bits,
+             COUNT(*) AS n_docs,
+             CAST(SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_target
+      FROM dsir GROUP BY 1
+    ),
+    ttot AS (SELECT CAST(SUM(n_target) AS BIGINT) AS total_target FROM hist),
+    curve AS (
+      SELECT score_bits,
+             CAST(SUM(n_docs) OVER w AS BIGINT) AS n_selected,
+             CAST(SUM(n_target) OVER w AS BIGINT) AS n_target_cum
+      FROM hist
+      WINDOW w AS (ORDER BY score_bits DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT c.score_bits, c.n_selected, c.n_target_cum,
+           CAST(c.n_target_cum * 1000000 // c.n_selected AS BIGINT)
+             AS precision_ppm,
+           CAST(c.n_target_cum * 1000000 // NULLIF(t.total_target, 0)
+                AS BIGINT) AS recall_ppm
+    FROM curve c CROSS JOIN ttot t
+    ORDER BY score_bits DESC
+    """,
+)
+def q160_dsir_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scores = _dsir_scores(spark, sf_dir)
+    hist = scores.groupBy("score_bits").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_target"),
+    )
+    totals = hist.agg(F.sum("n_target").cast("bigint").alias("total_target"))
+    w = Window.orderBy(F.desc("score_bits")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    curve = hist.select(
+        "score_bits",
+        F.sum("n_docs").over(w).cast("bigint").alias("n_selected"),
+        F.sum("n_target").over(w).cast("bigint").alias("n_target_cum"),
+    )
+    return (
+        curve.crossJoin(F.broadcast(totals))
+        .select(
+            "score_bits",
+            "n_selected",
+            "n_target_cum",
+            F.expr("n_target_cum * 1000000 DIV n_selected")
+            .cast("bigint")
+            .alias("precision_ppm"),
+            F.expr("n_target_cum * 1000000 DIV NULLIF(total_target, 0)")
+            .cast("bigint")
+            .alias("recall_ppm"),
+        )
+        .orderBy(F.desc("score_bits"))
+    )

@@ -83,6 +83,7 @@ DEFAULT_QUERIES = [
     "q157_hybrid_rrf",
     "q158_contrastive_pairs",
     "q159_length_buckets",
+    "q160_dsir_calibration",
 ]
 
 

@@ -130,6 +130,10 @@ ALLOW: dict[tuple[str, str], str] = {
     ("q115_data_expectations", "NESTEDLOOP"): (
         "expectation checks against 1-row corpus stats scalars"
     ),
+    ("q160_dsir_calibration", "NESTEDLOOP"): (
+        "recall denominator — the 1-row total-target scalar cross-"
+        "combined with the bounded score-histogram curve"
+    ),
     ("q158_contrastive_pairs", "NESTEDLOOP"): (
         "negative-partner index arithmetic against the 1-row "
         "corpus-count scalar (allowlisted 1-row cross-join pattern)"
@@ -139,6 +143,11 @@ ALLOW: dict[tuple[str, str], str] = {
         "scalar cross join (same allowlisted site as q122)"
     ),
     # ---- 1PART: single partition bounded by construction ----
+    ("q160_dsir_calibration", "1PART"): (
+        "cumulative precision/recall window over the score-grain "
+        "histogram (bounded by distinct integer scores, never the "
+        "corpus — same scheme as q142/q146)"
+    ),
     ("q157_hybrid_rrf", "1PART"): (
         "RRF rank window over the fused frame — bounded at "
         "BM25_TOPK + HYBRID_ANN_TOPK rows by construction (both "
