@@ -1187,7 +1187,9 @@ def dsir_importance(
     tokens already excluded, same contract as ``bigram_surprisal``'s
     ``base``) so callers can share ONE materialized bigram table
     between the surprisal and importance scorers instead of
-    re-exploding the corpus per scorer.
+    re-exploding the corpus per scorer. When ``base`` is passed,
+    ``df``/``text_col``/``target_pred`` are NOT consulted — the base
+    frame already carries the ids, target flags, and bigram arrays.
     """
     if base is None:
         toks = tokens(F.col(text_col))

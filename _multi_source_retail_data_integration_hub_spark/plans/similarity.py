@@ -261,7 +261,19 @@ _NEARDUP_CTES = f"""
 def _augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Base corpus + deterministic near-dup mutants (the q37 data
     augmentation), shared by the near-dup pair stage and q158's
-    negative-pair embedding lookups."""
+    negative-pair embedding lookups. The lazy PLAN is session-cached
+    (keyed like every other shared stage) because building it costs a
+    driver action — the max(vec_id) offset probe — that repeated
+    callers (q158 touches this once directly and once via the pair
+    stage; bench runs twice) should not re-pay. The frame itself stays
+    unmaterialized: it is a cheap projection both consumers fold into
+    their own pipelines."""
+    from .training_data import _SIG_CACHE, _sig_cache_key
+
+    key = _sig_cache_key(spark, sf_dir, "aug")
+    cached = _SIG_CACHE.get(key)
+    if cached is not None:
+        return cached
     emb = load_table(spark, sf_dir, "embeddings")
     max_id = emb.agg(F.max("vec_id")).first()[0] or 0
     offset = max(NEARDUP_OFFSET, max_id + 1)
@@ -270,7 +282,9 @@ def _augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") + offset).alias("vec_id"),
         F.concat(F.slice("embedding", 1, 56), zeros).alias("embedding"),
     )
-    return emb.select("vec_id", "embedding").unionByName(mutants)
+    aug = emb.select("vec_id", "embedding").unionByName(mutants)
+    _SIG_CACHE[key] = aug
+    return aug
 
 
 def _neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
