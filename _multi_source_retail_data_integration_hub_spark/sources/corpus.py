@@ -111,3 +111,28 @@ def write_documents_jsonl(
     if compression:
         w = w.option("compression", compression)
     w.json(path)
+
+
+def read_documents_jsonl_stream(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType = DOCUMENTS_SCHEMA,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming twin of ``read_documents_jsonl``: continuous ingest of
+    a landing directory of JSONL shards (the "crawl dumps arriving"
+    shape). Same explicit schema + PERMISSIVE corrupt capture — split
+    the result with ``clean_documents`` / ``corrupt_documents``
+    exactly like the batch path, so one cleansing contract serves
+    both. ``max_files_per_trigger`` bounds per-microbatch work (at
+    100 TB the landing rate, not the backlog, should size a batch);
+    drain a bounded backlog with trigger(availableNow=True).
+    """
+    reader = (
+        spark.readStream.schema(_with_corrupt(schema))
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.json(path)

@@ -167,3 +167,40 @@ def test_documents_jsonl_corrupt_quarantine(spark, tmp_path):
     bad_rows = bad.collect()
     assert len(bad_rows) == 1 and "TRUNCATED" in bad_rows[0].raw_line
     assert bad_rows[0].doc_id is None  # declared cols ride along, null
+
+
+def test_documents_jsonl_streaming_ingest_matches_batch(spark, tmp_path):
+    """Streaming JSONL ingest (availableNow drain) produces exactly the
+    batch reader's clean rows, and quarantines the same corrupt lines —
+    one cleansing contract across both execution modes."""
+    from _multi_source_retail_data_integration_hub_spark.sources import corpus
+    from _multi_source_retail_data_integration_hub_spark.sources.testdata import (
+        load_table,
+    )
+    from _multi_source_retail_data_integration_hub_spark.streaming.jobs import (
+        run_available_now,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    landing = str(tmp_path / "landing")
+    corpus.write_documents_jsonl(docs, landing, compression="gzip", num_shards=3)
+    # drop one malformed shard into the landing dir
+    with open(landing + "/extra-malformed.json", "w") as f:
+        f.write('{"doc_id": 900001, "text": "late arrival", "lang": "en", '
+                '"source": "s", "n_chars": 12}\n')
+        f.write("%%% NOT JSON %%%\n")
+    stream = corpus.read_documents_jsonl_stream(
+        spark, landing, max_files_per_trigger=2
+    )
+    assert stream.isStreaming
+    run_available_now(stream, "jsonl_ingest", output_mode="append")
+    got = spark.table("jsonl_ingest")
+    clean = corpus.clean_documents(got)
+    bad = corpus.corrupt_documents(got)
+    batch = corpus.clean_documents(
+        corpus.read_documents_jsonl(spark, landing)
+    )
+    assert sorted(clean.collect()) == sorted(batch.collect())
+    assert clean.count() == docs.count() + 1  # the late-arrival row
+    bad_rows = bad.collect()
+    assert len(bad_rows) == 1 and "NOT JSON" in bad_rows[0].raw_line
