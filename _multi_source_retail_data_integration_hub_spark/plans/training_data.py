@@ -3546,3 +3546,55 @@ def q160_dsir_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("score_bits"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q161 — temperature-rebalanced language mixture (mT5/XLM-R sampling
+# knob, T=2): flatten the natural language shares so low-resource
+# languages are not starved by proportional sampling. Completes the
+# mixture family: q106 applies a HAND-SPECIFIED mixture to a budget;
+# q161 DERIVES the mixture from the corpus with the standard
+# temperature transform. Exact at T=2 via floor(sqrt) — see
+# operators/sampling.py::temperature_weights for why that stays
+# oracle-exact where general pow() would drift.
+#
+# Scale shape: one scan computing per-doc token counts (no explode),
+# one hash aggregate to the per-language grain, then all arithmetic on
+# the |langs|-row table + the 1-row totals scalar.
+# ---------------------------------------------------------------------------
+@query(
+    "q161_temperature_mixture",
+    oracle=f"""
+    WITH t AS (
+      SELECT lang, len({_TOKS}) AS n FROM documents
+    ),
+    l AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS n_tokens FROM t GROUP BY 1),
+    s AS (
+      SELECT lang, n_tokens,
+             CAST(FLOOR(SQRT(n_tokens)) AS BIGINT) AS s_i
+      FROM l
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_tokens) AS BIGINT) AS big_n,
+             CAST(SUM(s_i) AS BIGINT) AS big_s
+      FROM s
+    )
+    SELECT lang, n_tokens,
+           CAST(n_tokens * 1000000 // tot.big_n AS BIGINT) AS share_ppm,
+           CAST(s_i * 1000000 // tot.big_s AS BIGINT) AS temp_weight_ppm,
+           CAST(s_i * 1000000 // tot.big_s
+                - n_tokens * 1000000 // tot.big_n AS BIGINT) AS boost_ppm
+    FROM s CROSS JOIN tot
+    ORDER BY lang
+    """,
+)
+def q161_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_lang = (
+        _docs(spark, sf_dir)
+        .select("lang", F.size(T.tokens(F.col("text"))).alias("n"))
+        .groupBy("lang")
+        .agg(F.sum("n").cast("bigint").alias("n_tokens"))
+    )
+    return sampling.temperature_weights(per_lang, "lang", "n_tokens").orderBy(
+        "lang"
+    )

@@ -84,6 +84,7 @@ DEFAULT_QUERIES = [
     "q158_contrastive_pairs",
     "q159_length_buckets",
     "q160_dsir_calibration",
+    "q161_temperature_mixture",
 ]
 
 

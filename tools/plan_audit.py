@@ -130,6 +130,10 @@ ALLOW: dict[tuple[str, str], str] = {
     ("q115_data_expectations", "NESTEDLOOP"): (
         "expectation checks against 1-row corpus stats scalars"
     ),
+    ("q161_temperature_mixture", "NESTEDLOOP"): (
+        "|langs|-row weight table x 1-row totals scalar combine "
+        "(temperature_weights docstring)"
+    ),
     ("q160_dsir_calibration", "NESTEDLOOP"): (
         "recall denominator — the 1-row total-target scalar cross-"
         "combined with the bounded score-histogram curve"
