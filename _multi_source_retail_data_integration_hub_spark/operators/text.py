@@ -1712,3 +1712,64 @@ def bpe_learn_merges(words: DataFrame, n_merges: int) -> DataFrame:
         "merge_rank long, pair_a string, pair_b string, "
         "pair_count long, n_symbols_after long",
     )
+
+
+CDC_CHUNK_MOD = 16  # expected chunk length in tokens (boundary rate 1/mod)
+
+
+def cdc_chunks(
+    df: DataFrame, text_col: str, id_col: str, mod: int = CDC_CHUNK_MOD
+) -> DataFrame:
+    """Content-defined chunking at token granularity (the Rabin/gear
+    CDC scheme of dedup storage systems — LBFS, restic, dataset
+    versioning): a token STARTS a new chunk when its hash falls in the
+    boundary class (``h % mod == 0``), so chunk boundaries depend only
+    on content, not position — two documents sharing a long run
+    produce byte-identical chunks for the shared interior regardless
+    of where the run sits in each document (fixed-size chunking
+    q74 loses exactly this alignment). Expected chunk length = mod.
+
+    Emits one row per (doc, chunk): start position, token count, the
+    chunk's md5 (over space-joined tokens), and ``chunk_df`` — how
+    many chunks corpus-wide share that hash (the dedup-storage
+    signal: bytes stored once = sum over distinct hashes).
+
+    Scale shape: posexplode, a PER-DOCUMENT cumulative window (hash-
+    partitioned by doc id — parallel across docs, never a global
+    sort), one (doc, chunk) aggregate with in-group sorted reassembly,
+    and a chunk-hash-keyed count join. All corpus-linear.
+    """
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    toks = df.select(
+        F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("pos", "tok")
+    )
+    h = F.conv(F.md5(F.col("tok")).substr(1, 8), 16, 10).cast("bigint")
+    marked = toks.withColumn(
+        "is_b", F.when(F.pmod(h, F.lit(mod)) == 0, F.lit(1)).otherwise(F.lit(0))
+    )
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    chunked = marked.withColumn("chunk_id", F.sum("is_b").over(w).cast("bigint"))
+    per_chunk = chunked.groupBy(id_col, "chunk_id").agg(
+        F.min("pos").cast("bigint").alias("chunk_start"),
+        F.count("*").cast("bigint").alias("n_tokens"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s.getField("tok"),
+                ),
+            )
+        ).alias("chunk_md5"),
+    )
+    counts = per_chunk.groupBy("chunk_md5").agg(
+        F.count("*").cast("bigint").alias("chunk_df")
+    )
+    return per_chunk.join(counts, "chunk_md5").select(
+        id_col, "chunk_id", "chunk_start", "n_tokens", "chunk_md5", "chunk_df"
+    )

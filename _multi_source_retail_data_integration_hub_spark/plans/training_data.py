@@ -3598,3 +3598,122 @@ def q161_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.temperature_weights(per_lang, "lang", "n_tokens").orderBy(
         "lang"
     )
+
+
+# ---------------------------------------------------------------------------
+# q162 — content-defined chunking (Rabin/gear CDC class: LBFS, restic,
+# dataset-versioning dedup stores): token-hash boundary classes make
+# chunk boundaries content-dependent, so documents sharing a long run
+# emit byte-identical chunks for the shared interior wherever the run
+# sits — the alignment property fixed-size chunking (q74) cannot give.
+# chunk_df carries the dedup-storage signal (bytes stored once = one
+# copy per distinct hash). See operators/text.py::cdc_chunks for the
+# per-document-window scale argument.
+# ---------------------------------------------------------------------------
+@query(
+    "q162_cdc_chunks",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ),
+    tp AS (
+      SELECT doc_id,
+             unnest(range(1, len(toks) + 1)) - 1 AS pos,
+             unnest(toks) AS tok
+      FROM base
+    ),
+    b AS (
+      SELECT doc_id, pos, tok,
+             CASE WHEN CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT)
+                       % {T.CDC_CHUNK_MOD} = 0
+                  THEN 1 ELSE 0 END AS is_b
+      FROM tp
+    ),
+    c AS (
+      SELECT doc_id, pos, tok,
+             CAST(SUM(is_b) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS chunk_id
+      FROM b
+    ),
+    pc AS (
+      SELECT doc_id, chunk_id,
+             CAST(MIN(pos) AS BIGINT) AS chunk_start,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_md5
+      FROM c GROUP BY 1, 2
+    ),
+    cnt AS (SELECT chunk_md5, CAST(COUNT(*) AS BIGINT) AS chunk_df
+            FROM pc GROUP BY 1)
+    SELECT p.doc_id, p.chunk_id, p.chunk_start, p.n_tokens, p.chunk_md5,
+           c2.chunk_df
+    FROM pc p JOIN cnt c2 USING (chunk_md5)
+    ORDER BY p.doc_id, p.chunk_id
+    """,
+)
+def q162_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.cdc_chunks(_docs(spark, sf_dir), "text", "doc_id").orderBy(
+        "doc_id", "chunk_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# q163 — cross-source overlap matrix: for every source pair, how many
+# distinct 3-grams they share (grams present in more than
+# XSOURCE_MAX_SOURCES sources are dropped as corpus-wide boilerplate).
+# The provenance audit a multi-source corpus ships with: which feeds
+# mirror each other / share templates — the source-grain sibling of
+# the per-document dup scores (q20's confusion matrix shape, on
+# content overlap instead of language labels).
+#
+# Scale shape: per-(source, gram) DISTINCT projection, a gram-keyed
+# source-count join applying the df cap (bounding the self-join
+# fan-out at XSOURCE_MAX_SOURCES^2 rows per gram — the q22 stop-
+# shingle argument), then a gram-keyed inverted-index self-join whose
+# output is bounded by |sources|^2 pairs. Never doc-pairwise.
+# ---------------------------------------------------------------------------
+XSOURCE_MAX_SOURCES = 10
+
+
+@query(
+    "q163_source_overlap",
+    oracle=f"""
+    WITH g AS (
+      SELECT DISTINCT source, unnest({_SHINGLES}) AS gram FROM documents
+    ),
+    sdf AS (SELECT gram, COUNT(*) AS ns FROM g GROUP BY 1),
+    f AS (
+      SELECT g.source, g.gram
+      FROM g JOIN sdf USING (gram)
+      WHERE sdf.ns <= {XSOURCE_MAX_SOURCES}
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_grams
+    FROM f a JOIN f b ON a.gram = b.gram AND a.source < b.source
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def q163_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = (
+        _docs(spark, sf_dir)
+        .select(
+            "source",
+            F.explode(T.shingles(T.tokens(F.col("text")), 3)).alias("gram"),
+        )
+        .distinct()
+    )
+    sdf = g.groupBy("gram").agg(F.count("*").alias("ns"))
+    f = (
+        g.join(sdf.where(F.col("ns") <= XSOURCE_MAX_SOURCES), "gram")
+        .select("source", "gram")
+    )
+    a = f.select(F.col("source").alias("source_a"), "gram")
+    b = f.select(F.col("source").alias("source_b"), "gram")
+    return (
+        a.join(b, "gram")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("bigint").alias("n_shared_grams"))
+        .orderBy("source_a", "source_b")
+    )

@@ -1251,3 +1251,48 @@ def test_dsir_importance_no_corpus_scale_broadcast_hint(spark):
     analyzed = out._jdf.queryExecution().analyzed().toString()
     # exactly one hint: the totals scalar
     assert analyzed.count("ResolvedHint") + analyzed.count("UnresolvedHint") <= 1
+
+
+# ---------------------------------------------------------------------------
+# cdc_chunks (content-defined chunking)
+# ---------------------------------------------------------------------------
+
+
+def test_cdc_chunks_alignment_property(spark):
+    """The CDC guarantee: a shared run produces identical interior
+    chunks regardless of its offset in each document — different
+    unshared prefixes must not shift the shared chunks' boundaries
+    (exactly what fixed-size chunking breaks)."""
+    shared = " ".join(f"s{i}" for i in range(64))
+    rows = [
+        (1, "alpha " + shared),
+        (2, "beta gamma delta epsilon zeta " + shared),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = T.cdc_chunks(df, "text", "doc_id").collect()
+    by_doc = {1: set(), 2: set()}
+    for r in out:
+        by_doc[r.doc_id].add(r.chunk_md5)
+    common = by_doc[1] & by_doc[2]
+    # every boundary-delimited interior chunk of the shared run must
+    # dedup across the two docs (only the run's head chunk, glued to
+    # each doc's distinct prefix, and possibly its open tail differ)
+    assert len(common) >= 2
+    # and chunk_df reflects it
+    assert all(r.chunk_df == 2 for r in out if r.chunk_md5 in common)
+
+
+def test_cdc_chunks_cover_document_exactly(spark):
+    df = spark.createDataFrame(
+        [(7, " ".join(f"w{i}" for i in range(50)))], "doc_id long, text string"
+    )
+    out = sorted(T.cdc_chunks(df, "text", "doc_id").collect(),
+                 key=lambda r: r.chunk_id)
+    assert sum(r.n_tokens for r in out) == 50
+    # chunks tile the document: starts are cumulative token counts
+    starts = [r.chunk_start for r in out]
+    expect, acc = [], 0
+    for r in out:
+        expect.append(acc)
+        acc += r.n_tokens
+    assert starts == expect

@@ -85,6 +85,8 @@ DEFAULT_QUERIES = [
     "q159_length_buckets",
     "q160_dsir_calibration",
     "q161_temperature_mixture",
+    "q162_cdc_chunks",
+    "q163_source_overlap",
 ]
 
 
