@@ -754,3 +754,106 @@ def test_cluster_split_never_separates_linked_docs(spark, edges):
         pairs.join(a, "id_a").join(b, "id_b").where("sa != sb").count()
     )
     assert leaked == 0
+
+
+# ---------------------------------------------------------------------------
+# cdc_chunks == pure-Python CDC reference on random corpora
+# ---------------------------------------------------------------------------
+corpus_strategy = st.lists(
+    st.lists(
+        st.sampled_from([f"w{i}" for i in range(40)]),
+        min_size=0,
+        max_size=60,
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+def _cdc_py(tok_lists, mod):
+    import hashlib
+
+    out = {}
+    for doc_id, toks in enumerate(tok_lists):
+        chunks, cur = [], []
+        for tok in toks:
+            h = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16)
+            if h % mod == 0 and cur:
+                chunks.append(cur)
+                cur = []
+            cur.append(tok)
+        if cur:
+            chunks.append(cur)
+        out[doc_id] = chunks
+    return out
+
+
+@given(tok_lists=corpus_strategy)
+@settings(**SETTINGS)
+def test_cdc_chunks_match_python_reference(spark, tok_lists):
+    import hashlib
+
+    mod = T.CDC_CHUNK_MOD
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(tok_lists)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {}
+    for r in T.cdc_chunks(df, "text", "doc_id").collect():
+        got.setdefault(r.doc_id, []).append(
+            (r.chunk_id, r.chunk_start, r.n_tokens, r.chunk_md5)
+        )
+    expected = _cdc_py(tok_lists, mod)
+    for doc_id, toks in enumerate(tok_lists):
+        chunks = expected.get(doc_id, [])
+        g = sorted(got.get(doc_id, []))
+        assert len(g) == len(chunks), f"doc {doc_id}: chunk count"
+        pos = 0
+        first_is_boundary = bool(toks) and (
+            int(hashlib.md5(toks[0].encode()).hexdigest()[:8], 16) % mod == 0
+        )
+        base_id = 1 if first_is_boundary else 0
+        for i, chunk in enumerate(chunks):
+            cid, start, n, h = g[i]
+            assert cid == base_id + i
+            assert start == pos
+            assert n == len(chunk)
+            assert h == hashlib.md5(" ".join(chunk).encode()).hexdigest()
+            pos += len(chunk)
+
+
+# ---------------------------------------------------------------------------
+# dsir_importance == pure-Python reference on random labeled corpora
+# ---------------------------------------------------------------------------
+labeled_corpus_strategy = st.lists(
+    st.tuples(
+        st.lists(
+            st.sampled_from([f"t{i}" for i in range(25)]),
+            min_size=0,
+            max_size=20,
+        ),
+        st.booleans(),  # target membership
+    ),
+    min_size=1,
+    max_size=10,
+)
+
+
+@given(docs=labeled_corpus_strategy)
+@settings(**SETTINGS)
+def test_dsir_importance_matches_python_reference_random(spark, docs):
+    from tests.test_training_ops import _dsir_py
+
+    rows = [
+        (i, " ".join(toks), "en" if is_t else "de")
+        for i, (toks, is_t) in enumerate(docs)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {
+        r.doc_id: (r.n_feats, r.n_tgt_feats, r.score_bits)
+        for r in T.dsir_importance(
+            df, "text", "doc_id", F.col("lang") == "en"
+        ).collect()
+    }
+    expected = _dsir_py(
+        {i: t for i, t, _ in rows}, {i for i, _, lang in rows if lang == "en"}
+    )
+    assert got == expected
