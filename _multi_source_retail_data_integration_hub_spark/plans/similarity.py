@@ -287,28 +287,38 @@ def _augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
     return aug
 
 
-def _neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(id_a, id_b, cos_sim) near-dup pairs over the augmented corpus —
-    the shared stage behind q37 (pairs), q53 (clusters), and q158
-    (contrastive positives). Session-cached under training_data's
+def _bucket_pair_cands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(id_a, id_b, cos_sim) for every LSH bucket-mate pair (PRE
+    near-dup threshold) over the augmented corpus — the shared stage
+    behind q37/q53/q158 (the >= threshold side) and q164 (the hard
+    negatives just BELOW it). Session-cached under training_data's
     _SIG_CACHE discipline (one eviction point,
-    plans/training_data.py::clear_session_caches): three queries
-    consume the identical LSH+verify stage, which in a real pipeline
-    is a persisted pair table. Function-level import — q157 imports
+    plans/training_data.py::clear_session_caches): in a real pipeline
+    this is the persisted candidate-pair table every downstream
+    consumer filters its own way. Function-level import — q157 imports
     this module at module level, so the reverse import must stay
     deferred. The uncached pipeline stays snapshot in PLANS.md via
     tools/dump_plans.py's EXTRA_PLANS."""
     from .training_data import _SIG_CACHE, _sig_cache_key
 
-    key = _sig_cache_key(spark, sf_dir, "embpairs")
+    key = _sig_cache_key(spark, sf_dir, "embcand")
     cached = _SIG_CACHE.get(key)
     if cached is None:
-        cached = _neardup_pairs_uncached(spark, sf_dir).localCheckpoint()
+        cached = _bucket_pair_cands_uncached(spark, sf_dir).localCheckpoint()
         _SIG_CACHE[key] = cached
     return cached
 
 
-def _neardup_pairs_uncached(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The >= NEARDUP_THRESHOLD filter over the cached candidate
+    stage: q37 (pairs), q53 (clusters), q158 (contrastive
+    positives)."""
+    return _bucket_pair_cands(spark, sf_dir).where(
+        F.col("cos_sim") >= NEARDUP_THRESHOLD
+    )
+
+
+def _bucket_pair_cands_uncached(spark: SparkSession, sf_dir: str) -> DataFrame:
     aug = _augmented(spark, sf_dir)
     b = S.lsh_buckets(aug, "embedding", "vec_id")
     a_side = b.select(F.col("vec_id").alias("id_a"), F.col("qe").alias("qa"), F.col("nsq").alias("na"), "bucket")
@@ -319,7 +329,7 @@ def _neardup_pairs_uncached(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("dot", S.dot_long_vec(F.col("qa"), F.col("qb")))
         .withColumn("cos_sim", S.cosine_from_ints(F.col("dot"), F.col("na"), F.col("nb")))
     )
-    return pairs.where(F.col("cos_sim") >= NEARDUP_THRESHOLD).select(
+    return pairs.select(
         "id_a", "id_b", "cos_sim"
     )
 
@@ -651,3 +661,59 @@ def q158_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("label").cast("int").alias("label"), "id_a", "id_b", "cos_sim"
     ).orderBy(F.desc("label"), "id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# q164 — hard-negative mining: for every vector, its closest LSH
+# bucket-mate that is NOT a near-duplicate (cos < threshold) — the
+# "hard" negatives contrastive training actually needs (random
+# negatives like q158's are trivially separable; the pairs just below
+# the dup threshold are where the margin is learned). Shares the
+# cached candidate-pair stage with q37/q53/q158; the per-anchor top-1
+# is a hash-partitioned WindowGroupLimit (per-partition heaps, anchors
+# parallelize). Cosines are bit-identical across engines (one integer
+# dot, one sqrt, one division), so ordering and the driver hash agree.
+# ---------------------------------------------------------------------------
+@query(
+    "q164_hard_negatives",
+    oracle=f"""
+    WITH {_NEARDUP_CTES},
+    cand AS (
+      SELECT id_a, id_b,
+             CAST(dot AS DOUBLE) / sqrt(CAST(na * nb AS DOUBLE)) AS cos_sim
+      FROM allpairs
+      WHERE CAST(dot AS DOUBLE) / sqrt(CAST(na * nb AS DOUBLE))
+            < {NEARDUP_THRESHOLD}
+    ),
+    symc AS (
+      SELECT id_a AS anchor, id_b AS partner, cos_sim FROM cand
+      UNION ALL
+      SELECT id_b AS anchor, id_a AS partner, cos_sim FROM cand
+    ),
+    ranked AS (
+      SELECT anchor, partner, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY anchor
+                                ORDER BY cos_sim DESC, partner) AS rn
+      FROM symc
+    )
+    SELECT anchor, partner, cos_sim FROM ranked WHERE rn = 1 ORDER BY anchor
+    """,
+)
+def q164_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ranking import grouped_topk
+
+    cand = _bucket_pair_cands(spark, sf_dir).where(
+        F.col("cos_sim") < NEARDUP_THRESHOLD
+    )
+    symc = cand.select(
+        F.col("id_a").alias("anchor"), F.col("id_b").alias("partner"), "cos_sim"
+    ).unionAll(
+        cand.select(
+            F.col("id_b").alias("anchor"), F.col("id_a").alias("partner"), "cos_sim"
+        )
+    )
+    return (
+        grouped_topk(symc, ["anchor"], [F.desc("cos_sim"), F.asc("partner")], 1)
+        .select("anchor", "partner", "cos_sim")
+        .orderBy("anchor")
+    )

@@ -87,6 +87,7 @@ DEFAULT_QUERIES = [
     "q161_temperature_mixture",
     "q162_cdc_chunks",
     "q163_source_overlap",
+    "q164_hard_negatives",
 ]
 
 
@@ -141,12 +142,12 @@ def _bm25_ranked_uncached_plan(spark, sf_dir):
     return _bm25_ranked_uncached(spark, sf_dir)
 
 
-def _neardup_pairs_uncached_plan(spark, sf_dir):
+def _bucket_pair_cands_uncached_plan(spark, sf_dir):
     from _multi_source_retail_data_integration_hub_spark.plans.similarity import (
-        _neardup_pairs_uncached,
+        _bucket_pair_cands_uncached,
     )
 
-    return _neardup_pairs_uncached(spark, sf_dir)
+    return _bucket_pair_cands_uncached(spark, sf_dir)
 
 
 def _dsir_importance_uncached(spark, sf_dir):
@@ -173,7 +174,7 @@ EXTRA_PLANS = {
     "winnow_span_trim (uncached operator; q153 end-to-end)": _winnow_span_trim_uncached,
     "dsir_importance (uncached operator; q155/q156 — model joins keyed on the bounded bucket table; the only broadcast is the 1-row totals scalar)": _dsir_importance_uncached,
     "bm25_ranked (uncached pipeline; q122/q157 — term-bounded tf join, 1-row stats scalar, ranked_topk final)": _bm25_ranked_uncached_plan,
-    "neardup_pairs (uncached pipeline; q37/q53/q158 — LSH bucket equi-join + exact cosine verify)": _neardup_pairs_uncached_plan,
+    "bucket_pair_cands (uncached pipeline; q37/q53/q158/q164 — LSH bucket equi-join + exact cosine, pre-threshold)": _bucket_pair_cands_uncached_plan,
 }
 
 
