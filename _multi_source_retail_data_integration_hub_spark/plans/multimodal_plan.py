@@ -201,3 +201,156 @@ def q78_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resized.mapInPandas(
         stats, "media_id long, width int, height int, n_bytes int, mean_red double"
     )
+
+
+# ---------------------------------------------------------------------------
+# q165 — perceptual image near-dup (dHash + banded Hamming join): the
+# image twin of the text SimHash pipeline (q147/q151). Each document's
+# deterministic 8x6 BMP goes through the REAL codec (encode -> decode,
+# Arrow-batched), is grayscaled with integer (r+g+b) DIV 3, and hashed
+# by horizontal gradient sign — 7x6 = 42 bits packed into a BIGINT
+# (the classic dHash of image-dedup services). Candidate pairs come
+# from a 3x14-bit banded equi-join (pigeonhole: Hamming <= 2 cannot
+# miss all three bands), verified exactly with bit_count(xor) — never
+# an all-pairs scan. The oracle replays the pixel math analytically
+# from the same utf-8 bytes (q78's scheme: ASCII contract asserted on
+# both sides).
+#
+# Scale shape: one Python stage per image for codec+hash (Arrow-
+# batched, corpus-linear), then JVM-side banding/join — identical plan
+# family as the production SimHash join, with the same hot-bucket
+# behavior at corpus scale.
+# ---------------------------------------------------------------------------
+_DH_SRC_H, _DH_SRC_W = 6, 8
+_DH_BITS = (_DH_SRC_W - 1) * _DH_SRC_H  # 42
+_DH_BAND_BITS = 14
+_DH_N_BANDS = 3
+_DH_HAM_MAX = 2  # < n_bands: pigeonhole recall guarantee
+
+
+@query(
+    "q165_image_dhash_neardup",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id,
+             repeat(text, CAST(ceil({_DH_SRC_H * _DH_SRC_W * 3}.0
+                                    / length(text)) AS INT)) AS rep
+      FROM documents
+      WHERE length(text) > 0 AND octet_length(encode(text)) = length(text)
+    ),
+    px AS (
+      SELECT doc_id, rep, unnest(range(0, {_DH_SRC_H * _DH_SRC_W})) AS i
+      FROM base
+    ),
+    gray AS (
+      SELECT doc_id, i,
+             (ascii(substr(rep, CAST(3 * i + 1 AS INT), 1))
+              + ascii(substr(rep, CAST(3 * i + 2 AS INT), 1))
+              + ascii(substr(rep, CAST(3 * i + 3 AS INT), 1))) // 3 AS g
+      FROM px
+    ),
+    bits AS (
+      SELECT a.doc_id,
+             (a.i // {_DH_SRC_W}) * {_DH_SRC_W - 1} + (a.i % {_DH_SRC_W})
+               AS bitpos,
+             CASE WHEN b.g > a.g THEN 1 ELSE 0 END AS bit
+      FROM gray a
+      JOIN gray b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+      WHERE a.i % {_DH_SRC_W} <= {_DH_SRC_W - 2}
+    ),
+    dh AS (
+      SELECT doc_id,
+             CAST(SUM(bit * (CAST(1 AS BIGINT) << CAST(bitpos AS INT)))
+                  AS BIGINT) AS dhash
+      FROM bits GROUP BY 1
+    ),
+    mb AS (
+      SELECT doc_id, t.b AS band_id,
+             (dhash >> CAST({_DH_BAND_BITS} * t.b AS INT))
+               & {(1 << _DH_BAND_BITS) - 1} AS band_val
+      FROM dh CROSS JOIN (SELECT unnest(range(0, {_DH_N_BANDS})) AS b) t
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+      FROM mb a
+      JOIN mb b2 ON b2.band_id = a.band_id AND b2.band_val = a.band_val
+                AND a.doc_id < b2.doc_id
+    )
+    SELECT c.id_a, c.id_b,
+           CAST(bit_count(xor(x.dhash, y.dhash)) AS BIGINT) AS hamming
+    FROM cand c
+    JOIN dh x ON x.doc_id = c.id_a
+    JOIN dh y ON y.doc_id = c.id_b
+    WHERE bit_count(xor(x.dhash, y.dhash)) <= {_DH_HAM_MAX}
+    ORDER BY c.id_a, c.id_b
+    """,
+)
+def q165_image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"), _PY_FAN).where(
+        (F.length("text") > 0) & (F.octet_length("text") == F.length("text"))
+    )
+
+    def dhash(batches):
+        need = _DH_SRC_H * _DH_SRC_W * 3
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out_ids, out_hashes = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = text.encode("utf-8")
+                reps = -(-need // len(raw))
+                buf = (raw * reps)[:need]
+                img = np.frombuffer(buf, dtype=np.uint8).reshape(
+                    _DH_SRC_H, _DH_SRC_W, 3
+                )
+                # through the REAL codec: encode -> decode round trip
+                decoded = M.decode_bmp(M.encode_bmp(img))
+                gray = decoded.astype(np.int64).sum(axis=2) // 3
+                h = 0
+                for y in range(_DH_SRC_H):
+                    for x in range(_DH_SRC_W - 1):
+                        if gray[y, x + 1] > gray[y, x]:
+                            h |= 1 << (y * (_DH_SRC_W - 1) + x)
+                out_ids.append(int(doc_id))
+                out_hashes.append(h)
+            yield pd.DataFrame({"doc_id": out_ids, "dhash": out_hashes})
+
+    dh = docs.mapInPandas(dhash, "doc_id long, dhash long")
+    mask = (1 << _DH_BAND_BITS) - 1
+    mb = dh.select(
+        "doc_id",
+        "dhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.expr(f"shiftright(dhash, {_DH_BAND_BITS * b}) & {mask}").alias(
+                            "band_val"
+                        ),
+                    )
+                    for b in range(_DH_N_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "dhash", F.col("bb.band_id"), F.col("bb.band_val"))
+    a = mb.select(
+        F.col("doc_id").alias("id_a"), F.col("dhash").alias("dh_a"),
+        "band_id", "band_val",
+    )
+    b = mb.select(
+        F.col("doc_id").alias("id_b"), F.col("dhash").alias("dh_b"),
+        "band_id", "band_val",
+    )
+    return (
+        a.join(b, ["band_id", "band_val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.expr("bit_count(dh_a ^ dh_b)").alias("hamming"))
+        .distinct()
+        .where(F.col("hamming") <= _DH_HAM_MAX)
+        .select("id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming"))
+        .orderBy("id_a", "id_b")
+    )

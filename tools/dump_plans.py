@@ -88,6 +88,7 @@ DEFAULT_QUERIES = [
     "q162_cdc_chunks",
     "q163_source_overlap",
     "q164_hard_negatives",
+    "q165_image_dhash_neardup",
 ]
 
 
