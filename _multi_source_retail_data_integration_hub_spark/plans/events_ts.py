@@ -928,3 +928,73 @@ def q136_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_type", "n_events", "total_value").orderBy(
         "event_type"
     )
+
+
+# ---------------------------------------------------------------------------
+# q166 — behavioral-sequence dataset construction: per user, the
+# chronological event-type sequence truncated to the most recent
+# SEQ_N events, split into (context, target) for next-event-prediction
+# training — the recsys / behavior-LM dataset builder (SASRec-style
+# example construction expressed relationally).
+#
+# Scale shape: the recency window is a hash-partitioned ranking
+# window rewritten to WindowGroupLimit (per-partition top-N heaps —
+# a power user with millions of events never materializes them all;
+# only the <= SEQ_N survivors reach collect_list), and the total
+# count rides a separate map-side-combined aggregate joined back on
+# the user grain. Ordering ties broken by event_id, so both engines
+# assemble identical sequences.
+# ---------------------------------------------------------------------------
+SEQ_N = 20
+
+
+@query(
+    "q166_user_sequences",
+    oracle=f"""
+    WITH s AS (
+      SELECT user_id, COUNT(*) AS n,
+             array_agg(event_type ORDER BY ts, event_id) AS seq
+      FROM events GROUP BY 1
+    ),
+    t AS (
+      SELECT user_id, n, LEAST(n, {SEQ_N}) AS seq_len,
+             list_slice(seq, GREATEST(1, n - {SEQ_N - 1}), n) AS last
+      FROM s
+    )
+    SELECT user_id,
+           CAST(n AS BIGINT) AS n_events,
+           CAST(seq_len AS BIGINT) AS seq_len,
+           array_to_string(list_slice(last, 1, CAST(seq_len - 1 AS INT)), ' ')
+             AS context,
+           last[CAST(seq_len AS INT)] AS target
+    FROM t ORDER BY user_id
+    """,
+)
+def q166_user_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    recent = ev.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= SEQ_N
+    )
+    counts = ev.groupBy("user_id").agg(F.count("*").cast("bigint").alias("n_events"))
+    seqs = recent.groupBy("user_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+            lambda s: s.getField("event_type"),
+        ).alias("last")
+    )
+    return (
+        seqs.join(counts, "user_id")
+        .select(
+            "user_id",
+            "n_events",
+            F.size("last").cast("bigint").alias("seq_len"),
+            F.concat_ws(
+                " ", F.expr("slice(last, 1, size(last) - 1)")
+            ).alias("context"),
+            F.element_at("last", -1).alias("target"),
+        )
+        .orderBy("user_id")
+    )

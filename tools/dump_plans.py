@@ -89,6 +89,7 @@ DEFAULT_QUERIES = [
     "q163_source_overlap",
     "q164_hard_negatives",
     "q165_image_dhash_neardup",
+    "q166_user_sequences",
 ]
 
 
