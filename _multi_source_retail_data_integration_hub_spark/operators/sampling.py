@@ -194,3 +194,63 @@ def temperature_weights(
             .alias("boost_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic epoch shuffle + shard assignment: the data-ordering
+# contract of a large training run. Every (example, epoch) gets a
+# content-derived md5 sort key, a shard by key prefix, and a position
+# within its shard — so any worker can reproduce its exact read order
+# from (seed, epoch, shard) alone, resume mid-epoch by position, and
+# every epoch is an independent permutation. This is the standard
+# "global shuffle without a global sort" layout: at 100 TB the output
+# is written hash-partitioned by shard and sorted WITHIN each shard
+# (repartition(shard) + sortWithinPartitions — exactly what the
+# per-shard window compiles to), never one total-order sort of the
+# corpus.
+# ---------------------------------------------------------------------------
+EPOCH_SHUFFLE_SHARDS = 8
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    id_col: str,
+    epochs: tuple[int, ...] = (1, 2),
+    n_shards: int = EPOCH_SHUFFLE_SHARDS,
+    seed: str = "epoch",
+) -> DataFrame:
+    """(epoch, id, sort_key, shard_id, shard_pos) for every epoch.
+
+    md5 of "seed:epoch:id" is the permutation key — engine-portable
+    (identical text in the DuckDB twin) and uniform enough that shard
+    sizes balance to sampling error. shard_pos is a per-(epoch, shard)
+    ROW_NUMBER — hash-partitioned work, parallel across shards.
+    """
+    from pyspark.sql import Window
+
+    epoch = F.explode(
+        F.array(*[F.lit(e).cast("bigint") for e in epochs])
+    ).alias("epoch")
+    keyed = df.select(F.col(id_col), epoch).select(
+        "epoch",
+        id_col,
+        F.md5(
+            F.concat_ws(
+                ":",
+                F.lit(seed),
+                F.col("epoch").cast("string"),
+                F.col(id_col).cast("string"),
+            )
+        ).alias("sort_key"),
+    )
+    keyed = keyed.withColumn(
+        "shard_id",
+        F.pmod(
+            F.conv(F.col("sort_key").substr(1, 8), 16, 10).cast("bigint"),
+            F.lit(n_shards),
+        ).cast("bigint"),
+    )
+    w = Window.partitionBy("epoch", "shard_id").orderBy("sort_key", id_col)
+    return keyed.withColumn(
+        "shard_pos", F.row_number().over(w).cast("bigint")
+    )

@@ -522,3 +522,73 @@ def dequantize_error(df: DataFrame, id_col: str = "vec_id") -> DataFrame:
             ),
         )
     )
+
+
+def semdedup(
+    corpus: DataFrame | None = None,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    threshold: float = 0.9,
+    assigned: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster-scoped semantic dedup.
+
+    Assign every vector to its IVF coarse cluster, exact-verify cosine
+    ONLY within clusters, and drop any vector with a lower-id
+    cluster-mate at/above ``threshold`` (deterministic min-id
+    representative — the paper keeps the vector farthest from the
+    centroid; any total order works and this one replays in SQL).
+    Returns (id, list_id, kept 0/1) for every input vector.
+
+    ``assigned`` short-circuits the assignment stage with a
+    pre-materialized (id, qe, nsq, list_id) frame — production keeps
+    that table persisted bucketed by list_id (write_members_bucketed),
+    making the verify self-join exchange-free. When built here it is
+    localCheckpointed once: three sub-plans read it, and the quadratic
+    stage must never recompute the Arrow assignment pass.
+
+    Scale: sum(cluster_size^2) work bounded by nlist sizing (stride
+    keeps nlist <= ~MAX_NLIST; real deployments size nlist ~ sqrt(n)
+    so clusters stay ~sqrt(n)); everything else is one Arrow matmul
+    pass plus id-keyed equi-joins.
+    """
+    from .checkpointing import materialize
+
+    if assigned is None:
+        if corpus is None:
+            raise ValueError("semdedup needs a corpus or an assigned frame")
+        cq = with_quantized(corpus, emb_col, id_col)
+        cents = ivf_centroid_matrix(cq, id_col)
+        assigned = materialize(ivf_probes(cq, cents, 1, id_col))
+    a_side = assigned.select(
+        F.col(id_col).alias("id_a"), F.col("qe").alias("qa"),
+        F.col("nsq").alias("na"), "list_id",
+    )
+    b_side = assigned.select(
+        F.col(id_col).alias("id_b"), F.col("qe").alias("qb"),
+        F.col("nsq").alias("nb"), "list_id",
+    )
+    dropped = (
+        a_side.join(b_side, "list_id")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("dot", dot_long_vec(F.col("qa"), F.col("qb")))
+        .withColumn(
+            "cos_sim", cosine_from_ints(F.col("dot"), F.col("na"), F.col("nb"))
+        )
+        .where(F.col("cos_sim") >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+        .withColumn("is_dropped", F.lit(1))
+    )
+    return (
+        assigned.select(id_col, "list_id")
+        .join(dropped, id_col, "left")
+        .select(
+            id_col,
+            "list_id",
+            F.when(F.col("is_dropped").isNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("kept"),
+        )
+    )

@@ -1773,3 +1773,138 @@ def cdc_chunks(
     return per_chunk.join(counts, "chunk_md5").select(
         id_col, "chunk_id", "chunk_start", "n_tokens", "chunk_md5", "chunk_df"
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", table A1): the
+# published heuristic filter bundle web-scale LLM corpora are gated
+# through before training. Each rule is a per-document flag; the
+# overall gate is their conjunction. All ratios are integer-exact
+# (x100 / ppm with DIV), so the DuckDB twin hash-matches bit-for-bit.
+#
+# Scale shape: pure per-row projection over the scan — no shuffle, no
+# UDF; every expression whole-stage-codegens into the scan projection.
+# ---------------------------------------------------------------------------
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MWL_X100 = 300  # mean word length in [3, 10]
+GOPHER_MAX_MWL_X100 = 1000
+GOPHER_MAX_SYMBOL_X1000 = 100  # (hash + ellipsis) per word <= 0.1
+GOPHER_MAX_BULLET_PPM = 900_000  # <= 90% of lines bullet-led
+GOPHER_MAX_ELLIPSIS_PPM = 300_000  # <= 30% of lines ellipsis-ended
+GOPHER_MIN_ALPHA_PPM = 800_000  # >= 80% of words contain a letter
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_MIN_STOPWORDS = 2
+
+
+def gopher_rules(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document Gopher rule metrics + flags + the overall gate.
+
+    Output grain: one row per document with the integer-exact metric
+    each rule evaluates, a 0/1 bigint flag per rule, and
+    ``passes_gopher`` = conjunction. NULL metrics (empty documents)
+    fail their rule — a document with no words has no mean word
+    length, and the filter's job is to drop it, not to pass it
+    vacuously.
+    """
+    text = F.col(text_col)
+    toks = tokens(text)
+    zero = F.lit(0).cast("bigint")
+    n_words = F.size(toks).cast("bigint")
+    sum_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("bigint")), zero,
+        lambda a, x: a + x,
+    )
+    n_alpha = F.size(
+        F.filter(toks, lambda t: t.rlike("[A-Za-z]"))
+    ).cast("bigint")
+    n_hash = F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
+    n_ell = (
+        F.length(text) - F.length(F.replace(text, F.lit("..."), F.lit("")))
+    ).cast("bigint")
+    lines = F.split(text, "\n")
+    n_lines = F.size(lines).cast("bigint")
+    n_bullet = F.size(
+        F.filter(
+            lines,
+            lambda l: F.trim(l).startswith("-") | F.trim(l).startswith("*"),
+        )
+    ).cast("bigint")
+    n_ell_lines = F.size(
+        F.filter(lines, lambda l: F.trim(l).endswith("..."))
+    ).cast("bigint")
+    n_stop = F.size(
+        F.array_distinct(
+            F.filter(toks, lambda t: F.lower(t).isin(*GOPHER_STOPWORDS))
+        )
+    ).cast("bigint")
+
+    m = df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        sum_len.alias("sum_word_len"),
+        n_alpha.alias("n_alpha_words"),
+        (n_hash.cast("bigint") + (n_ell / 3).cast("bigint")).alias("n_symbols"),
+        n_lines.alias("n_lines"),
+        n_bullet.alias("n_bullet_lines"),
+        n_ell_lines.alias("n_ellipsis_lines"),
+        n_stop.alias("n_stopwords"),
+    )
+    m = m.select(
+        id_col,
+        "n_words",
+        F.expr("sum_word_len * 100 DIV NULLIF(n_words, 0)").alias("mwl_x100"),
+        F.expr("n_alpha_words * 1000000 DIV NULLIF(n_words, 0)").alias(
+            "alpha_ppm"
+        ),
+        F.expr("n_symbols * 1000 DIV NULLIF(n_words, 0)").alias(
+            "symbol_x1000"
+        ),
+        F.expr("n_bullet_lines * 1000000 DIV n_lines").alias("bullet_ppm"),
+        F.expr("n_ellipsis_lines * 1000000 DIV n_lines").alias(
+            "ellipsis_ppm"
+        ),
+        "n_stopwords",
+    )
+
+    def flag(cond) -> F.Column:
+        return F.when(cond, F.lit(1)).otherwise(F.lit(0)).cast("bigint")
+
+    flags = m.select(
+        id_col,
+        "n_words",
+        "mwl_x100",
+        "alpha_ppm",
+        "symbol_x1000",
+        "bullet_ppm",
+        "ellipsis_ppm",
+        "n_stopwords",
+        flag(
+            (F.col("n_words") >= GOPHER_MIN_WORDS)
+            & (F.col("n_words") <= GOPHER_MAX_WORDS)
+        ).alias("f_word_count"),
+        flag(
+            (F.col("mwl_x100") >= GOPHER_MIN_MWL_X100)
+            & (F.col("mwl_x100") <= GOPHER_MAX_MWL_X100)
+        ).alias("f_mean_word_len"),
+        flag(F.col("alpha_ppm") >= GOPHER_MIN_ALPHA_PPM).alias("f_alpha"),
+        flag(F.col("symbol_x1000") <= GOPHER_MAX_SYMBOL_X1000).alias(
+            "f_symbol"
+        ),
+        flag(F.col("bullet_ppm") <= GOPHER_MAX_BULLET_PPM).alias("f_bullet"),
+        flag(F.col("ellipsis_ppm") <= GOPHER_MAX_ELLIPSIS_PPM).alias(
+            "f_ellipsis"
+        ),
+        flag(F.col("n_stopwords") >= GOPHER_MIN_STOPWORDS).alias("f_stop"),
+    )
+    all_flags = (
+        F.col("f_word_count")
+        * F.col("f_mean_word_len")
+        * F.col("f_alpha")
+        * F.col("f_symbol")
+        * F.col("f_bullet")
+        * F.col("f_ellipsis")
+        * F.col("f_stop")
+    )
+    return flags.withColumn("passes_gopher", all_flags.cast("bigint"))

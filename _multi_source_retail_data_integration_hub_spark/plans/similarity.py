@@ -717,3 +717,103 @@ def q164_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("anchor", "partner", "cos_sim")
         .orderBy("anchor")
     )
+
+
+# ---------------------------------------------------------------------------
+# q167 — SemDeDup-style cluster-scoped semantic dedup (Abbas et al.
+# 2023): assign every vector to an IVF coarse cluster, verify exact
+# cosine ONLY within each cluster, and drop every vector that has a
+# lower-id cluster-mate above the threshold (deterministic min-id
+# representative; the paper keeps the vector farthest from the
+# centroid — any total order works, ours is replayable in SQL).
+# Completes the embedding-dedup family: q37/q53 find near-dups via LSH
+# bucket recall; SemDeDup scopes the quadratic verify to k-means-style
+# clusters instead, the shape used for LAION/web-scale corpus pruning.
+#
+# Scale shape: centroid set is bounded by ivf_stride (<= ~MAX_NLIST
+# collect + broadcast); assignment is one Arrow matmul pass, no
+# shuffle; the within-cluster self-join is an equi-join on list_id
+# whose cost is sum(cluster_size^2) — bounded by nlist sizing exactly
+# like the LSH hot-bucket caps (at 100 TB the assignment table is
+# persisted bucketed by list_id via write_members_bucketed, making the
+# verify join exchange-free). Runs over the q37 augmented corpus so
+# real near-dup structure exists at test scale.
+# ---------------------------------------------------------------------------
+_SEMDEDUP_ASSIGN_SQL = f"""
+    aug AS ({{aug}}),
+    e AS (SELECT vec_id, {_QUANT_LIST} AS qe FROM aug),
+    n AS (SELECT vec_id, qe,
+                 CAST(list_dot_product(qe, qe) AS BIGINT) AS nsq FROM e),
+    st AS (SELECT GREATEST({S.C_STRIDE},
+                           CAST(CEIL(COUNT(*) / {S.MAX_NLIST}.0) AS BIGINT))
+                    AS stride FROM aug),
+    cents AS (SELECT vec_id AS cid, qe AS cqe, nsq AS ccn
+              FROM n CROSS JOIN st
+              WHERE vec_id % st.stride = {S.CENTROID_RESIDUE}),
+    ranked_assign AS (
+      SELECT n.vec_id, c.cid,
+             ROW_NUMBER() OVER (
+               PARTITION BY n.vec_id
+               ORDER BY CAST(CAST(list_dot_product(n.qe, c.cqe) AS BIGINT)
+                             AS DOUBLE)
+                        / sqrt(CAST(n.nsq * c.ccn AS DOUBLE)) DESC, c.cid
+             ) AS crank
+      FROM n CROSS JOIN cents c
+    ),
+    members AS (SELECT vec_id, cid AS list_id FROM ranked_assign
+                WHERE crank = 1)
+"""
+
+
+def _semdedup_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized IVF assignment of the augmented corpus
+    (vec_id, qe, nsq, list_id) — the SemDeDup verify stage self-joins
+    it and the flag join reads it again, so it is checkpointed once
+    per session under training_data's _SIG_CACHE discipline (single
+    eviction point, clear_session_caches). In production this is the
+    persisted assignment table, written bucketed by list_id via
+    write_members_bucketed so the verify join needs no Exchange."""
+    from ..operators.checkpointing import materialize
+    from .training_data import _SIG_CACHE, _sig_cache_key
+
+    key = _sig_cache_key(spark, sf_dir, "semassign")
+    cached = _SIG_CACHE.get(key)
+    if cached is None:
+        aug = _augmented(spark, sf_dir)
+        cq = S.with_quantized(aug, "embedding", "vec_id")
+        cents = S.ivf_centroid_matrix(cq, "vec_id")
+        cached = materialize(S.ivf_probes(cq, cents, 1, "vec_id"))
+        _SIG_CACHE[key] = cached
+    return cached
+
+
+@query(
+    "q167_semdedup",
+    oracle=f"""
+    WITH {_SEMDEDUP_ASSIGN_SQL.format(aug=_augmented_sql())},
+    mv AS (SELECT m.vec_id, m.list_id, n.qe, n.nsq
+           FROM members m JOIN n USING (vec_id)),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             CAST(list_dot_product(a.qe, b.qe) AS BIGINT) AS dot,
+             a.nsq AS na, b.nsq AS nb
+      FROM mv a JOIN mv b
+        ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+    ),
+    dropped AS (
+      SELECT DISTINCT id_b AS vec_id FROM pairs
+      WHERE CAST(dot AS DOUBLE) / sqrt(CAST(na * nb AS DOUBLE))
+            >= {NEARDUP_THRESHOLD}
+    )
+    SELECT m.vec_id, m.list_id,
+           CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT)
+             AS kept
+    FROM members m LEFT JOIN dropped d USING (vec_id)
+    ORDER BY m.vec_id
+    """,
+)
+def q167_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.semdedup(
+        threshold=NEARDUP_THRESHOLD,
+        assigned=_semdedup_assigned(spark, sf_dir),
+    ).orderBy("vec_id")

@@ -3717,3 +3717,140 @@ def q163_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n_shared_grams"))
         .orderBy("source_a", "source_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# q168 — Gopher quality-rule bundle (Rae et al. 2021, table A1): the
+# published heuristic gate web-scale corpora pass before training —
+# word-count bounds, mean-word-length band, symbol-to-word ratio,
+# bullet/ellipsis line fractions, alphabetic-word share, stopword
+# presence. q19 scores a blended quality credit; q168 is the named
+# rule bundle with one 0/1 flag per rule plus the conjunction, so a
+# pipeline can report WHICH rule dropped a document (the audit grain
+# Gopher's appendix publishes). All ratios integer-exact; see
+# operators/text.py::gopher_rules for the per-rule thresholds.
+#
+# Scale shape: per-row projection over the documents scan — no
+# shuffle, no UDF, whole-stage-codegen end to end (ORDER BY is
+# presentation only).
+# ---------------------------------------------------------------------------
+_GOPHER_STOP_SQL = ", ".join(f"'{w}'" for w in T.GOPHER_STOPWORDS)
+
+
+@query(
+    "q168_gopher_rules",
+    oracle=f"""
+    WITH raw AS (
+      SELECT doc_id, text, {_TOKS} AS toks,
+             string_split(text, chr(10)) AS lines
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_words,
+             CAST(COALESCE(list_sum(list_transform(toks, t -> length(t))), 0)
+                  AS BIGINT) AS sum_word_len,
+             CAST(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]')))
+                  AS BIGINT) AS n_alpha_words,
+             CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+               + (CAST(length(text) - length(replace(text, '...', ''))
+                       AS BIGINT) // 3) AS n_symbols,
+             CAST(len(lines) AS BIGINT) AS n_lines,
+             CAST(len(list_filter(lines,
+                    l -> trim(l) LIKE '-%' OR trim(l) LIKE '*%'))
+                  AS BIGINT) AS n_bullet_lines,
+             CAST(len(list_filter(lines, l -> trim(l) LIKE '%...'))
+                  AS BIGINT) AS n_ellipsis_lines,
+             CAST(len(list_distinct(list_filter(toks,
+                    t -> lower(t) IN ({_GOPHER_STOP_SQL}))))
+                  AS BIGINT) AS n_stopwords
+      FROM raw
+    ),
+    r AS (
+      SELECT doc_id, n_words,
+             CAST(sum_word_len * 100 // NULLIF(n_words, 0) AS BIGINT)
+               AS mwl_x100,
+             CAST(n_alpha_words * 1000000 // NULLIF(n_words, 0) AS BIGINT)
+               AS alpha_ppm,
+             CAST(n_symbols * 1000 // NULLIF(n_words, 0) AS BIGINT)
+               AS symbol_x1000,
+             CAST(n_bullet_lines * 1000000 // n_lines AS BIGINT)
+               AS bullet_ppm,
+             CAST(n_ellipsis_lines * 1000000 // n_lines AS BIGINT)
+               AS ellipsis_ppm,
+             n_stopwords
+      FROM m
+    ),
+    f AS (
+      SELECT doc_id, n_words, mwl_x100, alpha_ppm, symbol_x1000,
+             bullet_ppm, ellipsis_ppm, n_stopwords,
+             CAST(CASE WHEN n_words >= {T.GOPHER_MIN_WORDS}
+                        AND n_words <= {T.GOPHER_MAX_WORDS}
+                       THEN 1 ELSE 0 END AS BIGINT) AS f_word_count,
+             CAST(CASE WHEN mwl_x100 >= {T.GOPHER_MIN_MWL_X100}
+                        AND mwl_x100 <= {T.GOPHER_MAX_MWL_X100}
+                       THEN 1 ELSE 0 END AS BIGINT) AS f_mean_word_len,
+             CAST(CASE WHEN alpha_ppm >= {T.GOPHER_MIN_ALPHA_PPM}
+                       THEN 1 ELSE 0 END AS BIGINT) AS f_alpha,
+             CAST(CASE WHEN symbol_x1000 <= {T.GOPHER_MAX_SYMBOL_X1000}
+                       THEN 1 ELSE 0 END AS BIGINT) AS f_symbol,
+             CAST(CASE WHEN bullet_ppm <= {T.GOPHER_MAX_BULLET_PPM}
+                       THEN 1 ELSE 0 END AS BIGINT) AS f_bullet,
+             CAST(CASE WHEN ellipsis_ppm <= {T.GOPHER_MAX_ELLIPSIS_PPM}
+                       THEN 1 ELSE 0 END AS BIGINT) AS f_ellipsis,
+             CAST(CASE WHEN n_stopwords >= {T.GOPHER_MIN_STOPWORDS}
+                       THEN 1 ELSE 0 END AS BIGINT) AS f_stop
+      FROM r
+    )
+    SELECT *,
+           CAST(f_word_count * f_mean_word_len * f_alpha * f_symbol
+                * f_bullet * f_ellipsis * f_stop AS BIGINT)
+             AS passes_gopher
+    FROM f
+    ORDER BY doc_id
+    """,
+)
+def q168_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.gopher_rules(_docs(spark, sf_dir), "text", "doc_id").orderBy(
+        "doc_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# q169 — deterministic epoch shuffle + shard assignment: the
+# reproducible-data-ordering operator a training run sits on (each
+# epoch an independent md5-keyed permutation; workers read their
+# shard in shard_pos order; resume = seek to position). See
+# operators/sampling.py::epoch_shuffle for the no-global-sort scale
+# argument. The oracle replays the identical md5 keys, so both
+# engines produce byte-identical orderings.
+# ---------------------------------------------------------------------------
+@query(
+    "q169_epoch_shuffle",
+    oracle=f"""
+    WITH ep AS (SELECT unnest([1, 2]) AS epoch),
+    keyed AS (
+      SELECT CAST(ep.epoch AS BIGINT) AS epoch, d.doc_id,
+             md5('epoch:' || CAST(ep.epoch AS VARCHAR) || ':'
+                 || CAST(d.doc_id AS VARCHAR)) AS sort_key
+      FROM documents d CROSS JOIN ep
+    ),
+    sharded AS (
+      SELECT epoch, doc_id, sort_key,
+             CAST(CAST('0x' || substr(sort_key, 1, 8) AS BIGINT)
+                  % {sampling.EPOCH_SHUFFLE_SHARDS} AS BIGINT) AS shard_id
+      FROM keyed
+    )
+    SELECT epoch, doc_id, sort_key, shard_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY epoch, shard_id
+                                   ORDER BY sort_key, doc_id) AS BIGINT)
+             AS shard_pos
+    FROM sharded
+    ORDER BY epoch, shard_id, shard_pos
+    """,
+)
+def q169_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select("doc_id")
+    return sampling.epoch_shuffle(d, "doc_id").orderBy(
+        "epoch", "shard_id", "shard_pos"
+    )

@@ -64,10 +64,13 @@ def test_window_protocol_layout():
     # retired guards stay registered but OUTSIDE the recorded window
     for g in entry._RETIRED_GUARDS:
         assert names.index(g) > 49, f"{g} must sit past the window"
-    # the three never-driver-scored rewires lead the backfill, in order
+    # the three never-driver-scored rewires lead the backfill: they sit
+    # contiguously, immediately after the head + new-this-round block
+    # (structural, so adding a new query never silently displaces them)
     rewired = ["q122_bm25_search", "q123_supplier_pagerank", "q132_rfm_segments"]
     idx = [names.index(r) for r in rewired]
-    assert idx == sorted(idx) and idx[-1] < 20
+    assert idx == [idx[0], idx[0] + 1, idx[0] + 2]
+    assert entry._BACKFILL[:3] == rewired
     # every r5-stale row fits in this window
     stale_r5 = [q for q in entry._BACKFILL[:28] if q in names]
     assert all(names.index(q) < 49 for q in stale_r5[:25])

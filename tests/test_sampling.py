@@ -122,3 +122,33 @@ def test_priority_sample_invariant_to_partitioning(spark):
         ).collect()
     ]
     assert a == b
+
+
+def test_epoch_shuffle_contract(spark):
+    df = _df(spark).select("id")
+    out1 = sampling.epoch_shuffle(df, "id", epochs=(1, 2), n_shards=4).collect()
+    out2 = sampling.epoch_shuffle(
+        df.repartition(13), "id", epochs=(1, 2), n_shards=4
+    ).collect()
+    # deterministic and partition-invariant
+    key = lambda r: (r.epoch, r.shard_id, r.shard_pos)  # noqa: E731
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+    assert len(out1) == 2000  # every (id, epoch)
+    # shard_pos is 1..n contiguous within each (epoch, shard)
+    groups: dict[tuple, list] = {}
+    for r in out1:
+        groups.setdefault((r.epoch, r.shard_id), []).append(r.shard_pos)
+    for pos in groups.values():
+        assert sorted(pos) == list(range(1, len(pos) + 1))
+    # epochs are DIFFERENT permutations: same shard+pos rarely the same id
+    by_ep = {
+        e: {(r.shard_id, r.shard_pos): r.id for r in out1 if r.epoch == e}
+        for e in (1, 2)
+    }
+    same = sum(
+        1 for k, v in by_ep[1].items() if by_ep[2].get(k) == v
+    )
+    assert same < 100  # ~1/1000 coincidence rate, not a repeated order
+    # shards balance to sampling error (uniform md5 prefix)
+    sizes = [len(v) for k, v in groups.items()]
+    assert max(sizes) - min(sizes) < 200

@@ -181,3 +181,44 @@ def test_scalar_quantize_plan_is_shuffle_free(spark):
     out = dequantize_error(scalar_quantize(df, "embedding", "vec_id"))
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, f"quantization must not shuffle:\n{plan[:2000]}"
+
+
+def test_semdedup_invariants(spark):
+    # base corpus + exact duplicates of three vectors (cos = 1.0) —
+    # identical vectors assign to the same list, so each dup pair is
+    # verified and the higher id dropped
+    rows = [(i, [_emb(i, d) for d in range(DIM)]) for i in range(N_VECS)]
+    rows += [(1000 + i, [_emb(i, d) for d in range(DIM)]) for i in (5, 17, 40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = S.semdedup(df, threshold=0.9).collect()
+    assert len(out) == len(rows)  # total: every vector gets a verdict
+    by_id = {r.vec_id: r for r in out}
+    for i in (5, 17, 40):
+        assert by_id[1000 + i].list_id == by_id[i].list_id
+        assert by_id[1000 + i].kept == 0  # exact dup, higher id -> dropped
+
+    # recompute exact within-list cosines to pin the two set invariants
+    import numpy as np
+
+    q = {
+        r.vec_id: np.array(
+            [int(np.floor(v * 1000)) for v in dict(rows)[r.vec_id]],
+            dtype=np.int64,
+        )
+        for r in out
+    }
+
+    def cos(a, b):
+        return (q[a] @ q[b]) / np.sqrt(float((q[a] @ q[a]) * (q[b] @ q[b])))
+
+    by_list: dict[int, list] = {}
+    for r in out:
+        by_list.setdefault(r.list_id, []).append(r)
+    for members in by_list.values():
+        ids = sorted(m.vec_id for m in members)
+        kept = {m.vec_id for m in members if m.kept == 1}
+        assert min(ids) in kept  # the min id has no lower mate
+        for j, b in enumerate(ids):
+            has_lower_dup = any(cos(a, b) >= 0.9 for a in ids[:j])
+            # dropped <=> some lower-id cluster-mate is a near-dup
+            assert (b not in kept) == has_lower_dup

@@ -1296,3 +1296,32 @@ def test_cdc_chunks_cover_document_exactly(spark):
         expect.append(acc)
         acc += r.n_tokens
     assert starts == expect
+
+
+def test_gopher_rules_flags(spark):
+    from _multi_source_retail_data_integration_hub_spark.operators import text as T
+
+    good = " ".join(
+        ["the", "be", "to", "of", "and"] * 2 + [f"word{i}" for i in range(50)]
+    )  # 60 words, letters everywhere, stopwords present, mwl in [3,10]
+    short = "the of tiny"  # < 50 words
+    bullets = "\n".join([f"- item {i} the of and that have with be to" for i in range(10)])
+    symbols = " ".join(["##tag#" for _ in range(60)])  # hash-heavy, no stopwords
+    rows = [(1, good), (2, short), (3, bullets), (4, symbols), (5, "   ")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in T.gopher_rules(df, "text", "doc_id").collect()}
+
+    g = out[1]
+    assert (g.f_word_count, g.f_mean_word_len, g.f_alpha, g.f_symbol) == (1, 1, 1, 1)
+    assert (g.f_bullet, g.f_ellipsis, g.f_stop, g.passes_gopher) == (1, 1, 1, 1)
+
+    assert out[2].f_word_count == 0 and out[2].passes_gopher == 0
+    # every line bullet-led -> bullet_ppm = 1_000_000 > 900_000 cap
+    assert out[3].bullet_ppm == 1_000_000 and out[3].f_bullet == 0
+    assert out[3].f_stop == 1  # stopwords present even though bullets fail
+    s = out[4]
+    assert s.symbol_x1000 == 3000 and s.f_symbol == 0  # 3 hashes per word
+    assert s.f_stop == 0 and s.passes_gopher == 0
+    e = out[5]  # empty doc: NULL metrics fail, never pass vacuously
+    assert e.n_words == 0 and e.mwl_x100 is None
+    assert e.f_word_count == 0 and e.f_mean_word_len == 0 and e.passes_gopher == 0

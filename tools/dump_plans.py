@@ -90,6 +90,9 @@ DEFAULT_QUERIES = [
     "q164_hard_negatives",
     "q165_image_dhash_neardup",
     "q166_user_sequences",
+    "q167_semdedup",
+    "q168_gopher_rules",
+    "q169_epoch_shuffle",
 ]
 
 
@@ -170,6 +173,17 @@ def _dsir_importance_uncached(spark, sf_dir):
     )
 
 
+def _semdedup_uncached_plan(spark, sf_dir):
+    from _multi_source_retail_data_integration_hub_spark.operators.similarity import (
+        semdedup,
+    )
+    from _multi_source_retail_data_integration_hub_spark.plans.similarity import (
+        _augmented,
+    )
+
+    return semdedup(_augmented(spark, sf_dir))
+
+
 EXTRA_PLANS = {
     "winnow_selection (uncached operator; feeds q149/q150/q152/q153)": _winnow_selection_uncached,
     "bigram_surprisal (uncached operator; q148 — unigram leg must NOT be hint-broadcast)": _bigram_surprisal_uncached,
@@ -177,6 +191,7 @@ EXTRA_PLANS = {
     "dsir_importance (uncached operator; q155/q156 — model joins keyed on the bounded bucket table; the only broadcast is the 1-row totals scalar)": _dsir_importance_uncached,
     "bm25_ranked (uncached pipeline; q122/q157 — term-bounded tf join, 1-row stats scalar, ranked_topk final)": _bm25_ranked_uncached_plan,
     "bucket_pair_cands (uncached pipeline; q37/q53/q158/q164 — LSH bucket equi-join + exact cosine, pre-threshold)": _bucket_pair_cands_uncached_plan,
+    "semdedup (uncached operator; q167 — cluster-scoped verify is a list_id equi-join, never all-pairs)": _semdedup_uncached_plan,
 }
 
 
