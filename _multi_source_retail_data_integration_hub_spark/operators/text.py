@@ -1908,3 +1908,57 @@ def gopher_rules(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         * F.col("f_stop")
     )
     return flags.withColumn("passes_gopher", all_flags.cast("bigint"))
+
+
+def source_kl_drift(df: DataFrame, text_col: str, group_col: str) -> DataFrame:
+    """Per-group unigram KL divergence against the whole corpus — the
+    distribution-drift audit a multi-source training mix runs per feed
+    (and, re-grouped by snapshot date, per crawl): a source whose token
+    distribution diverges from the mix is over/under-represented or
+    has changed underneath the pipeline.
+
+    KL(p_group || p_corpus) = sum_t p_gt * log2(p_gt / p_t), computed
+    in the registry's exact-integer convention: every log2 is the
+    floor_log2-via-bit-length quantization (same scheme as
+    bigram_surprisal / dsir_importance), applied to each factor
+    SEPARATELY — cnt and total bits subtract instead of multiplying
+    into a product that could overflow int64 at corpus scale. The
+    result is a whole-bits approximation with order-independent
+    integer sums, so Spark and DuckDB hash-match and the number is
+    comparable across rounds.
+
+    Scale shape: explode -> (group, token) hash agg with map-side
+    partials, token re-agg for corpus counts, one vocabulary-keyed
+    shuffle equi-join (AQE may broadcast at small SF; never a forced
+    broadcast of a corpus-cardinality table), then a |groups|-row agg.
+    """
+    bit_len = lambda c: F.length(F.bin(c))  # noqa: E731  floor_log2(x) + 1
+    st = (
+        df.select(F.col(group_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+        .groupBy(group_col, "tok")
+        .agg(F.count("*").cast("bigint").alias("c_st"))
+    )
+    ct = st.groupBy("tok").agg(F.sum("c_st").cast("bigint").alias("c_t"))
+    ns = st.groupBy(group_col).agg(
+        F.sum("c_st").cast("bigint").alias("n_g"),
+        F.count("*").cast("bigint").alias("n_distinct_tokens"),
+    )
+    nt = st.agg(F.sum("c_st").cast("bigint").alias("n_total"))
+    term = F.col("c_st") * (
+        (bit_len(F.col("c_st")) - bit_len(F.col("n_g")))
+        - (bit_len(F.col("c_t")) - bit_len(F.col("n_total")))
+    )
+    return (
+        st.join(ct, "tok")
+        .join(ns, group_col)
+        .crossJoin(F.broadcast(nt))  # 1-row scalar, allowlisted
+        .groupBy(group_col, "n_g", "n_distinct_tokens")
+        .agg(F.sum(term).cast("bigint").alias("kl_bits"))
+        .select(
+            group_col,
+            F.col("n_g").alias("n_tokens"),
+            "n_distinct_tokens",
+            "kl_bits",
+            F.expr("kl_bits * 1000 DIV n_g").alias("mean_milli_bits"),
+        )
+    )

@@ -3737,13 +3737,15 @@ def q163_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 _GOPHER_STOP_SQL = ", ".join(f"'{w}'" for w in T.GOPHER_STOPWORDS)
 
 
-@query(
-    "q168_gopher_rules",
-    oracle=f"""
+def _gopher_flags_sql(rel: str) -> str:
+    """q168's full rule-flag chain over any (doc_id, text) relation —
+    shared verbatim by the q168 oracle and q171's funnel oracle so the
+    two can never drift."""
+    return f"""
     WITH raw AS (
       SELECT doc_id, text, {_TOKS} AS toks,
              string_split(text, chr(10)) AS lines
-      FROM documents
+      FROM {rel}
     ),
     m AS (
       SELECT doc_id,
@@ -3807,8 +3809,12 @@ _GOPHER_STOP_SQL = ", ".join(f"'{w}'" for w in T.GOPHER_STOPWORDS)
                 * f_bullet * f_ellipsis * f_stop AS BIGINT)
              AS passes_gopher
     FROM f
-    ORDER BY doc_id
-    """,
+    """
+
+
+@query(
+    "q168_gopher_rules",
+    oracle=_gopher_flags_sql("documents") + " ORDER BY doc_id",
 )
 def q168_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.gopher_rules(_docs(spark, sf_dir), "text", "doc_id").orderBy(
@@ -3854,3 +3860,200 @@ def q169_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.epoch_shuffle(d, "doc_id").orderBy(
         "epoch", "shard_id", "shard_pos"
     )
+
+
+# ---------------------------------------------------------------------------
+# q170 — per-source distribution-drift audit: unigram KL divergence of
+# each source's token distribution against the whole corpus, in the
+# registry's floor-log2 integer-bit quantization (the q148/q155
+# scheme, factors quantized separately so nothing can overflow int64
+# at corpus scale). The monitoring twin of q163's content-overlap
+# matrix: q163 asks "which feeds share text", q170 asks "which feed's
+# LANGUAGE has drifted from the mix" — the alarm a training-data
+# pipeline raises before a bad crawl contaminates a run. See
+# operators/text.py::source_kl_drift for the one-shuffle-join scale
+# shape.
+# ---------------------------------------------------------------------------
+@query(
+    "q170_source_kl_drift",
+    oracle=f"""
+    WITH tk AS (
+      SELECT source, unnest({_TOKS}) AS tok FROM documents
+    ),
+    st AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c_st
+           FROM tk GROUP BY 1, 2),
+    ct AS (SELECT tok, CAST(SUM(c_st) AS BIGINT) AS c_t FROM st GROUP BY 1),
+    ns AS (SELECT source, CAST(SUM(c_st) AS BIGINT) AS n_g,
+                  CAST(COUNT(*) AS BIGINT) AS n_distinct_tokens
+           FROM st GROUP BY 1),
+    nt AS (SELECT CAST(SUM(c_st) AS BIGINT) AS n_total FROM st),
+    kl AS (
+      SELECT s.source, ns.n_g, ns.n_distinct_tokens,
+             CAST(SUM(s.c_st * ((length(bin(s.c_st)) - length(bin(ns.n_g)))
+                                - (length(bin(c.c_t))
+                                   - length(bin(nt.n_total)))))
+                  AS BIGINT) AS kl_bits
+      FROM st s
+      JOIN ct c USING (tok)
+      JOIN ns ON ns.source = s.source
+      CROSS JOIN nt
+      GROUP BY 1, 2, 3
+    )
+    SELECT source, n_g AS n_tokens, n_distinct_tokens, kl_bits,
+           CAST(kl_bits * 1000 // n_g AS BIGINT) AS mean_milli_bits
+    FROM kl
+    ORDER BY source
+    """,
+)
+def q170_source_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.source_kl_drift(_docs(spark, sf_dir), "text", "source").orderBy(
+        "source"
+    )
+
+
+# ---------------------------------------------------------------------------
+# q171 — curation-funnel attrition report: the per-stage accounting a
+# production corpus pipeline publishes with every run — how many
+# documents each gate dropped and the cumulative survival rate.
+# Stages (each an already-verified operator, so the funnel proves the
+# composition): exact dedup (q17's hash-groupBy over the doubled
+# corpus), the Gopher length gate, the Gopher format gates
+# (mean-word-length/alpha/symbol/bullet/ellipsis conjunction), and
+# the q19 quality band. The Gopher stopword rule is reported by q168
+# but not staged here: the synthetic corpus vocabulary contains only
+# one of the eight published stopwords, so it would zero the funnel
+# (faithfully — the flag output says exactly that).
+#
+# Scale shape: flag computation is scan projections + one dedup hash
+# agg; the funnel itself is ONE pass to a 1-row aggregate of
+# conditional sums (map-side partials), stacked to 5 rows at the end
+# — the corpus is never re-scanned per stage.
+# ---------------------------------------------------------------------------
+@query(
+    "q171_curation_funnel",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + {OFFSET} AS doc_id, text FROM documents
+    ),
+    canon AS (SELECT md5(text) AS text_hash, MIN(doc_id) AS canonical_id
+              FROM corpus GROUP BY 1),
+    gf AS (SELECT doc_id, f_word_count,
+                  f_mean_word_len * f_alpha * f_symbol * f_bullet
+                    * f_ellipsis AS fmt
+           FROM ({_gopher_flags_sql("corpus")})),
+    qb AS (
+      SELECT doc_id,
+             CASE WHEN s >= 0.75 THEN 'high'
+                  WHEN s >= 0.5 THEN 'medium'
+                  ELSE 'low' END AS quality_band
+      FROM (
+        SELECT doc_id,
+               (least(length(text) / 500.0, 1.0)
+                + len(list_distinct({_TOKS})) / NULLIF(len({_TOKS}), 0)
+                + least(len(list_filter({_TOKS},
+                        t -> lower(t) IN ('the','a','of','and','to')))
+                        / NULLIF(len({_TOKS}), 0) * 5, 1.0)) / 3 AS s
+        FROM corpus)
+    ),
+    flags AS (
+      SELECT c.doc_id,
+             CASE WHEN c.doc_id = cn.canonical_id THEN 1 ELSE 0 END
+               AS is_canon,
+             g.f_word_count, g.fmt,
+             CASE WHEN q.quality_band <> 'low' THEN 1 ELSE 0 END AS q_ok
+      FROM corpus c
+      JOIN canon cn ON md5(c.text) = cn.text_hash
+      JOIN gf g ON g.doc_id = c.doc_id
+      JOIN qb q ON q.doc_id = c.doc_id
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n0,
+             CAST(SUM(is_canon) AS BIGINT) AS n1,
+             CAST(SUM(is_canon * f_word_count) AS BIGINT) AS n2,
+             CAST(SUM(is_canon * f_word_count * fmt) AS BIGINT) AS n3,
+             CAST(SUM(is_canon * f_word_count * fmt * q_ok) AS BIGINT) AS n4
+      FROM flags
+    ),
+    stages AS (
+      SELECT CAST(1 AS BIGINT) AS stage, 'ingest' AS stage_name,
+             n0 AS n_out, CAST(0 AS BIGINT) AS n_dropped, n0 AS base
+      FROM agg
+      UNION ALL SELECT 2, 'exact_dedup', n1, n0 - n1, n0 FROM agg
+      UNION ALL SELECT 3, 'length_gate', n2, n1 - n2, n0 FROM agg
+      UNION ALL SELECT 4, 'format_gates', n3, n2 - n3, n0 FROM agg
+      UNION ALL SELECT 5, 'quality_gate', n4, n3 - n4, n0 FROM agg
+    )
+    SELECT stage, stage_name, n_out,
+           CAST(n_dropped AS BIGINT) AS n_dropped,
+           CAST(n_out * 1000000 // base AS BIGINT) AS survival_ppm
+    FROM stages ORDER BY stage
+    """,
+)
+def q171_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _doubled(spark, sf_dir)
+    clusters = T.exact_dup_clusters(corpus, "text", "doc_id").select(
+        "text_hash", "canonical_id"
+    )
+    g = T.gopher_rules(corpus, "text", "doc_id").select(
+        "doc_id",
+        "f_word_count",
+        (
+            F.col("f_mean_word_len") * F.col("f_alpha") * F.col("f_symbol")
+            * F.col("f_bullet") * F.col("f_ellipsis")
+        ).alias("fmt"),
+    )
+    q = T.quality_score(corpus, "text", "doc_id").select(
+        "doc_id",
+        F.when(F.col("quality_band") != "low", F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("q_ok"),
+    )
+    flags = (
+        corpus.withColumn("text_hash", F.md5("text"))
+        .join(clusters, "text_hash")
+        .join(g, "doc_id")
+        .join(q, "doc_id")
+        .select(
+            F.when(F.col("doc_id") == F.col("canonical_id"), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("is_canon"),
+            "f_word_count",
+            "fmt",
+            "q_ok",
+        )
+    )
+    agg = flags.agg(
+        F.count("*").cast("bigint").alias("n0"),
+        F.sum("is_canon").cast("bigint").alias("n1"),
+        F.sum(F.col("is_canon") * F.col("f_word_count"))
+        .cast("bigint")
+        .alias("n2"),
+        F.sum(F.col("is_canon") * F.col("f_word_count") * F.col("fmt"))
+        .cast("bigint")
+        .alias("n3"),
+        F.sum(
+            F.col("is_canon") * F.col("f_word_count") * F.col("fmt")
+            * F.col("q_ok")
+        )
+        .cast("bigint")
+        .alias("n4"),
+    )
+    stacked = agg.selectExpr(
+        """stack(5,
+             CAST(1 AS BIGINT), 'ingest',       n0, CAST(0 AS BIGINT),
+             CAST(2 AS BIGINT), 'exact_dedup',  n1, n0 - n1,
+             CAST(3 AS BIGINT), 'length_gate',  n2, n1 - n2,
+             CAST(4 AS BIGINT), 'format_gates', n3, n2 - n3,
+             CAST(5 AS BIGINT), 'quality_gate', n4, n3 - n4
+           ) AS (stage, stage_name, n_out, n_dropped)""",
+        "n0 AS base",
+    )
+    return stacked.select(
+        "stage",
+        "stage_name",
+        "n_out",
+        "n_dropped",
+        F.expr("n_out * 1000000 DIV base").alias("survival_ppm"),
+    ).orderBy("stage")

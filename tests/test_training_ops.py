@@ -1325,3 +1325,28 @@ def test_gopher_rules_flags(spark):
     e = out[5]  # empty doc: NULL metrics fail, never pass vacuously
     assert e.n_words == 0 and e.mwl_x100 is None
     assert e.f_word_count == 0 and e.f_mean_word_len == 0 and e.passes_gopher == 0
+
+
+def test_source_kl_drift_zero_and_skew(spark):
+    from _multi_source_retail_data_integration_hub_spark.operators import text as T
+
+    # two equal-size groups with IDENTICAL token distributions: every
+    # corpus count is exactly 2x the group count, and floor_log2 is
+    # exact on powers of two shifts (bl(2x) = bl(x) + 1), so the
+    # quantized KL is exactly 0 — not approximately
+    same = [(i, "m", "a b c d") for i in range(10)] + [
+        (100 + i, "n", "a b c d") for i in range(10)
+    ]
+    df = spark.createDataFrame(same, "doc_id long, source string, text string")
+    out = {r.source: r for r in T.source_kl_drift(df, "text", "source").collect()}
+    assert out["m"].kl_bits == 0 and out["n"].kl_bits == 0
+    assert out["m"].n_tokens == 40 and out["m"].n_distinct_tokens == 4
+
+    # a skewed group diverges more than a mix-matching one
+    rows = [(i, "base", "a b c d") for i in range(20)] + [
+        (200 + i, "skew", "a a a a") for i in range(5)
+    ]
+    df2 = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out2 = {r.source: r for r in T.source_kl_drift(df2, "text", "source").collect()}
+    assert out2["skew"].kl_bits > out2["base"].kl_bits
+    assert out2["skew"].mean_milli_bits > 0

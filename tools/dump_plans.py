@@ -93,6 +93,8 @@ DEFAULT_QUERIES = [
     "q167_semdedup",
     "q168_gopher_rules",
     "q169_epoch_shuffle",
+    "q170_source_kl_drift",
+    "q171_curation_funnel",
 ]
 
 
