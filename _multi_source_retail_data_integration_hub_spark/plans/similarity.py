@@ -817,3 +817,86 @@ def q167_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=NEARDUP_THRESHOLD,
         assigned=_semdedup_assigned(spark, sf_dir),
     ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# q173 — embedding centroid drift: per-label centroid cosine against
+# the global centroid — the embedding-space twin of q170's token-KL
+# drift audit (a label/source/snapshot whose centroid swings away
+# from the mix signals upstream distribution change before any
+# downstream metric moves). Cosine is scale-invariant, so the exact
+# integer SUM vectors stand in for the mean centroids bit-for-bit:
+# cos(sum_l, sum_g) == cos(mean_l, mean_g) mathematically, and the
+# integer sums make both engines agree exactly. (At true 100 TB the
+# int64 raw-sum dot would overflow; the production path divides by
+# counts in double first — same cosine by scale invariance, only the
+# oracle-exact convention changes.)
+#
+# Scale shape: posexplode -> (label, pos) hash agg with map-side
+# partials (64 rows per label), the global centroid re-aggregated
+# from the per-label sums (|labels| x 64 rows, NOT a second corpus
+# scan), then all cosine arithmetic on the tiny centroid tables.
+# ---------------------------------------------------------------------------
+@query(
+    "q173_centroid_drift",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, {_QUANT_LIST} AS qe FROM embeddings),
+    p AS (
+      SELECT label,
+             unnest(range(1, len(qe) + 1)) AS pos,
+             unnest(qe) AS v
+      FROM e
+    ),
+    lc AS (
+      SELECT label, pos, CAST(SUM(v) AS BIGINT) AS s
+      FROM p GROUP BY 1, 2
+    ),
+    gc AS (SELECT pos, CAST(SUM(s) AS BIGINT) AS g FROM lc GROUP BY 1),
+    nv AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs
+           FROM e GROUP BY 1),
+    dots AS (
+      SELECT l.label,
+             CAST(SUM(l.s * g.g) AS BIGINT) AS dot,
+             CAST(SUM(l.s * l.s) AS BIGINT) AS nl,
+             CAST(SUM(g.g * g.g) AS BIGINT) AS ng
+      FROM lc l JOIN gc g USING (pos)
+      GROUP BY 1
+    )
+    SELECT d.label, nv.n_vecs,
+           CAST(d.dot AS DOUBLE)
+             / sqrt(CAST(d.nl AS DOUBLE) * CAST(d.ng AS DOUBLE))
+             AS cos_to_global
+    FROM dots d JOIN nv USING (label)
+    ORDER BY d.label
+    """,
+)
+def q173_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("label", S.quantized(F.col("embedding")).alias("qe"))
+    p = e.select("label", F.posexplode("qe").alias("pos0", "v")).select(
+        "label", (F.col("pos0") + 1).alias("pos"), "v"
+    )
+    lc = p.groupBy("label", "pos").agg(F.sum("v").cast("bigint").alias("s"))
+    gc = lc.groupBy("pos").agg(F.sum("s").cast("bigint").alias("g"))
+    nv = emb.groupBy("label").agg(F.count("*").cast("bigint").alias("n_vecs"))
+    dots = (
+        lc.join(gc, "pos")
+        .groupBy("label")
+        .agg(
+            F.sum(F.col("s") * F.col("g")).cast("bigint").alias("dot"),
+            F.sum(F.col("s") * F.col("s")).cast("bigint").alias("nl"),
+            F.sum(F.col("g") * F.col("g")).cast("bigint").alias("ng"),
+        )
+    )
+    return (
+        dots.join(nv, "label")
+        .select(
+            "label",
+            "n_vecs",
+            (
+                F.col("dot").cast("double")
+                / F.sqrt(F.col("nl").cast("double") * F.col("ng").cast("double"))
+            ).alias("cos_to_global"),
+        )
+        .orderBy("label")
+    )

@@ -143,6 +143,7 @@ def test_broadcast_hints_only_on_bounded_relations():
         "avg_bal": "1-row average balance (TPC-H Q22)",
         "n": "1-row count",
         "nt": "1-row corpus token total (q170 KL drift)",
+        "pop": "1-row population total (q172 k-anonymity)",
         "base": "1-row max-surrogate-key scalar (SCD2 insert batch)",
         # bounded lookup/cutpoint/counter tables
         "histogram_bucket_map": "k+1-row cutpoint table by construction",

@@ -95,6 +95,8 @@ DEFAULT_QUERIES = [
     "q169_epoch_shuffle",
     "q170_source_kl_drift",
     "q171_curation_funnel",
+    "q172_k_anonymity",
+    "q173_centroid_drift",
 ]
 
 

@@ -146,6 +146,14 @@ ALLOW: dict[tuple[str, str], str] = {
         "embedded BM25 leg: corpus stats (n_docs, avgdl) 1-row "
         "scalar cross join (same allowlisted site as q122)"
     ),
+    ("q170_source_kl_drift", "NESTEDLOOP"): (
+        "corpus token total — 1-row scalar cross join against the "
+        "(source, token) count table (allowlisted 1-row pattern)"
+    ),
+    ("q172_k_anonymity", "NESTEDLOOP"): (
+        "population total — 1-row scalar cross join against the "
+        "bounded quasi-identifier class table"
+    ),
     # ---- 1PART: single partition bounded by construction ----
     ("q160_dsir_calibration", "1PART"): (
         "cumulative precision/recall window over the score-grain "
