@@ -819,6 +819,34 @@ def q167_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+def _label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(label, pos, s, c): exact integer per-label centroid sums plus
+    contribution counts, materialized once per session (_SIG_CACHE
+    discipline) — |labels| x dim rows, so the checkpoint is tiny and
+    every q173 consumer (global centroid, vector counts, dot products)
+    reads it instead of re-scanning the corpus. Without this the
+    physical plan recomputes the posexplode subtree once per consumer
+    (three corpus scans at 100 TB)."""
+    from ..operators.checkpointing import materialize
+    from .training_data import _SIG_CACHE, _sig_cache_key
+
+    key = _sig_cache_key(spark, sf_dir, "labelcent")
+    cached = _SIG_CACHE.get(key)
+    if cached is None:
+        emb = load_table(spark, sf_dir, "embeddings")
+        p = emb.select(
+            "label", F.posexplode(S.quantized(F.col("embedding"))).alias("pos0", "v")
+        ).select("label", (F.col("pos0") + 1).alias("pos"), "v")
+        cached = materialize(
+            p.groupBy("label", "pos").agg(
+                F.sum("v").cast("bigint").alias("s"),
+                F.count("*").cast("bigint").alias("c"),
+            )
+        )
+        _SIG_CACHE[key] = cached
+    return cached
+
+
 # ---------------------------------------------------------------------------
 # q173 — embedding centroid drift: per-label centroid cosine against
 # the global centroid — the embedding-space twin of q170's token-KL
@@ -871,14 +899,13 @@ def q167_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q173_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    e = emb.select("label", S.quantized(F.col("embedding")).alias("qe"))
-    p = e.select("label", F.posexplode("qe").alias("pos0", "v")).select(
-        "label", (F.col("pos0") + 1).alias("pos"), "v"
-    )
-    lc = p.groupBy("label", "pos").agg(F.sum("v").cast("bigint").alias("s"))
+    lc = _label_centroids(spark, sf_dir)  # label, pos, s, c — ONE scan
     gc = lc.groupBy("pos").agg(F.sum("s").cast("bigint").alias("g"))
-    nv = emb.groupBy("label").agg(F.count("*").cast("bigint").alias("n_vecs"))
+    # every vector contributes one element at every pos (uniform dim),
+    # so any single pos's contribution count IS the label's vector count
+    nv = lc.where(F.col("pos") == 1).select(
+        "label", F.col("c").alias("n_vecs")
+    )
     dots = (
         lc.join(gc, "pos")
         .groupBy("label")

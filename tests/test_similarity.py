@@ -222,3 +222,31 @@ def test_semdedup_invariants(spark):
             has_lower_dup = any(cos(a, b) >= 0.9 for a in ids[:j])
             # dropped <=> some lower-id cluster-mate is a near-dup
             assert (b not in kept) == has_lower_dup
+
+
+def test_centroid_drift_matches_mean_centroid_recompute(spark):
+    """q173's integer SUM-vector cosines equal the MEAN-centroid
+    cosines (the scale-invariance claim in its docstring), verified
+    against an independent numpy recomputation on the real sf0.001
+    corpus — the registered Spark path is what's driven."""
+    import numpy as np
+    import pandas as pd
+
+    from _multi_source_retail_data_integration_hub_spark.plans.similarity import (
+        q173_centroid_drift,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    out = {r.label: r for r in q173_centroid_drift(spark, sf_dir).collect()}
+    pdf = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    Q = np.floor(np.stack(pdf["embedding"].to_numpy()).astype(np.float64) * 1000)
+    labels = pdf["label"].to_numpy()
+    gm = Q.mean(axis=0)  # mean centroid, float — the production path
+
+    def cos(a, b):
+        return float(a @ b) / float(np.sqrt((a @ a) * (b @ b)))
+
+    for lab in np.unique(labels):
+        m = Q[labels == lab].mean(axis=0)
+        assert out[lab].n_vecs == int((labels == lab).sum())
+        assert abs(out[lab].cos_to_global - cos(m, gm)) < 1e-9
