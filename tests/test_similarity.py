@@ -250,3 +250,8 @@ def test_centroid_drift_matches_mean_centroid_recompute(spark):
         m = Q[labels == lab].mean(axis=0)
         assert out[lab].n_vecs == int((labels == lab).sum())
         assert abs(out[lab].cos_to_global - cos(m, gm)) < 1e-9
+
+
+def test_semdedup_requires_corpus_or_assignment(spark):
+    with pytest.raises(ValueError, match="corpus or an assigned"):
+        S.semdedup()

@@ -1350,3 +1350,17 @@ def test_source_kl_drift_zero_and_skew(spark):
     out2 = {r.source: r for r in T.source_kl_drift(df2, "text", "source").collect()}
     assert out2["skew"].kl_bits > out2["base"].kl_bits
     assert out2["skew"].mean_milli_bits > 0
+
+
+def test_gopher_rules_ellipsis_lines(spark):
+    from _multi_source_retail_data_integration_hub_spark.operators import text as T
+
+    body = "the be to of and that have with " + " ".join(
+        f"word{i}" for i in range(50)
+    )
+    # 4 of 10 lines end in '...' -> 400_000 ppm > 300_000 cap
+    text = "\n".join([body + ("..." if i < 4 else "") for i in range(10)])
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = T.gopher_rules(df, "text", "doc_id").collect()[0]
+    assert r.ellipsis_ppm == 400_000 and r.f_ellipsis == 0
+    assert r.f_stop == 1 and r.passes_gopher == 0
