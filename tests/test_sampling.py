@@ -152,3 +152,36 @@ def test_epoch_shuffle_contract(spark):
     # shards balance to sampling error (uniform md5 prefix)
     sizes = [len(v) for k, v in groups.items()]
     assert max(sizes) - min(sizes) < 200
+
+
+def test_epoch_shuffle_write_layout(spark, tmp_path):
+    """The production layout q169's docstring promises: hash-partition
+    by (epoch, shard), sort WITHIN each shard file by sort_key — no
+    global sort — and any worker reproduces its read order from the
+    file alone."""
+    df = _df(spark).select("id")
+    out = sampling.epoch_shuffle(df, "id", epochs=(1,), n_shards=4)
+    dest = str(tmp_path / "shards")
+    (
+        out.repartition("epoch", "shard_id")
+        .sortWithinPartitions("sort_key")
+        .write.partitionBy("epoch", "shard_id")
+        .parquet(dest)
+    )
+    back = spark.read.parquet(dest)
+    assert back.count() == 1000
+    # per shard: the file order (shard_pos written alongside) must be
+    # the sort_key order — i.e. reading a shard front-to-back replays
+    # positions 1..n without any global sort having run
+    import pandas as pd
+
+    pdf = back.toPandas()
+    for (_, _), grp in pdf.groupby(["epoch", "shard_id"]):
+        g = grp.sort_values("sort_key")
+        assert list(g["shard_pos"]) == list(range(1, len(g) + 1))
+    # partition pruning: one shard's read plan touches one directory
+    one = spark.read.parquet(dest).where("epoch = 1 AND shard_id = 2")
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan or one.count() == len(
+        pdf[pdf.shard_id == 2]
+    )

@@ -177,6 +177,26 @@ def _dsir_importance_uncached(spark, sf_dir):
     )
 
 
+def _label_centroids_uncached_plan(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from _multi_source_retail_data_integration_hub_spark.operators.similarity import (
+        quantized,
+    )
+    from _multi_source_retail_data_integration_hub_spark.sources.testdata import (
+        load_table,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    p = emb.select(
+        "label", F.posexplode(quantized(F.col("embedding"))).alias("pos0", "v")
+    ).select("label", (F.col("pos0") + 1).alias("pos"), "v")
+    return p.groupBy("label", "pos").agg(
+        F.sum("v").cast("bigint").alias("s"),
+        F.count("*").cast("bigint").alias("c"),
+    )
+
+
 def _semdedup_uncached_plan(spark, sf_dir):
     from _multi_source_retail_data_integration_hub_spark.operators.similarity import (
         semdedup,
@@ -196,6 +216,7 @@ EXTRA_PLANS = {
     "bm25_ranked (uncached pipeline; q122/q157 — term-bounded tf join, 1-row stats scalar, ranked_topk final)": _bm25_ranked_uncached_plan,
     "bucket_pair_cands (uncached pipeline; q37/q53/q158/q164 — LSH bucket equi-join + exact cosine, pre-threshold)": _bucket_pair_cands_uncached_plan,
     "semdedup (uncached operator; q167 — cluster-scoped verify is a list_id equi-join, never all-pairs)": _semdedup_uncached_plan,
+    "label_centroids (uncached stage; q173 — ONE corpus scan builds the |labels| x dim sum table every consumer reads)": _label_centroids_uncached_plan,
 }
 
 
