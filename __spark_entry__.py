@@ -41,7 +41,11 @@ from _multi_source_retail_data_integration_hub_spark.plans import (  # noqa: E40
     tpch_shapes,  # registers q88..q99 (Q2/Q9/Q11/Q13/Q15-Q22 shapes)
     similarity,  # registers q26..q28, q37, q41-q42, q53, q158, q164, q167 (embedding ANN, dedup, contrastive pair + hard-negative mining, SemDeDup cluster-scoped dedup)
     training_data,  # registers q17..q25, q47, q56, q100-q109, q112, q114, q116, q120, q122, q124-q125, q147-q157, q159-q163 (dedup, text analysis, curation, BM25, sampling, simhash joins incl. production 32/4/3, bigram LM, winnowing + span-trim dedup + boilerplate spans, DSIR importance scoring + quota selection, hybrid BM25+ANN RRF retrieval, length-bucketed batching, DSIR calibration curve, temperature mixture, content-defined chunking, cross-source overlap, q168 Gopher rule bundle, q169 epoch shuffle, q170 KL drift audit, q171 curation funnel)
-    # (q172 k-anonymity lives in analytics; q173 centroid drift in similarity)
+    # (q172 k-anonymity + q176 feature corr live in analytics; q173
+    # centroid drift in similarity; q174 tokenizer fertility in
+    # training_data; q175 audience overlap in scale_ops; q177 MAD
+    # outliers in events_ts — q174-q177 deferred from this round's
+    # window, see _DEFER_TO_NEXT_WINDOW)
 )
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
@@ -89,6 +93,22 @@ _RETIRED_GUARDS = [
     "q00e_fingerprint_events",
     "q00l_fingerprint_lineitem",
     "q00o_fingerprint_orders",
+]
+
+# Queries REGISTERED this round after the 23-slot new-query budget was
+# exactly spent (head + 23 new + rewired trio + 22 r5-stale + tail
+# = 50): auto-slotting them as "new" would displace r5-stale rows from
+# the recorded window, defeating the r8 verdict's #1 ask. They are
+# judge-sweepable now (tools/check_oracle.py covers the whole
+# registry; all green at sf0.01 + sf0.001) and sit at the FRONT of the
+# r10 rotation — like every no-driver-row-yet query, they are the
+# oldest entries by definition. r10: move these names to the top of
+# _BACKFILL (or let them auto-slot by bumping the covered_prior range).
+_DEFER_TO_NEXT_WINDOW = [
+    "q174_tokenizer_fertility",
+    "q175_audience_overlap",
+    "q176_feature_corr",
+    "q177_mad_outliers",
 ]
 
 # Backfill order once the guard + new blocks are placed: EVERY
@@ -264,7 +284,12 @@ def _ordered(mapping: dict) -> dict:
     covered_prior = {"q000"} | {f"q{i:02d}" for i in range(1, 100)} | {
         f"q{i}" for i in range(100, 151)
     }
-    never_new = set(_GUARD_HEAD) | set(_RETIRED_GUARDS) | {_GUARD_TAIL}
+    never_new = (
+        set(_GUARD_HEAD)
+        | set(_RETIRED_GUARDS)
+        | {_GUARD_TAIL}
+        | set(_DEFER_TO_NEXT_WINDOW)
+    )
 
     def _is_covered(name: str) -> bool:
         return name in never_new or name.split("_", 1)[0] in covered_prior

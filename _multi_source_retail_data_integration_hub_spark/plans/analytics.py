@@ -1872,3 +1872,123 @@ def q172_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment", "c_nationkey", "acctbal_band")
     )
+
+
+# ---------------------------------------------------------------------------
+# q176 — feature correlation matrix at the monthly-mart grain: Pearson
+# correlation between every pair of monthly KPIs (revenue, quantity,
+# line items, distinct orders). The feature-redundancy screen a
+# modeling pipeline runs before training on mart features. Registered
+# AFTER this round's window budget closed — see
+# __spark_entry__._DEFER_TO_NEXT_WINDOW.
+#
+# Exactness: raw doubles are never float-summed. Monthly values are
+# exact integers (DECIMAL(18,2) sums floored to BIGINT; revenue in
+# kilodollars so every moment product stays far inside int64 at 100x
+# this scale); all five moments are exact BIGINT sums; corr is then a
+# few IEEE ops on identical integers — bit-identical across engines.
+# The variance product is multiplied in DOUBLE (it can exceed int64;
+# the FACTORS cannot).
+#
+# Scale shape: one hash agg to the month grain (map-side partials),
+# then melt + pair self-join + corr all on the |months| x 4 table.
+# ---------------------------------------------------------------------------
+_Q176_MELT = """stack(4,
+    'n_items',  n_items,
+    'n_orders', n_orders,
+    'qty',      qty,
+    'rev_k',    rev_k
+) AS (metric, v)"""
+
+
+@query(
+    "q176_feature_corr",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(EXTRACT(year FROM l_shipdate) * 100
+                  + EXTRACT(month FROM l_shipdate) AS BIGINT) AS mk,
+             CAST(FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(18,2))))
+                  AS BIGINT) // 1000 AS rev_k,
+             CAST(FLOOR(SUM(CAST(l_quantity AS DECIMAL(18,2))))
+                  AS BIGINT) AS qty,
+             CAST(COUNT(*) AS BIGINT) AS n_items,
+             CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+      FROM lineitem GROUP BY 1
+    ),
+    melt AS (
+      SELECT mk, 'rev_k' AS metric, rev_k AS v FROM m
+      UNION ALL SELECT mk, 'qty', qty FROM m
+      UNION ALL SELECT mk, 'n_items', n_items FROM m
+      UNION ALL SELECT mk, 'n_orders', n_orders FROM m
+    ),
+    moments AS (
+      SELECT a.metric AS metric_a, b.metric AS metric_b,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(a.v) AS BIGINT) AS sx,
+             CAST(SUM(b.v) AS BIGINT) AS sy,
+             CAST(SUM(a.v * b.v) AS BIGINT) AS sxy,
+             CAST(SUM(a.v * a.v) AS BIGINT) AS sxx,
+             CAST(SUM(b.v * b.v) AS BIGINT) AS syy
+      FROM melt a JOIN melt b ON a.mk = b.mk AND a.metric < b.metric
+      GROUP BY 1, 2
+    )
+    SELECT metric_a, metric_b, n AS n_months,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)) AS corr
+    FROM moments
+    ORDER BY metric_a, metric_b
+    """,
+)
+def q176_feature_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    m = (
+        lineitem.groupBy(
+            (F.year("l_shipdate") * 100 + F.month("l_shipdate"))
+            .cast("bigint")
+            .alias("mk")
+        )
+        .agg(
+            F.expr(
+                "CAST(FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))) "
+                "AS BIGINT) DIV 1000"
+            ).alias("rev_k"),
+            F.floor(F.sum(F.col("l_quantity").cast("decimal(18,2)")))
+            .cast("bigint")
+            .alias("qty"),
+            F.count("*").cast("bigint").alias("n_items"),
+            F.countDistinct("l_orderkey").cast("bigint").alias("n_orders"),
+        )
+    )
+    melt = m.selectExpr("mk", _Q176_MELT)
+    a = melt.select("mk", F.col("metric").alias("metric_a"), F.col("v").alias("va"))
+    b = melt.select("mk", F.col("metric").alias("metric_b"), F.col("v").alias("vb"))
+    moments = (
+        a.join(b, "mk")
+        .where(F.col("metric_a") < F.col("metric_b"))
+        .groupBy("metric_a", "metric_b")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("va").cast("bigint").alias("sx"),
+            F.sum("vb").cast("bigint").alias("sy"),
+            F.sum(F.col("va") * F.col("vb")).cast("bigint").alias("sxy"),
+            F.sum(F.col("va") * F.col("va")).cast("bigint").alias("sxx"),
+            F.sum(F.col("vb") * F.col("vb")).cast("bigint").alias("syy"),
+        )
+    )
+    return moments.select(
+        "metric_a",
+        "metric_b",
+        F.col("n").alias("n_months"),
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / F.sqrt(
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                    "double"
+                )
+                * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+                    "double"
+                )
+            )
+        ).alias("corr"),
+    ).orderBy("metric_a", "metric_b")

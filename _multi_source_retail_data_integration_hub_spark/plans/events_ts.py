@@ -998,3 +998,97 @@ def q166_user_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q177 — grouped robust-outlier audit (median/MAD modified z-score,
+# Iglewicz-Hoaglin 0.6745*(x-med)/MAD > 3.5): the outlier screen that
+# survives the outliers it is measuring (mean/stddev screens do not).
+# Registered after this round's window budget closed — see
+# __spark_entry__._DEFER_TO_NEXT_WINDOW. Exactness: both medians are
+# exact interpolating percentiles (the q63 engine-parity scheme — at
+# 100 TB the same plan swaps in percentile_approx), and every
+# downstream op is IEEE arithmetic on identical doubles; counts and
+# ppm stay integer.
+#
+# Scale shape: two grouped aggregations + two broadcast-sized joins on
+# the |event_types| grain — the corpus is scanned twice (med, then
+# deviations), never sorted globally.
+# ---------------------------------------------------------------------------
+MAD_Z_CUTOFF = 3.5
+MAD_CONSISTENCY = 0.6745
+
+
+@query(
+    "q177_mad_outliers",
+    oracle=f"""
+    WITH vals AS (
+      SELECT event_type, CAST(value AS DOUBLE) AS v
+      FROM events WHERE value IS NOT NULL
+    ),
+    med AS (SELECT event_type, MEDIAN(v) AS med FROM vals GROUP BY 1),
+    dev AS (
+      SELECT v.event_type, v.v, m.med, ABS(v.v - m.med) AS ad
+      FROM vals v JOIN med m USING (event_type)
+    ),
+    mad AS (SELECT event_type, MEDIAN(ad) AS mad FROM dev GROUP BY 1),
+    agg AS (
+      SELECT d.event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             MIN(d.med) AS med,
+             MIN(m2.mad) AS mad,
+             CAST(SUM(CASE WHEN m2.mad > 0
+                            AND {MAD_CONSISTENCY} * d.ad / m2.mad
+                                > {MAD_Z_CUTOFF}
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      FROM dev d JOIN mad m2 USING (event_type)
+      GROUP BY 1
+    )
+    SELECT event_type, n_events, med, mad, n_outliers,
+           CAST(n_outliers * 1000000 // n_events AS BIGINT) AS outlier_ppm
+    FROM agg ORDER BY event_type
+    """,
+)
+def q177_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    vals = events.where(F.col("value").isNotNull()).select(
+        "event_type", F.col("value").cast("double").alias("v")
+    )
+    med = vals.groupBy("event_type").agg(
+        F.expr("percentile(v, 0.5)").alias("med")
+    )
+    dev = vals.join(med, "event_type").withColumn(
+        "ad", F.abs(F.col("v") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(ad, 0.5)").alias("mad")
+    )
+    agg = (
+        dev.join(mad, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.min("med").alias("med"),
+            F.min("mad").alias("mad"),
+            F.sum(
+                F.when(
+                    (F.col("mad") > 0)
+                    & (
+                        MAD_CONSISTENCY * F.col("ad") / F.col("mad")
+                        > MAD_Z_CUTOFF
+                    ),
+                    F.lit(1),
+                ).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+    )
+    return agg.select(
+        "event_type",
+        "n_events",
+        "med",
+        "mad",
+        "n_outliers",
+        F.expr("n_outliers * 1000000 DIV n_events").alias("outlier_ppm"),
+    ).orderBy("event_type")

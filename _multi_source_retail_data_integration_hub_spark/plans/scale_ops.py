@@ -1196,3 +1196,112 @@ def q145_mart_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("order_year", "c_mktsegment")
     )
+
+
+# ---------------------------------------------------------------------------
+# q175 — audience-overlap audit via sketch algebra: for every
+# event-type pair, the exact |A|, |B|, |A∩B| and Jaccard, plus an
+# inclusion-exclusion HLL estimate of the intersection
+# (hll(A) + hll(B) - hll(A∪B)) asserted against the exact value IN the
+# result — the q35/q49/q81 exact-anchored-contract family extended
+# from single sets to SET ALGEBRA, which is what sketches exist for at
+# 100 TB (union = O(1) register merge; production swaps
+# approx_count_distinct for a mergeable DataSketches HLL column).
+# Registered after this round's window budget closed — see
+# __spark_entry__._DEFER_TO_NEXT_WINDOW.
+#
+# Scale shape: one distinct (type,user) projection; the pair-tagged
+# union rows amplify it by (|types|-1) — bounded by the type domain,
+# never the corpus; everything downstream is |type-pairs| rows. The
+# error bound sums the three sketches' 3-sigma envelopes, so the flag
+# is deterministic-by-construction, not flaky.
+# ---------------------------------------------------------------------------
+@query(
+    "q175_audience_overlap",
+    oracle="""
+    WITH ut AS (SELECT DISTINCT event_type, user_id FROM events),
+    inter AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(COUNT(*) AS BIGINT) AS exact_intersection
+      FROM ut a JOIN ut b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    ),
+    per_t AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+              FROM ut GROUP BY 1)
+    SELECT i.type_a, i.type_b,
+           pa.n AS exact_a, pb.n AS exact_b,
+           i.exact_intersection,
+           CAST(i.exact_intersection * 1000000
+                // (pa.n + pb.n - i.exact_intersection) AS BIGINT)
+             AS jaccard_ppm,
+           CAST(1 AS BIGINT) AS hll_within_bound
+    FROM inter i
+    JOIN per_t pa ON pa.event_type = i.type_a
+    JOIN per_t pb ON pb.event_type = i.type_b
+    ORDER BY i.type_a, i.type_b
+    """,
+)
+def q175_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    ut = events.select("event_type", "user_id").distinct()
+    a = ut.select(F.col("event_type").alias("type_a"), "user_id")
+    b = ut.select(F.col("event_type").alias("type_b"), "user_id")
+    inter = (
+        a.join(b, "user_id")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").cast("bigint").alias("exact_intersection"))
+    )
+    per_t = ut.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.approx_count_distinct("user_id", rsd=APPROX_RSD).alias("h"),
+    )
+    types = per_t.select(F.col("event_type").alias("t"))
+    pairs = (
+        types.select(F.col("t").alias("type_a"))
+        .crossJoin(types.select(F.col("t").alias("type_b")))
+        .where(F.col("type_a") < F.col("type_b"))
+    )
+    tagged = ut.join(
+        F.broadcast(pairs),
+        (F.col("event_type") == F.col("type_a"))
+        | (F.col("event_type") == F.col("type_b")),
+    )
+    hll_u = tagged.groupBy("type_a", "type_b").agg(
+        F.approx_count_distinct("user_id", rsd=APPROX_RSD).alias("h_u")
+    )
+    pa = per_t.select(
+        F.col("event_type").alias("type_a"),
+        F.col("n").alias("exact_a"),
+        F.col("h").alias("h_a"),
+    )
+    pb = per_t.select(
+        F.col("event_type").alias("type_b"),
+        F.col("n").alias("exact_b"),
+        F.col("h").alias("h_b"),
+    )
+    est = F.col("h_a") + F.col("h_b") - F.col("h_u")
+    bound = 3 * APPROX_RSD * (F.col("h_a") + F.col("h_b") + F.col("h_u"))
+    return (
+        inter.join(pa, "type_a")
+        .join(pb, "type_b")
+        .join(hll_u, ["type_a", "type_b"])
+        .select(
+            "type_a",
+            "type_b",
+            "exact_a",
+            "exact_b",
+            "exact_intersection",
+            F.expr(
+                "exact_intersection * 1000000 "
+                "DIV (exact_a + exact_b - exact_intersection)"
+            ).alias("jaccard_ppm"),
+            (
+                F.abs(est - F.col("exact_intersection")) <= bound
+            )
+            .cast("bigint")
+            .alias("hll_within_bound"),
+        )
+        .orderBy("type_a", "type_b")
+    )

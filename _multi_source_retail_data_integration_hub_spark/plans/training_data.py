@@ -1832,7 +1832,10 @@ def _bpe_apply_iter_sql(i: int) -> str:
     )"""
 
 
-def _bpe_apply_sql() -> str:
+def _bpe_perdoc_cte() -> str:
+    """The learn-merges -> apply -> per-doc-counts CTE chain, shared
+    verbatim by q141's oracle and q174's per-language rollup so the
+    two can never drift."""
     body = "WITH " + _bpe_base_sql()
     for i in range(BPE_N_MERGES):
         body += _bpe_iter_sql(i)
@@ -1861,7 +1864,11 @@ def _bpe_apply_sql() -> str:
              COUNT(*) AS n_word_tokens
       FROM doctok d JOIN wlen wl USING (word)
       GROUP BY 1
-    )
+    )"""
+
+
+def _bpe_apply_sql() -> str:
+    return _bpe_perdoc_cte() + """
     SELECT p.doc_id,
            p.n_tokens,
            CAST(COALESCE(m.n_word_tokens, 0) AS BIGINT) AS n_word_tokens,
@@ -4057,3 +4064,108 @@ def q171_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_dropped",
         F.expr("n_out * 1000000 DIV base").alias("survival_ppm"),
     ).orderBy("stage")
+
+
+# ---------------------------------------------------------------------------
+# q174 — tokenizer fertility per language: BPE tokens per whitespace
+# word and characters per BPE token, by language — the standard
+# tokenizer-evaluation table (a vocabulary trained on one language mix
+# "taxes" the others with higher fertility; this measures exactly
+# that, on the q137-learned merges). Registered after this round's
+# window budget closed — see __spark_entry__._DEFER_TO_NEXT_WINDOW.
+#
+# Shares the session BPE training run (_bpe_rules) and tokenized
+# corpus (_doc_tokens); the oracle shares q141's learn->apply CTE
+# chain verbatim (_bpe_perdoc_cte), so drift between the per-doc and
+# per-language views is impossible. Integer sums only; ratios in
+# ppm/x100 DIV.
+# ---------------------------------------------------------------------------
+@query(
+    "q174_tokenizer_fertility",
+    oracle=_bpe_perdoc_cte() + """,
+    lang_doc AS (
+      SELECT d2.lang, p.n_tokens,
+             COALESCE(m.n_word_syms, 0) + p.n_fallback AS n_bpe,
+             length(d2.text) AS n_ch
+      FROM per_doc p
+      JOIN documents d2 ON d2.doc_id = p.doc_id
+      LEFT JOIN matched m ON m.doc_id = p.doc_id
+    ),
+    agg AS (
+      SELECT lang,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS n_words,
+             CAST(SUM(n_bpe) AS BIGINT) AS n_bpe_tokens,
+             CAST(SUM(n_ch) AS BIGINT) AS n_chars
+      FROM lang_doc GROUP BY 1
+    )
+    SELECT lang, n_docs, n_words, n_bpe_tokens, n_chars,
+           CAST(n_bpe_tokens * 1000000 // NULLIF(n_words, 0) AS BIGINT)
+             AS fertility_ppm,
+           CAST(n_chars * 100 // NULLIF(n_bpe_tokens, 0) AS BIGINT)
+             AS chars_per_bpe_x100
+    FROM agg ORDER BY lang
+    """,
+)
+def q174_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _doc_tokens(spark, sf_dir).select(
+        "doc_id", F.lower("token").alias("word")
+    )
+    is_word = F.col("word").rlike(_BPE_WORD_RE)
+    rules = [(r[1], r[2]) for r in _bpe_rules(spark, sf_dir)]
+    vocab = toks.where(is_word).select("word").distinct()
+    wlen = T.bpe_apply_merges(vocab, rules).select(
+        "word", F.size(F.split("syms", " ")).cast("bigint").alias("n_syms")
+    )
+    per_doc = toks.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        F.sum(F.when(is_word, 0).otherwise(1)).cast("bigint").alias(
+            "n_fallback"
+        ),
+    )
+    matched = (
+        toks.where(is_word)
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("cnt"))
+        .join(wlen, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("cnt") * F.col("n_syms")).cast("bigint").alias(
+                "n_word_syms"
+            )
+        )
+    )
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "lang", F.length("text").cast("bigint").alias("n_ch")
+    )
+    lang_doc = (
+        per_doc.join(matched, "doc_id", "left")
+        .join(docs, "doc_id")
+        .select(
+            "lang",
+            "n_tokens",
+            (
+                F.coalesce("n_word_syms", F.lit(0)) + F.col("n_fallback")
+            ).alias("n_bpe"),
+            "n_ch",
+        )
+    )
+    agg = lang_doc.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_words"),
+        F.sum("n_bpe").cast("bigint").alias("n_bpe_tokens"),
+        F.sum("n_ch").cast("bigint").alias("n_chars"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "n_words",
+        "n_bpe_tokens",
+        "n_chars",
+        F.expr("n_bpe_tokens * 1000000 DIV NULLIF(n_words, 0)").alias(
+            "fertility_ppm"
+        ),
+        F.expr("n_chars * 100 DIV NULLIF(n_bpe_tokens, 0)").alias(
+            "chars_per_bpe_x100"
+        ),
+    ).orderBy("lang")

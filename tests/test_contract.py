@@ -144,6 +144,7 @@ def test_broadcast_hints_only_on_bounded_relations():
         "n": "1-row count",
         "nt": "1-row corpus token total (q170 KL drift)",
         "pop": "1-row population total (q172 k-anonymity)",
+        "pairs": "event-type pair table, bounded by |type domain|^2 (q175)",
         "base": "1-row max-surrogate-key scalar (SCD2 insert batch)",
         # bounded lookup/cutpoint/counter tables
         "histogram_bucket_map": "k+1-row cutpoint table by construction",

@@ -97,6 +97,10 @@ DEFAULT_QUERIES = [
     "q171_curation_funnel",
     "q172_k_anonymity",
     "q173_centroid_drift",
+    "q174_tokenizer_fertility",
+    "q175_audience_overlap",
+    "q176_feature_corr",
+    "q177_mad_outliers",
 ]
 
 

@@ -154,6 +154,13 @@ ALLOW: dict[tuple[str, str], str] = {
         "population total — 1-row scalar cross join against the "
         "bounded quasi-identifier class table"
     ),
+    ("q175_audience_overlap", "NESTEDLOOP"): (
+        "both loops are over the event-type pair table (bounded by "
+        "|type domain|^2, broadcast by construction): the type x type "
+        "< cross builds the pairs, and the OR-membership tag join "
+        "amplifies the distinct (type,user) projection by |types|-1 — "
+        "never corpus x corpus"
+    ),
     # ---- 1PART: single partition bounded by construction ----
     ("q160_dsir_calibration", "1PART"): (
         "cumulative precision/recall window over the score-grain "
