@@ -204,3 +204,36 @@ def test_documents_jsonl_streaming_ingest_matches_batch(spark, tmp_path):
     assert clean.count() == docs.count() + 1  # the late-arrival row
     bad_rows = bad.collect()
     assert len(bad_rows) == 1 and "NOT JSON" in bad_rows[0].raw_line
+
+
+def test_streaming_gopher_gate_matches_batch(spark, tmp_path):
+    """The Gopher quality gate (operators/text.py::gopher_rules) is a
+    pure stateless projection, so it applies UNCHANGED to the
+    streaming JSONL ingest — the "filter crawl dumps as they land"
+    shape. An availableNow drain of the gated stream must produce
+    exactly the batch gate's flag table: one quality contract across
+    both execution modes."""
+    from _multi_source_retail_data_integration_hub_spark.operators import text as T
+    from _multi_source_retail_data_integration_hub_spark.sources import corpus
+    from _multi_source_retail_data_integration_hub_spark.sources.testdata import (
+        load_table,
+    )
+    from _multi_source_retail_data_integration_hub_spark.streaming.jobs import (
+        run_available_now,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    landing = str(tmp_path / "landing")
+    corpus.write_documents_jsonl(docs, landing, compression=None, num_shards=2)
+
+    stream = corpus.clean_documents(
+        corpus.read_documents_jsonl_stream(spark, landing)
+    )
+    gated = T.gopher_rules(stream, "text", "doc_id")
+    assert gated.isStreaming  # projection-only: no state, no watermark
+    run_available_now(gated, "gopher_stream", output_mode="append")
+
+    batch = T.gopher_rules(docs, "text", "doc_id")
+    got = sorted(map(tuple, spark.table("gopher_stream").collect()))
+    want = sorted(map(tuple, batch.collect()))
+    assert got == want and len(got) == docs.count()
