@@ -249,3 +249,53 @@ def test_grouped_topk_matches_per_group_sort(spark):
     )
     assert "SinglePartition" not in plan
     assert "WindowGroupLimit" in plan
+
+
+def test_q175_hll_bound_headroom():
+    """q175's hll_within_bound flag must not sit near its envelope —
+    a flag that flips at a new SF would land a red driver row. Assert
+    the actual inclusion-exclusion error is under HALF the bound at
+    sf0.001 (the smallest corpus, where HLL relative error is worst)."""
+    from pyspark.sql import functions as F
+
+    from _multi_source_retail_data_integration_hub_spark.plans.scale_ops import (
+        APPROX_RSD,
+    )
+    from _multi_source_retail_data_integration_hub_spark.session import get_spark
+    from _multi_source_retail_data_integration_hub_spark.sources.testdata import (
+        load_table,
+    )
+
+    spark = get_spark("tests")
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    ut = events.select("event_type", "user_id").distinct().cache()
+    per_t = {
+        r.event_type: r
+        for r in ut.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.approx_count_distinct("user_id", rsd=APPROX_RSD).alias("h"),
+        )
+        .collect()
+    }
+    a = ut.select(F.col("event_type").alias("ta"), "user_id")
+    b = ut.select(F.col("event_type").alias("tb"), "user_id")
+    inter = {
+        (r.ta, r.tb): r.x
+        for r in a.join(b, "user_id")
+        .where(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(F.count("*").alias("x"))
+        .collect()
+    }
+    for (ta, tb), exact in inter.items():
+        u = (
+            ut.where(F.col("event_type").isin(ta, tb))
+            .agg(F.approx_count_distinct("user_id", rsd=APPROX_RSD))
+            .first()[0]
+        )
+        ha, hb = per_t[ta].h, per_t[tb].h
+        est = ha + hb - u
+        bound = 3 * APPROX_RSD * (ha + hb + u)
+        assert abs(est - exact) <= bound / 2, (ta, tb, est, exact, bound)
+    ut.unpersist()
