@@ -109,6 +109,7 @@ _DEFER_TO_NEXT_WINDOW = [
     "q175_audience_overlap",
     "q176_feature_corr",
     "q177_mad_outliers",
+    "q178_semdedup_probe",
 ]
 
 # Backfill order once the guard + new blocks are placed: EVERY

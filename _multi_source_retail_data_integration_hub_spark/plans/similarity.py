@@ -927,3 +927,133 @@ def q173_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# q178 — incremental SemDeDup probe: dedup an ARRIVING batch against
+# the already-clustered corpus WITHOUT moving the clusters — the
+# ingest-time twin of q167 (as q125 is to the LSH near-dup family).
+# Centroids derive from the CORPUS ONLY, so batch arrivals never
+# reshape existing assignments; each batch vector is assigned to its
+# nearest existing cluster and exact-verified against that cluster's
+# members only. The synthetic batch makes both outcomes real: mutants
+# with the last 8 dims zeroed stay ~0.94 cosine to their source
+# (dropped), mutants with the first 32 dims zeroed fall to ~0.71
+# (kept). Registered after this round's window budget closed — see
+# __spark_entry__._DEFER_TO_NEXT_WINDOW.
+#
+# Scale shape: the batch is the small side by contract — one Arrow
+# matmul pass against the O(MAX_NLIST) broadcast centroid matrix,
+# then an equi-join on list_id against the persisted (bucketed)
+# members table. Corpus-side work is the one-time assignment q167
+# already materializes.
+# ---------------------------------------------------------------------------
+_PROBE_OFFSET_SQL = (
+    "GREATEST(200000, 2 * (SELECT MAX(vec_id) + 1 FROM embeddings))"
+)
+
+
+def _probe_batch_sql() -> str:
+    zeros8 = ", ".join(["CAST(0.0 AS FLOAT)"] * 8)
+    zeros32 = ", ".join(["CAST(0.0 AS FLOAT)"] * 32)
+    return f"""
+      SELECT vec_id + {_PROBE_OFFSET_SQL} AS batch_id,
+             list_concat(list_slice(embedding, 1, 56), [{zeros8}])
+               AS embedding
+      FROM embeddings WHERE vec_id % 20 = 1
+      UNION ALL
+      SELECT vec_id + {_PROBE_OFFSET_SQL} AS batch_id,
+             list_concat([{zeros32}],
+                         list_slice(embedding, 33, 64)) AS embedding
+      FROM embeddings WHERE vec_id % 20 = 11
+    """
+
+
+@query(
+    "q178_semdedup_probe",
+    oracle=f"""
+    WITH {_SEMDEDUP_ASSIGN_SQL.format(aug="SELECT vec_id, embedding FROM embeddings")},
+    mv AS (SELECT m.vec_id, m.list_id, n.qe, n.nsq
+           FROM members m JOIN n USING (vec_id)),
+    batch AS ({_probe_batch_sql()}),
+    bn AS (
+      SELECT batch_id, {_QUANT_LIST} AS qe FROM batch
+    ),
+    bq AS (SELECT batch_id, qe,
+                  CAST(list_dot_product(qe, qe) AS BIGINT) AS nsq FROM bn),
+    bassign AS (
+      SELECT batch_id, cid AS list_id FROM (
+        SELECT b.batch_id, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY b.batch_id
+                 ORDER BY CAST(CAST(list_dot_product(b.qe, c.cqe) AS BIGINT)
+                               AS DOUBLE)
+                          / sqrt(CAST(b.nsq * c.ccn AS DOUBLE)) DESC, c.cid
+               ) AS crank
+        FROM bq b CROSS JOIN cents c
+      ) WHERE crank = 1
+    ),
+    hits AS (
+      SELECT DISTINCT a.batch_id
+      FROM bassign a
+      JOIN mv ON mv.list_id = a.list_id
+      JOIN bq ON bq.batch_id = a.batch_id
+      WHERE CAST(CAST(list_dot_product(bq.qe, mv.qe) AS BIGINT) AS DOUBLE)
+            / sqrt(CAST(bq.nsq * mv.nsq AS DOUBLE)) >= {NEARDUP_THRESHOLD}
+    )
+    SELECT a.batch_id, a.list_id,
+           CAST(CASE WHEN h.batch_id IS NULL THEN 1 ELSE 0 END AS BIGINT)
+             AS kept
+    FROM bassign a LEFT JOIN hits h USING (batch_id)
+    ORDER BY a.batch_id
+    """,
+)
+def q178_semdedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    max_id = emb.agg(F.max("vec_id")).first()[0] or 0
+    offset = max(200_000, 2 * (max_id + 1))
+    zeros8 = F.array(*[F.lit(0.0).cast("float")] * 8)
+    zeros32 = F.array(*[F.lit(0.0).cast("float")] * 32)
+    near = emb.where(F.col("vec_id") % 20 == 1).select(
+        (F.col("vec_id") + offset).alias("batch_id"),
+        F.concat(F.slice("embedding", 1, 56), zeros8).alias("embedding"),
+    )
+    far = emb.where(F.col("vec_id") % 20 == 11).select(
+        (F.col("vec_id") + offset).alias("batch_id"),
+        F.concat(zeros32, F.slice("embedding", 33, 32)).alias("embedding"),
+    )
+    batch = near.unionByName(far)
+
+    cq = S.with_quantized(emb, "embedding", "vec_id")
+    cents = S.ivf_centroid_matrix(cq, "vec_id")
+    members = S.ivf_probes(cq, cents, 1, "vec_id").select(
+        F.col("qe").alias("me"), F.col("nsq").alias("mn"), "list_id"
+    )
+    bq = S.with_quantized(batch, "embedding", "batch_id")
+    bassign = S.ivf_probes(bq, cents, 1, "batch_id").select(
+        "batch_id", "qe", "nsq", "list_id"
+    )
+    hits = (
+        bassign.join(members, "list_id")
+        .withColumn("dot", S.dot_long_vec(F.col("qe"), F.col("me")))
+        .withColumn(
+            "cos_sim", S.cosine_from_ints(F.col("dot"), F.col("nsq"), F.col("mn"))
+        )
+        .where(F.col("cos_sim") >= NEARDUP_THRESHOLD)
+        .select("batch_id")
+        .distinct()
+        .withColumn("is_hit", F.lit(1))
+    )
+    return (
+        bassign.select("batch_id", "list_id")
+        .join(hits, "batch_id", "left")
+        .select(
+            "batch_id",
+            "list_id",
+            F.when(F.col("is_hit").isNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("kept"),
+        )
+        .orderBy("batch_id")
+    )

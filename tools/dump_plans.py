@@ -101,6 +101,7 @@ DEFAULT_QUERIES = [
     "q175_audience_overlap",
     "q176_feature_corr",
     "q177_mad_outliers",
+    "q178_semdedup_probe",
 ]
 
 
