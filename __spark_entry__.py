@@ -44,8 +44,9 @@ from _multi_source_retail_data_integration_hub_spark.plans import (  # noqa: E40
     # (q172 k-anonymity + q176 feature corr live in analytics; q173
     # centroid drift in similarity; q174 tokenizer fertility in
     # training_data; q175 audience overlap in scale_ops; q177 MAD
-    # outliers in events_ts — q174-q177 deferred from this round's
-    # window, see _DEFER_TO_NEXT_WINDOW)
+    # outliers in events_ts; q178 semdedup probe in similarity —
+    # q174-q178 deferred from this round's window, see
+    # _DEFER_TO_NEXT_WINDOW)
 )
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"

@@ -1834,9 +1834,14 @@ def gopher_rules(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     n_ell_lines = F.size(
         F.filter(lines, lambda l: F.trim(l).endswith("..."))
     ).cast("bigint")
+    # distinct over LOWERED tokens — 'The' and 'the' are one stopword,
+    # not two (the rule needs two DIFFERENT stopwords present)
     n_stop = F.size(
         F.array_distinct(
-            F.filter(toks, lambda t: F.lower(t).isin(*GOPHER_STOPWORDS))
+            F.transform(
+                F.filter(toks, lambda t: F.lower(t).isin(*GOPHER_STOPWORDS)),
+                F.lower,
+            )
         )
     ).cast("bigint")
 

@@ -1813,9 +1813,9 @@ def q133_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # class table is bounded by the attribute domain product, never by
 # row count) + a 1-row population scalar. acctbal banding is
 # FLOOR(x/1000) on identical doubles — IEEE-deterministic across
-# engines; no division of negative integers anywhere (Spark DIV
-# truncates where DuckDB // floors, so the ppm math stays on
-# non-negative counts only).
+# engines. (Spark DIV and DuckDB // both truncate toward zero —
+# verified, e.g. -7 // 2 = -3 in both — so negative integer division
+# is parity-safe; the ppm math here is non-negative regardless.)
 # ---------------------------------------------------------------------------
 K_ANONYMITY = 15
 

@@ -881,7 +881,7 @@ def _label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     gc AS (SELECT pos, CAST(SUM(s) AS BIGINT) AS g FROM lc GROUP BY 1),
     nv AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs
-           FROM e GROUP BY 1),
+           FROM p WHERE pos = 1 GROUP BY 1),
     dots AS (
       SELECT l.label,
              CAST(SUM(l.s * g.g) AS BIGINT) AS dot,
@@ -945,8 +945,11 @@ def q173_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Scale shape: the batch is the small side by contract — one Arrow
 # matmul pass against the O(MAX_NLIST) broadcast centroid matrix,
 # then an equi-join on list_id against the persisted (bucketed)
-# members table. Corpus-side work is the one-time assignment q167
-# already materializes.
+# members table. Corpus-side work is one-time per session: the
+# raw-corpus assignment is materialized under _SIG_CACHE
+# ("semassign_base" — distinct from q167's augmented-corpus
+# "semassign") and the centroid broadcast handle is shared by the
+# member and batch probe stages.
 # ---------------------------------------------------------------------------
 _PROBE_OFFSET_SQL = (
     "GREATEST(200000, 2 * (SELECT MAX(vec_id) + 1 FROM embeddings))"
@@ -967,6 +970,31 @@ def _probe_batch_sql() -> str:
                          list_slice(embedding, 33, 64)) AS embedding
       FROM embeddings WHERE vec_id % 20 = 11
     """
+
+
+def _semdedup_base_assigned(spark: SparkSession, sf_dir: str):
+    """(materialized raw-corpus IVF assignment, Broadcast centroid
+    handle) for the ingest path. Distinct from q167's "semassign"
+    cache, which assigns the AUGMENTED corpus; the ingest contract is
+    that arriving batches join the REAL corpus's clusters. Cached
+    under the shared _SIG_CACHE discipline so repeated probes (bench
+    RUNS=2, multiple batches per session) re-pay neither the corpus
+    assignment nor the centroid broadcast; both probe stages share
+    the ONE broadcast handle per ivf_probes' own guidance."""
+    from ..operators.checkpointing import materialize
+    from .training_data import _SIG_CACHE, _sig_cache_key
+
+    key = _sig_cache_key(spark, sf_dir, "semassign_base")
+    cached = _SIG_CACHE.get(key)
+    if cached is None:
+        emb = load_table(spark, sf_dir, "embeddings")
+        cq = S.with_quantized(emb, "embedding", "vec_id")
+        cents = S.ivf_centroid_matrix(cq, "vec_id")
+        bc = spark.sparkContext.broadcast(cents)
+        assigned = materialize(S.ivf_probes(cq, bc, 1, "vec_id"))
+        cached = (assigned, bc)
+        _SIG_CACHE[key] = cached
+    return cached
 
 
 @query(
@@ -1008,6 +1036,8 @@ def _probe_batch_sql() -> str:
     ORDER BY a.batch_id
     """,
 )
+
+
 def q178_semdedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     max_id = emb.agg(F.max("vec_id")).first()[0] or 0
@@ -1024,13 +1054,12 @@ def q178_semdedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     batch = near.unionByName(far)
 
-    cq = S.with_quantized(emb, "embedding", "vec_id")
-    cents = S.ivf_centroid_matrix(cq, "vec_id")
-    members = S.ivf_probes(cq, cents, 1, "vec_id").select(
+    assigned, bc = _semdedup_base_assigned(spark, sf_dir)
+    members = assigned.select(
         F.col("qe").alias("me"), F.col("nsq").alias("mn"), "list_id"
     )
     bq = S.with_quantized(batch, "embedding", "batch_id")
-    bassign = S.ivf_probes(bq, cents, 1, "batch_id").select(
+    bassign = S.ivf_probes(bq, bc, 1, "batch_id").select(
         "batch_id", "qe", "nsq", "list_id"
     )
     hits = (

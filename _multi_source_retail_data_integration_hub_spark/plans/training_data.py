@@ -1881,8 +1881,14 @@ def _bpe_apply_sql() -> str:
     """
 
 
-@query("q141_bpe_tokenize", oracle=_bpe_apply_sql())
-def q141_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _bpe_perdoc_frames(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Spark twin of ``_bpe_perdoc_cte``: the (per_doc, matched)
+    frames of the learn -> apply -> per-doc-counts stage, shared by
+    q141 (per-doc grain) and q174 (per-language rollup) so the two
+    Spark pipelines can never drift — the same reason the oracle side
+    shares one CTE chain."""
     toks = _doc_tokens(spark, sf_dir).select(
         "doc_id", F.lower("token").alias("word")
     )
@@ -1909,6 +1915,12 @@ def q141_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cnt").cast("bigint").alias("n_word_tokens"),
         )
     )
+    return per_doc, matched
+
+
+@query("q141_bpe_tokenize", oracle=_bpe_apply_sql())
+def q141_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_doc, matched = _bpe_perdoc_frames(spark, sf_dir)
     n_bpe = F.coalesce("n_word_syms", F.lit(0)) + F.col("n_fallback")
     return (
         per_doc.join(matched, "doc_id", "left")
@@ -3770,8 +3782,9 @@ def _gopher_flags_sql(rel: str) -> str:
                   AS BIGINT) AS n_bullet_lines,
              CAST(len(list_filter(lines, l -> trim(l) LIKE '%...'))
                   AS BIGINT) AS n_ellipsis_lines,
-             CAST(len(list_distinct(list_filter(toks,
-                    t -> lower(t) IN ({_GOPHER_STOP_SQL}))))
+             CAST(len(list_distinct(list_transform(list_filter(toks,
+                    t -> lower(t) IN ({_GOPHER_STOP_SQL})),
+                    t -> lower(t))))
                   AS BIGINT) AS n_stopwords
       FROM raw
     ),
@@ -4108,33 +4121,7 @@ def q171_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q174_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
-    toks = _doc_tokens(spark, sf_dir).select(
-        "doc_id", F.lower("token").alias("word")
-    )
-    is_word = F.col("word").rlike(_BPE_WORD_RE)
-    rules = [(r[1], r[2]) for r in _bpe_rules(spark, sf_dir)]
-    vocab = toks.where(is_word).select("word").distinct()
-    wlen = T.bpe_apply_merges(vocab, rules).select(
-        "word", F.size(F.split("syms", " ")).cast("bigint").alias("n_syms")
-    )
-    per_doc = toks.groupBy("doc_id").agg(
-        F.count("*").cast("bigint").alias("n_tokens"),
-        F.sum(F.when(is_word, 0).otherwise(1)).cast("bigint").alias(
-            "n_fallback"
-        ),
-    )
-    matched = (
-        toks.where(is_word)
-        .groupBy("doc_id", "word")
-        .agg(F.count("*").alias("cnt"))
-        .join(wlen, "word")
-        .groupBy("doc_id")
-        .agg(
-            F.sum(F.col("cnt") * F.col("n_syms")).cast("bigint").alias(
-                "n_word_syms"
-            )
-        )
-    )
+    per_doc, matched = _bpe_perdoc_frames(spark, sf_dir)
     docs = _docs(spark, sf_dir).select(
         "doc_id", "lang", F.length("text").cast("bigint").alias("n_ch")
     )

@@ -179,9 +179,15 @@ def test_epoch_shuffle_write_layout(spark, tmp_path):
     for (_, _), grp in pdf.groupby(["epoch", "shard_id"]):
         g = grp.sort_values("sort_key")
         assert list(g["shard_pos"]) == list(range(1, len(g) + 1))
-    # partition pruning: one shard's read plan touches one directory
+    # partition pruning: the shard filter must land in PartitionFilters
+    # (directory-level pruning), not just a row-level Filter — and the
+    # pruned read returns exactly that shard
     one = spark.read.parquet(dest).where("epoch = 1 AND shard_id = 2")
     plan = one._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters" in plan or one.count() == len(
-        pdf[pdf.shard_id == 2]
-    )
+    import re
+
+    pf = re.search(r"PartitionFilters: \[(.*?)\]", plan)
+    assert pf and "shard_id" in pf.group(1) and "epoch" in pf.group(1), plan[
+        :1500
+    ]
+    assert one.count() == len(pdf[pdf.shard_id == 2])

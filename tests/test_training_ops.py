@@ -1364,3 +1364,22 @@ def test_gopher_rules_ellipsis_lines(spark):
     r = T.gopher_rules(df, "text", "doc_id").collect()[0]
     assert r.ellipsis_ppm == 400_000 and r.f_ellipsis == 0
     assert r.f_stop == 1 and r.passes_gopher == 0
+
+
+def test_gopher_stopword_case_variants_count_once(spark):
+    from _multi_source_retail_data_integration_hub_spark.operators import text as T
+
+    # 'The' and 'the' are ONE distinct stopword — the rule needs two
+    # DIFFERENT stopwords, so this doc must fail f_stop
+    df = spark.createDataFrame(
+        [(1, "The cat sat and the cat sat"), (2, "The of the Of")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in T.gopher_rules(df, "text", "doc_id").collect()}
+    assert out[1].n_stopwords == 2  # the + and: two distinct words
+    assert out[2].n_stopwords == 2 and out[2].f_stop == 1  # the + of
+    one = spark.createDataFrame(
+        [(3, "The thing the Thing THE")], "doc_id long, text string"
+    )
+    r3 = T.gopher_rules(one, "text", "doc_id").collect()[0]
+    assert r3.n_stopwords == 1 and r3.f_stop == 0
