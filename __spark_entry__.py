@@ -45,37 +45,39 @@ from _multi_source_retail_data_integration_hub_spark.plans import (  # noqa: E40
     # centroid drift in similarity; q174 tokenizer fertility in
     # training_data; q175 audience overlap in scale_ops; q177 MAD
     # outliers in events_ts; q178 semdedup probe in similarity —
-    # q174-q178 deferred from this round's window, see
-    # _DEFER_TO_NEXT_WINDOW)
+    # q174-q178 head the r10 window after their r9 deferral)
 )
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
-# Round-9 window (the driver records the first ~50 registered queries per
-# round, against freshly regenerated testdata). Layout per the r8 verdict:
+# Round-10 window (the driver records the first ~50 registered queries
+# per round, against freshly regenerated testdata). Layout per the r9
+# verdict (ask #1: rotate; ask #2: cap registry growth so rows refresh):
 #   1. q000_generation_fingerprint FIRST (red => the two engines compared
 #      different testdata generations; see CORRECTNESS_NOTES.md). The
-#      per-table guards q00c/d/e/l/o and the five formerly-chronic rows
-#      earned retirement from the window with green r8 rows — the
-#      HUGEINT oracle-dtype root cause is fixed and gated
-#      (tests/test_contract.py::test_no_oracle_output_binds_to_hugeint),
-#      so the window reverts to plain backfill rotation. The per-table
-#      guards stay REGISTERED (incident diagnosis) but are pinned past
-#      the recorded window via _RETIRED_GUARDS.
-#   2. Queries NEW this round (q151+, no prior driver row possible) —
-#      picked up automatically by _ordered()'s is-new check.
-#   3. Backfill, oldest driver row first. Front of the list: the three
-#      queries whose CURRENT implementation has never been driver-scored
-#      (q122/q123 rewired onto ranked_topk in r7, q132 rewired onto
-#      histogram cutpoints in r8), then the rest of the r5-generation
-#      block (q88-q99, q102, q109, q121-q133), then r6/r7/r8 blocks.
-#      _BACKFILL lists EVERY non-guard query oldest-first, so future
-#      rounds rotate automatically as rows refresh.
+#      per-table guards q00c/d/e/l/o stay REGISTERED (incident
+#      diagnosis) but are pinned past the recorded window via
+#      _RETIRED_GUARDS.
+#   2. Queries NEW this round (q179+, none registered as of this
+#      writing — the r9 verdict caps growth at <=5 so the window spends
+#      its slots on rotation) — picked up automatically by _ordered()'s
+#      is-new check if any land.
+#   3. Backfill, oldest driver row first. Front of the list: the five
+#      queries registered in r9 but deferred from its window
+#      (q174-q178 — never driver-scored), then q116 (pulled ahead of
+#      its r8 cohort so both shared-cache composition representatives —
+#      q116 on _SIG_CACHE, q178 on the semassign cache — land in the
+#      SAME window, r9 verdict ask #5), then the r6-generation block
+#      (q14-q16, q20-q26, q37, q41-q42, q47, q52-q58, q64-q80,
+#      q134-q138, q140; 44 queries — the window fits 42, the last two
+#      carry to r11), then r7/r8/r9 blocks. _BACKFILL lists EVERY
+#      non-guard query oldest-first, so future rounds rotate
+#      automatically as rows refresh.
 #   4. q997_generation_fingerprint_tail pinned LAST in the window — the
 #      byte-identical twin of q000, so head/tail disagreement proves a
 #      MID-window regeneration and agreement brackets the window.
 # All registered queries are green via ``tools/check_oracle.py`` on
-# current sf0.01 data (full local sweep; see SCALE.md for the r9 run).
+# current sf0.01 data (full local sweep; see SCALE.md for the r10 run).
 _WINDOW_SIZE = 50
 
 _GUARD_HEAD = [
@@ -96,58 +98,31 @@ _RETIRED_GUARDS = [
     "q00o_fingerprint_orders",
 ]
 
-# Queries REGISTERED this round after the 23-slot new-query budget was
-# exactly spent (head + 23 new + rewired trio + 22 r5-stale + tail
-# = 50): auto-slotting them as "new" would displace r5-stale rows from
-# the recorded window, defeating the r8 verdict's #1 ask. They are
-# judge-sweepable now (tools/check_oracle.py covers the whole
-# registry; all green at sf0.01 + sf0.001) and sit at the FRONT of the
-# r10 rotation — like every no-driver-row-yet query, they are the
-# oldest entries by definition. r10: move these names to the top of
-# _BACKFILL (or let them auto-slot by bumping the covered_prior range).
-_DEFER_TO_NEXT_WINDOW = [
+# r9's five deferred queries (q174-q178) moved to the FRONT of
+# _BACKFILL this round per the r9 verdict's ask #1 — the list is kept
+# (empty) so the window protocol's "registered late, defer rather than
+# displace" mechanism stays available for future rounds.
+_DEFER_TO_NEXT_WINDOW: list[str] = []
+
+# Backfill order once the guard + new blocks are placed: EVERY
+# non-guard query, keyed oldest-newest-driver-row first (computed from
+# CORRECTNESS_r01..r09), then ascending query number within a round.
+# Whatever misses the 50-slot window carries to the next round
+# unchanged — the list only needs regenerating when a round's artifact
+# lands (the leading stale block rotates to the back).
+_BACKFILL = [
+    # -- never driver-scored: registered r9, deferred from its window
+    #    (see _DEFER_TO_NEXT_WINDOW's r9 history) --
     "q174_tokenizer_fertility",
     "q175_audience_overlap",
     "q176_feature_corr",
     "q177_mad_outliers",
     "q178_semdedup_probe",
-]
-
-# Backfill order once the guard + new blocks are placed: EVERY
-# non-guard query, keyed oldest-newest-driver-row first (computed from
-# CORRECTNESS_r01..r08), then ascending query number within a round.
-# Whatever misses the 50-slot window carries to the next round
-# unchanged — the list only needs regenerating when a round's artifact
-# lands (the leading stale block rotates to the back).
-_BACKFILL = [
-    # -- newest driver row: round 5, implementation rewired SINCE then
-    #    (q122/q123 r7, q132 r8) — never driver-scored as implemented --
-    "q122_bm25_search",
-    "q123_supplier_pagerank",
-    "q132_rfm_segments",
-    # -- newest driver row: round 5 --
-    "q88_best_price_supplier",
-    "q89_product_profit",
-    "q90_important_parts",
-    "q91_custdist",
-    "q92_top_supplier",
-    "q93_supplier_diversity",
-    "q94_small_order_drain",
-    "q95_large_orders",
-    "q96_disjunctive_revenue",
-    "q97_excess_shipments",
-    "q98_sole_failing_supplier",
-    "q99_dormant_customers",
-    "q102_forecast_revenue",
-    "q109_vocab_coverage",
-    "q121_cdc_mart",
-    "q124_priority_sample",
-    "q125_incremental_neardup",
-    "q126_streaming_tumbling",
-    "q127_golden_record",
-    "q130_ab_test",
-    "q131_market_basket",
-    "q133_pseudonymize",
+    # -- shared-cache composition representative (r9 verdict ask #5):
+    #    newest driver row r8, but pulled ahead of the r6 block so the
+    #    _SIG_CACHE rider (q116, six consumers) and the semassign-cache
+    #    rider (q178) are driver-scored in the SAME window --
+    "q116_neardup_keep_best",
     # -- newest driver row: round 6 --
     "q14_quantiles",
     "q15_name_union",
@@ -261,7 +236,6 @@ _BACKFILL = [
     "q113_rolling_anomaly",
     "q114_rare_token_score",
     "q115_data_expectations",
-    "q116_neardup_keep_best",
     "q117_variant_props_stats",
     "q118_lateral_topk",
     "q119_purchase_streaks",
@@ -276,6 +250,56 @@ _BACKFILL = [
     "q148_bigram_surprisal",
     "q149_winnowing_fingerprints",
     "q150_winnowing_matches",
+    # -- newest driver row: round 9 (the re-validated r5 block + the
+    #    rewired trio, then the r9-new queries q151-q173) --
+    "q88_best_price_supplier",
+    "q89_product_profit",
+    "q90_important_parts",
+    "q91_custdist",
+    "q92_top_supplier",
+    "q93_supplier_diversity",
+    "q94_small_order_drain",
+    "q95_large_orders",
+    "q96_disjunctive_revenue",
+    "q97_excess_shipments",
+    "q98_sole_failing_supplier",
+    "q99_dormant_customers",
+    "q102_forecast_revenue",
+    "q109_vocab_coverage",
+    "q121_cdc_mart",
+    "q122_bm25_search",
+    "q123_supplier_pagerank",
+    "q124_priority_sample",
+    "q125_incremental_neardup",
+    "q126_streaming_tumbling",
+    "q127_golden_record",
+    "q130_ab_test",
+    "q131_market_basket",
+    "q132_rfm_segments",
+    "q133_pseudonymize",
+    "q151_simhash_neardup_wide",
+    "q152_winnow_dup_spans",
+    "q153_winnow_span_trim",
+    "q154_boilerplate_spans",
+    "q155_dsir_importance",
+    "q156_dsir_select",
+    "q157_hybrid_rrf",
+    "q158_contrastive_pairs",
+    "q159_length_buckets",
+    "q160_dsir_calibration",
+    "q161_temperature_mixture",
+    "q162_cdc_chunks",
+    "q163_source_overlap",
+    "q164_hard_negatives",
+    "q165_image_dhash_neardup",
+    "q166_user_sequences",
+    "q167_semdedup",
+    "q168_gopher_rules",
+    "q169_epoch_shuffle",
+    "q170_source_kl_drift",
+    "q171_curation_funnel",
+    "q172_k_anonymity",
+    "q173_centroid_drift",
 ]
 
 
@@ -284,7 +308,7 @@ def _ordered(mapping: dict) -> dict:
     # Queries NEW this round (q151+) have no prior driver row; they slot
     # in right after the guard block so their first row lands now.
     covered_prior = {"q000"} | {f"q{i:02d}" for i in range(1, 100)} | {
-        f"q{i}" for i in range(100, 151)
+        f"q{i}" for i in range(100, 179)
     }
     never_new = (
         set(_GUARD_HEAD)

@@ -535,10 +535,16 @@ def semdedup(
 
     Assign every vector to its IVF coarse cluster, exact-verify cosine
     ONLY within clusters, and drop any vector with a lower-id
-    cluster-mate at/above ``threshold`` (deterministic min-id
-    representative — the paper keeps the vector farthest from the
-    centroid; any total order works and this one replays in SQL).
-    Returns (id, list_id, kept 0/1) for every input vector.
+    cluster-mate at/above ``threshold``. The drop rule is PAIRWISE,
+    not transitive-group: a vector survives unless some lower-id mate
+    is directly similar to it, and a dropped vector still acts as a
+    dropper. For mates where 1~3 and 2~3 are similar but 1~2 is not,
+    this keeps {1, 2} where connected-component semantics would keep
+    only {1} — deliberately NOT the paper's one-representative-per-
+    duplicate-group scheme (the paper keeps the vector farthest from
+    the centroid within each group); the pairwise rule replays
+    exactly in SQL and needs no iterative closure. Returns
+    (id, list_id, kept 0/1) for every input vector.
 
     ``assigned`` short-circuits the assignment stage with a
     pre-materialized (id, qe, nsq, list_id) frame — production keeps

@@ -1036,8 +1036,6 @@ def _semdedup_base_assigned(spark: SparkSession, sf_dir: str):
     ORDER BY a.batch_id
     """,
 )
-
-
 def q178_semdedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     max_id = emb.agg(F.max("vec_id")).first()[0] or 0

@@ -132,8 +132,25 @@ def clear_session_caches() -> int:
     garbage-collected: deferred, not immediate. Callers needing
     deterministic block release should persist+checkpoint explicitly
     and unpersist their own handle instead of relying on this cache.
+
+    Broadcast handles are the exception (r9 advice): a
+    ``SparkContext.broadcast`` value cached here (the semdedup
+    centroid matrix stores one alongside its assigned frame) keeps an
+    executor-side copy alive until explicitly released, so eviction
+    walks entries and ``unpersist()``s any Broadcast it finds —
+    including ones nested in tuple entries.
     """
+    from pyspark.broadcast import Broadcast  # noqa: PLC0415
+
     n = len(_SIG_CACHE)
+    for value in _SIG_CACHE.values():
+        parts = value if isinstance(value, tuple) else (value,)
+        for part in parts:
+            if isinstance(part, Broadcast):
+                try:
+                    part.unpersist()
+                except Exception:  # noqa: BLE001 — best-effort on a dead context
+                    pass
     _SIG_CACHE.clear()
     return n
 
@@ -2754,6 +2771,8 @@ def _bigram_base(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         _SIG_CACHE[key] = base
     return base
+
+
 @query(
     "q148_bigram_surprisal",
     oracle=f"""
