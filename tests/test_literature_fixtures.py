@@ -13,6 +13,9 @@ both engines, written here as literals.
 """
 
 import hashlib
+import math
+
+import pytest
 
 from pyspark.sql import functions as F
 
@@ -208,3 +211,56 @@ def test_semdedup_matches_hand_computed_cosines(spark):
     )
     got = _rows(semdedup(df, "vec_id", "embedding", 0.9), "vec_id", "list_id", "kept")
     assert got == [(1, 3, 1), (2, 3, 1), (3, 3, 0)]
+
+
+# ---------------------------------------------------------------------------
+# Okapi BM25 (Robertson & Zaragoza 2009; k1=1.2, b=0.75) — a 4-document
+# corpus whose term statistics reduce to hand-derived fractions.
+# ---------------------------------------------------------------------------
+
+
+def test_bm25_matches_hand_computed_okapi_scores(spark, tmp_path):
+    """Corpus: doc 1 "spark spark vector" (dl=3), doc 2 "spark merge"
+    (dl=2), doc 3 no query terms (dl=4), doc 4 "vector" (dl=1);
+    N=4, avgdl=10/4=2.5. Hand-derived statistics for the fixed
+    benchmark query [spark, vector, merge]:
+      df(spark)=df(vector)=2 -> idf = ln((4-2+0.5)/(2+0.5)+1) = ln 2
+      df(merge)=1            -> idf = ln((3.5/1.5)+1)        = ln 10/3
+      saturation tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl)):
+        tf=2, dl=3: 4.4/3.38    tf=1, dl=3: 2.2/2.38
+        tf=1, dl=2: 2.2/2.02    tf=1, dl=1: 2.2/1.66
+    Expected ranking: doc 2 (rare 'merge' dominates) > doc 1 > doc 4;
+    doc 3 matches nothing and must be absent. Scores are asserted to
+    the operator's 9-decimal rounding contract with 2e-9 slack (the
+    hand fractions and the plan may differ in the last ulp)."""
+    from _multi_source_retail_data_integration_hub_spark.plans.training_data import (
+        BM25_TERMS,
+        q122_bm25_search,
+    )
+
+    assert BM25_TERMS == ["spark", "vector", "merge"]  # anchors the math below
+    docs = [
+        (1, "spark spark vector"),
+        (2, "spark merge"),
+        (3, "alpha beta gamma delta"),
+        (4, "vector"),
+    ]
+    spark.createDataFrame(
+        [(i, t, "en", "fixture", len(t)) for i, t in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    ln2, lnm = math.log(2.0), math.log(10.0 / 3.0)
+    expected = [
+        (1, 2, 2, ln2 * (2.2 / 2.02) + lnm * (2.2 / 2.02)),  # doc 2
+        (2, 1, 2, ln2 * (4.4 / 3.38) + ln2 * (2.2 / 2.38)),  # doc 1
+        (3, 4, 1, ln2 * (2.2 / 1.66)),  # doc 4
+    ]
+    got = _rows(
+        q122_bm25_search(spark, str(tmp_path)), "rank", "doc_id", "n_matched", "score"
+    )
+    assert [(r, d, n) for r, d, n, _ in got] == [
+        (r, d, n) for r, d, n, _ in expected
+    ]
+    for (_, _, _, got_score), (_, _, _, want) in zip(got, expected):
+        assert got_score == pytest.approx(round(want, 9), abs=2e-9)
