@@ -264,3 +264,41 @@ def test_bm25_matches_hand_computed_okapi_scores(spark, tmp_path):
     ]
     for (_, _, _, got_score), (_, _, _, want) in zip(got, expected):
         assert got_score == pytest.approx(round(want, 9), abs=2e-9)
+
+
+# ---------------------------------------------------------------------------
+# Temperature-rebalanced mixture weights (mT5 / XLM-R, T=2: w_i
+# proportional to share_i^(1/2)) — three strata whose square roots are
+# exact integers, so every output is hand-derivable.
+# ---------------------------------------------------------------------------
+
+
+def test_temperature_weights_match_hand_computed_t2(spark):
+    """Strata token counts 10000 / 100 / 400 -> sqrt 100 / 10 / 20;
+    totals 10500 and 130. Hand-derived ppm outputs (truncating
+    division): shares 952380 / 9523 / 38095; T=2 weights 769230 /
+    76923 / 153846. The published property this anchors: the head
+    stratum is boosted DOWN (-183150 ppm) and both tails UP (+67400,
+    +115751) — temperature flattening, with weights still ordered by
+    size."""
+    from _multi_source_retail_data_integration_hub_spark.operators.sampling import (
+        temperature_weights,
+    )
+
+    totals = spark.createDataFrame(
+        [("head", 10_000), ("tail_b", 100), ("tail_c", 400)],
+        "lang string, n_tokens long",
+    )
+    got = _rows(
+        temperature_weights(totals, "lang", "n_tokens"),
+        "lang",
+        "n_tokens",
+        "share_ppm",
+        "temp_weight_ppm",
+        "boost_ppm",
+    )
+    assert got == [
+        ("head", 10_000, 952_380, 769_230, -183_150),
+        ("tail_b", 100, 9_523, 76_923, 67_400),
+        ("tail_c", 400, 38_095, 153_846, 115_751),
+    ]
