@@ -305,7 +305,7 @@ _BACKFILL = [
 
 def _ordered(mapping: dict) -> dict:
     head = [k for k in _GUARD_HEAD if k in mapping]
-    # Queries NEW this round (q151+) have no prior driver row; they slot
+    # Queries NEW this round (q179+) have no prior driver row; they slot
     # in right after the guard block so their first row lands now.
     covered_prior = {"q000"} | {f"q{i:02d}" for i in range(1, 100)} | {
         f"q{i}" for i in range(100, 179)

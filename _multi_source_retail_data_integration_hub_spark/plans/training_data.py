@@ -142,15 +142,25 @@ def clear_session_caches() -> int:
     """
     from pyspark.broadcast import Broadcast  # noqa: PLC0415
 
+    def _release(value) -> None:
+        # walk one level of the common container shapes so a future
+        # cache entry holding its Broadcast in a list/dict (not just
+        # the semdedup tuple) cannot silently re-open the leak
+        if isinstance(value, Broadcast):
+            try:
+                value.unpersist()
+            except Exception:  # noqa: BLE001 — best-effort on a dead context
+                pass
+        elif isinstance(value, (tuple, list, set)):
+            for part in value:
+                _release(part)
+        elif isinstance(value, dict):
+            for part in value.values():
+                _release(part)
+
     n = len(_SIG_CACHE)
     for value in _SIG_CACHE.values():
-        parts = value if isinstance(value, tuple) else (value,)
-        for part in parts:
-            if isinstance(part, Broadcast):
-                try:
-                    part.unpersist()
-                except Exception:  # noqa: BLE001 — best-effort on a dead context
-                    pass
+        _release(value)
     _SIG_CACHE.clear()
     return n
 

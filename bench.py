@@ -219,11 +219,17 @@ def main() -> None:
     with open(out_path, "w") as fh:
         json.dump(artifact, fh, indent=1, sort_keys=True)
     if runs > 1 and not failures:
-        _update_floor(steady_query, sf_num if sf_num is not None else sf)
+        try:
+            _update_floor(steady_query, sf_num if sf_num is not None else sf, spark)
+        except Exception as exc:  # noqa: BLE001
+            # the floor is a side artifact: a corrupt/unwritable floor
+            # file must never eat the stdout JSON line the driver
+            # records after a full ~200 s capture
+            print(f"bench_floor.json update failed: {exc!r}", file=sys.stderr)
     print(json.dumps(out))
 
 
-def _update_floor(steady_query: dict[str, float], sf) -> None:
+def _update_floor(steady_query: dict[str, float], sf, spark) -> None:
     """Noise-robust per-query reference (r9 verdict ask #4): host noise
     between solo captures scatters untouched queries 0.7x-1.9x, wider
     than a typical round's genuine delta, so regression claims compare
@@ -233,10 +239,14 @@ def _update_floor(steady_query: dict[str, float], sf) -> None:
     changes, delete its entry (or the file) so the floor re-seeds from
     post-change captures — a stale floor under-reports a real
     regression, never over-reports one. A capture at a different SF
-    resets the whole file."""
-    import time as _time
-
+    *or run configuration* (cpus / shuffle partitions) resets the
+    whole file: minima must never mix configurations, or the floor
+    becomes unreachable under the canonical setup."""
     floor_path = os.path.join(REPO, "bench_floor.json")
+    run_cfg = {
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+        "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
+    }
     prior = {}
     if os.path.exists(floor_path):
         try:
@@ -244,7 +254,12 @@ def _update_floor(steady_query: dict[str, float], sf) -> None:
                 prior = json.load(fh)
         except (OSError, ValueError):
             prior = {}
-    if prior.get("sf") != sf:
+    if (
+        not isinstance(prior, dict)
+        or prior.get("sf") != sf
+        or prior.get("run_config") != run_cfg
+        or not isinstance(prior.get("queries", {}), dict)
+    ):
         prior = {}
     old_q = prior.get("queries", {})
     merged = {
@@ -256,10 +271,11 @@ def _update_floor(steady_query: dict[str, float], sf) -> None:
             {
                 "metric": "suite_seconds_floor",
                 "sf": sf,
+                "run_config": run_cfg,
                 "value": round(sum(merged.values()), 3),
                 "n_queries": len(merged),
                 "n_captures": int(prior.get("n_captures", 0)) + 1,
-                "updated_unix": int(_time.time()),
+                "updated_unix": int(time.time()),
                 "queries": merged,
             },
             fh,
