@@ -95,6 +95,27 @@ def test_window_protocol_layout():
     assert not unregistered, f"unregistered backfill names: {unregistered}"
     assert all(names.index(q) < 49 for q in stale)
     assert len(names) == len(set(names))
+    # rotation completeness: EVERY registered non-guard query must
+    # appear in _BACKFILL (and every _BACKFILL name must be
+    # registered) — a query missing from the list would fall into
+    # _ordered()'s trailing 'rest' bucket and silently never rotate
+    # into a driver window; a stale name would shrink the window
+    guards = (
+        set(entry._GUARD_HEAD)
+        | set(entry._RETIRED_GUARDS)
+        | {entry._GUARD_TAIL}
+        | set(entry._DEFER_TO_NEXT_WINDOW)
+    )
+    backfill = set(entry._BACKFILL)
+    assert len(entry._BACKFILL) == len(backfill), "duplicate backfill names"
+    never_rotates = set(names) - backfill - guards
+    # queries NEW this round are picked up by the is-new check instead
+    never_rotates = {
+        q for q in never_rotates if int(q.split("_", 1)[0][1:]) < 179
+    }
+    assert not never_rotates, f"registered but never rotates: {never_rotates}"
+    stale_names = backfill - set(names)
+    assert not stale_names, f"backfill names not registered: {stale_names}"
 
 
 def test_no_oracle_output_binds_to_hugeint():
