@@ -51,33 +51,33 @@ from _multi_source_retail_data_integration_hub_spark.plans import (  # noqa: E40
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 # Round-10 window (the driver records the first ~50 registered queries
-# per round, against freshly regenerated testdata). Layout per the r9
-# verdict (ask #1: rotate; ask #2: cap registry growth so rows refresh):
+# per round, against freshly regenerated testdata). Layout per the r10
+# verdict (ask #1: rotate the r6 carries + the r7 block; ask #2: keep
+# the registry frozen so the full refresh cycle completes by r12):
 #   1. q000_generation_fingerprint FIRST (red => the two engines compared
 #      different testdata generations; see CORRECTNESS_NOTES.md). The
 #      per-table guards q00c/d/e/l/o stay REGISTERED (incident
 #      diagnosis) but are pinned past the recorded window via
 #      _RETIRED_GUARDS.
-#   2. Queries NEW this round (q179+, none registered as of this
-#      writing — the r9 verdict caps growth at <=5 so the window spends
-#      its slots on rotation) — picked up automatically by _ordered()'s
+#   2. Queries NEW this round (q179+, none registered — growth is
+#      frozen this round per the r10 verdict so the window spends its
+#      slots on rotation) — picked up automatically by _ordered()'s
 #      is-new check if any land.
-#   3. Backfill, oldest driver row first. Front of the list: the five
-#      queries registered in r9 but deferred from its window
-#      (q174-q178 — never driver-scored), then q116 (pulled ahead of
-#      its r8 cohort so both shared-cache composition representatives —
-#      q116 on _SIG_CACHE, q178 on the semassign cache — land in the
-#      SAME window, r9 verdict ask #5), then the r6-generation block
-#      (q14-q16, q20-q26, q37, q41-q42, q47, q52-q58, q64-q80,
-#      q134-q138, q140; 44 queries — the window fits 42, the last two
-#      carry to r11), then r7/r8/r9 blocks. _BACKFILL lists EVERY
+#   3. Backfill, oldest driver row first. Front of the list: the two
+#      r6-block carries (q138_regex_pretokenize,
+#      q140_hll_distinct_rollup — last scored r6, the oldest rows in
+#      the registry), then the 38-query r7 block (q27-q36, q38-q40,
+#      q43-q46, q48-q51, q59-q63, q85, q100-q101, q104-q108, q110,
+#      q141-q143), then the r8 block oldest-first (q01-q08 fill the
+#      remaining 8 slots; the rest of the r8 block is the r12 window
+#      by construction), then the r9/r10 blocks. _BACKFILL lists EVERY
 #      non-guard query oldest-first, so future rounds rotate
 #      automatically as rows refresh.
 #   4. q997_generation_fingerprint_tail pinned LAST in the window — the
 #      byte-identical twin of q000, so head/tail disagreement proves a
 #      MID-window regeneration and agreement brackets the window.
 # All registered queries are green via ``tools/check_oracle.py`` on
-# current sf0.01 data (full local sweep; see SCALE.md for the r10 run).
+# current sf0.01 data (full local sweep; see SCALE.md for the r11 run).
 _WINDOW_SIZE = 50
 
 _GUARD_HEAD = [
@@ -98,74 +98,20 @@ _RETIRED_GUARDS = [
     "q00o_fingerprint_orders",
 ]
 
-# r9's five deferred queries (q174-q178) moved to the FRONT of
-# _BACKFILL this round per the r9 verdict's ask #1 — the list is kept
-# (empty) so the window protocol's "registered late, defer rather than
-# displace" mechanism stays available for future rounds.
+# The r9 deferral (q174-q178) was resolved in r10 — all five were
+# driver-scored green in CORRECTNESS_r10. The list is kept (empty) so
+# the window protocol's "registered late, defer rather than displace"
+# mechanism stays available for future rounds.
 _DEFER_TO_NEXT_WINDOW: list[str] = []
 
 # Backfill order once the guard + new blocks are placed: EVERY
 # non-guard query, keyed oldest-newest-driver-row first (computed from
-# CORRECTNESS_r01..r09), then ascending query number within a round.
+# CORRECTNESS_r01..r10), then ascending query number within a round.
 # Whatever misses the 50-slot window carries to the next round
 # unchanged — the list only needs regenerating when a round's artifact
 # lands (the leading stale block rotates to the back).
 _BACKFILL = [
-    # -- never driver-scored: registered r9, deferred from its window
-    #    (see _DEFER_TO_NEXT_WINDOW's r9 history) --
-    "q174_tokenizer_fertility",
-    "q175_audience_overlap",
-    "q176_feature_corr",
-    "q177_mad_outliers",
-    "q178_semdedup_probe",
-    # -- shared-cache composition representative (r9 verdict ask #5):
-    #    newest driver row r8, but pulled ahead of the r6 block so the
-    #    _SIG_CACHE rider (q116, six consumers) and the semassign-cache
-    #    rider (q178) are driver-scored in the SAME window --
-    "q116_neardup_keep_best",
     # -- newest driver row: round 6 --
-    "q14_quantiles",
-    "q15_name_union",
-    "q16_pareto",
-    "q20_lang_id_confusion",
-    "q21_fingerprint_dedup",
-    "q22_ngram_jaccard",
-    "q23_minhash_signatures",
-    "q24_lsh_candidates",
-    "q25_simhash",
-    "q26_cosine_topk",
-    "q37_cosine_neardup",
-    "q41_ivf_assign",
-    "q42_ann_ivf_topk",
-    "q47_top_terms",
-    "q52_customers_no_orders",
-    "q53_dup_clusters",
-    "q54_spend_deciles",
-    "q55_profile",
-    "q56_corpus_pipeline",
-    "q57_set_ops",
-    "q58_above_nation_avg",
-    "q64_revenue_by_nation",
-    "q65_shipping_priority",
-    "q66_pricing_summary",
-    "q67_grouping_sets",
-    "q68_forward_fill",
-    "q69_session_window_batch",
-    "q70_pii_scrub",
-    "q71_fuzzy_part_match",
-    "q72_lang_reservoir",
-    "q73_embedding_stats",
-    "q74_doc_chunking",
-    "q75_late_orders_semi",
-    "q76_spend_percentiles",
-    "q77_scd2_merge",
-    "q78_image_resize",
-    "q79_retention_cohorts",
-    "q80_minhash_accuracy",
-    "q134_lsh_subsplit",
-    "q135_cluster_split",
-    "q136_streaming_dedup",
-    "q137_bpe_merges",
     "q138_regex_pretokenize",
     "q140_hll_distinct_rollup",
     # -- newest driver row: round 7 --
@@ -250,8 +196,7 @@ _BACKFILL = [
     "q148_bigram_surprisal",
     "q149_winnowing_fingerprints",
     "q150_winnowing_matches",
-    # -- newest driver row: round 9 (the re-validated r5 block + the
-    #    rewired trio, then the r9-new queries q151-q173) --
+    # -- newest driver row: round 9 --
     "q88_best_price_supplier",
     "q89_product_profit",
     "q90_important_parts",
@@ -300,6 +245,55 @@ _BACKFILL = [
     "q171_curation_funnel",
     "q172_k_anonymity",
     "q173_centroid_drift",
+    # -- newest driver row: round 10 --
+    "q14_quantiles",
+    "q15_name_union",
+    "q16_pareto",
+    "q20_lang_id_confusion",
+    "q21_fingerprint_dedup",
+    "q22_ngram_jaccard",
+    "q23_minhash_signatures",
+    "q24_lsh_candidates",
+    "q25_simhash",
+    "q26_cosine_topk",
+    "q37_cosine_neardup",
+    "q41_ivf_assign",
+    "q42_ann_ivf_topk",
+    "q47_top_terms",
+    "q52_customers_no_orders",
+    "q53_dup_clusters",
+    "q54_spend_deciles",
+    "q55_profile",
+    "q56_corpus_pipeline",
+    "q57_set_ops",
+    "q58_above_nation_avg",
+    "q64_revenue_by_nation",
+    "q65_shipping_priority",
+    "q66_pricing_summary",
+    "q67_grouping_sets",
+    "q68_forward_fill",
+    "q69_session_window_batch",
+    "q70_pii_scrub",
+    "q71_fuzzy_part_match",
+    "q72_lang_reservoir",
+    "q73_embedding_stats",
+    "q74_doc_chunking",
+    "q75_late_orders_semi",
+    "q76_spend_percentiles",
+    "q77_scd2_merge",
+    "q78_image_resize",
+    "q79_retention_cohorts",
+    "q80_minhash_accuracy",
+    "q116_neardup_keep_best",
+    "q134_lsh_subsplit",
+    "q135_cluster_split",
+    "q136_streaming_dedup",
+    "q137_bpe_merges",
+    "q174_tokenizer_fertility",
+    "q175_audience_overlap",
+    "q176_feature_corr",
+    "q177_mad_outliers",
+    "q178_semdedup_probe",
 ]
 
 

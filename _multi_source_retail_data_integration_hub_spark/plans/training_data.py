@@ -143,9 +143,10 @@ def clear_session_caches() -> int:
     from pyspark.broadcast import Broadcast  # noqa: PLC0415
 
     def _release(value) -> None:
-        # walk one level of the common container shapes so a future
-        # cache entry holding its Broadcast in a list/dict (not just
-        # the semdedup tuple) cannot silently re-open the leak
+        # walk the common container shapes recursively (arbitrarily
+        # nested tuples/lists/sets/dicts) so a future cache entry
+        # holding its Broadcast anywhere inside (not just the flat
+        # semdedup tuple) cannot silently re-open the leak
         if isinstance(value, Broadcast):
             try:
                 value.unpersist()

@@ -266,22 +266,34 @@ def _update_floor(steady_query: dict[str, float], sf, spark) -> None:
         name: round(min(t, old_q[name]), 3) if name in old_q else t
         for name, t in steady_query.items()
     }
+    # Provenance when the suite itself changes (r10 advice): dropping a
+    # prior floor entry (renamed/demoted query) or seeding a new one
+    # rebases the floor TOTAL without any capture being faster/slower —
+    # record the delta so a floor-to-floor comparison can tell "query
+    # set changed" from "same suite got faster".
+    out = {
+        "metric": "suite_seconds_floor",
+        "sf": sf,
+        "run_config": run_cfg,
+        "value": round(sum(merged.values()), 3),
+        "n_queries": len(merged),
+        "n_captures": int(prior.get("n_captures", 0)) + 1,
+        "updated_unix": int(time.time()),
+        "queries": merged,
+    }
+    if old_q and set(old_q) != set(merged):
+        out["queries_changed"] = {
+            "at_capture": out["n_captures"],
+            "added": sorted(set(merged) - set(old_q)),
+            "removed": sorted(set(old_q) - set(merged)),
+            "removed_floor_seconds": round(
+                sum(t for n, t in old_q.items() if n not in merged), 3
+            ),
+        }
+    elif "queries_changed" in prior:
+        out["queries_changed"] = prior["queries_changed"]
     with open(floor_path, "w") as fh:
-        json.dump(
-            {
-                "metric": "suite_seconds_floor",
-                "sf": sf,
-                "run_config": run_cfg,
-                "value": round(sum(merged.values()), 3),
-                "n_queries": len(merged),
-                "n_captures": int(prior.get("n_captures", 0)) + 1,
-                "updated_unix": int(time.time()),
-                "queries": merged,
-            },
-            fh,
-            indent=1,
-            sort_keys=True,
-        )
+        json.dump(out, fh, indent=1, sort_keys=True)
 
 
 if __name__ == "__main__":

@@ -52,40 +52,32 @@ def test_oracles_reference_only_registered_tables():
 
 def test_window_protocol_layout():
     """The self-diagnosing window protocol (CORRECTNESS_NOTES.md,
-    rounds 7-10): the driver records the first ~50 registered queries,
+    rounds 7-11): the driver records the first ~50 registered queries,
     so the fingerprint guard must be FIRST and the end-of-window
     fingerprint twin pinned at exactly position 50 — a refactor of
     _ordered() that silently moves either breaks the bracket
-    inference. Round-10 rotation (r9 verdict asks #1/#5): the
-    per-table guards stay retired PAST the window, the five queries
-    deferred from r9's window (q174-q178, never driver-scored) lead
-    the backfill, then q116 (so both shared-cache composition
-    representatives — q116 on _SIG_CACHE, q178 on the semassign
-    cache — land in the SAME recorded window), then the r6-stale
-    block."""
+    inference. Round-11 rotation (r10 verdict ask #1): the per-table
+    guards stay retired PAST the window; the two r6-block carries
+    (q138/q140, last scored r6 — the oldest rows in the registry)
+    lead the backfill, then the 38-query r7 block, then the r8 block
+    oldest-first (q01-q08 fill the window's remaining slots)."""
     names = list(entry.queries())
     assert names[0] == "q000_generation_fingerprint"
     assert names[49] == "q997_generation_fingerprint_tail"
     # retired guards stay registered but OUTSIDE the recorded window
     for g in entry._RETIRED_GUARDS:
         assert names.index(g) > 49, f"{g} must sit past the window"
-    # the five never-driver-scored deferrals lead the backfill: they
-    # sit contiguously, immediately after the head + new-this-round
-    # block (structural, so adding a new query never silently
-    # displaces them)
-    deferred = [
-        "q174_tokenizer_fertility",
-        "q175_audience_overlap",
-        "q176_feature_corr",
-        "q177_mad_outliers",
-        "q178_semdedup_probe",
-    ]
-    idx = [names.index(r) for r in deferred]
-    assert idx == list(range(idx[0], idx[0] + 5))
-    assert entry._BACKFILL[:5] == deferred
-    # both shared-cache riders land inside the recorded window
-    assert names.index("q116_neardup_keep_best") < 49
-    assert names.index("q178_semdedup_probe") < 49
+    # the r6 carries lead the backfill and land in the window; the
+    # r7 block follows contiguously (structural, so adding a new
+    # query never silently displaces the oldest rows)
+    carries = ["q138_regex_pretokenize", "q140_hll_distinct_rollup"]
+    assert entry._BACKFILL[:2] == carries
+    for q in carries:
+        assert names.index(q) < 49, f"{q} must land in the r11 window"
+    # the window closes with the oldest r8 rows (q01-q08)
+    for i in range(1, 9):
+        q = next(n for n in names if n.startswith(f"q{i:02d}_"))
+        assert names.index(q) < 49, f"{q} must land in the r11 window"
     # the leading stale block fits in this window — STRICT: every one
     # of the 48 leading backfill names must be a registered query (a
     # typo or deregistration must fail here, not silently admit a
@@ -109,7 +101,14 @@ def test_window_protocol_layout():
     backfill = set(entry._BACKFILL)
     assert len(entry._BACKFILL) == len(backfill), "duplicate backfill names"
     never_rotates = set(names) - backfill - guards
-    # queries NEW this round are picked up by the is-new check instead
+    # queries NEW this round are picked up by the is-new check instead;
+    # a non-numeric id prefix (q00c-style guards should all be in the
+    # guard sets above) is itself a finding — assert with the name
+    # rather than letting int() raise an opaque ValueError
+    unparseable = {
+        q for q in never_rotates if not q.split("_", 1)[0][1:].isdigit()
+    }
+    assert not unparseable, f"non-numeric query id outside guard sets: {unparseable}"
     never_rotates = {
         q for q in never_rotates if int(q.split("_", 1)[0][1:]) < 179
     }

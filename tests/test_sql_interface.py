@@ -131,11 +131,30 @@ def test_q119_streak_depth_guard(spark, tmp_path):
     # over the cap: refuses before any recursive job
     with pytest.raises(ValueError, match="longest streak is 6"):
         q119_purchase_streaks(spark, sf, max_depth=3)
-    # within the cap: identical to the unguarded run
+    # within the cap: identical to the guard-skipped (max_depth=None) run
     got = {r.user_id: r for r in q119_purchase_streaks(spark, sf, max_depth=10).collect()}
     assert got[1].longest_streak == 6 and got[1].n_streaks == 1
     assert got[2].longest_streak == 1 and got[2].n_streaks == 2
-    unguarded = {r.user_id: r for r in q119_purchase_streaks(spark, sf).collect()}
+    unguarded = {
+        r.user_id: r
+        for r in q119_purchase_streaks(spark, sf, max_depth=None).collect()
+    }
     assert {k: tuple(v) for k, v in got.items()} == {
         k: tuple(v) for k, v in unguarded.items()
     }
+
+    # the DRIVER path (default args — exactly how the registry invokes
+    # it) must be guarded (r10 verdict): a synthetic 500-day streak
+    # trips the default max_depth=400 after ONE islands-window pass,
+    # never launching the ~500 sequential recursive jobs
+    bot = spark.createDataFrame(
+        [
+            (3, dt.datetime(2023, 1, 1, 8, 0) + dt.timedelta(days=i), "purchase", 1000 + i, 1.0)
+            for i in range(500)
+        ],
+        "user_id long, ts timestamp, event_type string, event_id long, value double",
+    )
+    sf_bot = str(tmp_path / "sf_bot")
+    bot.write.mode("overwrite").parquet(sf_bot + "/events.parquet")
+    with pytest.raises(ValueError, match="longest streak is 500"):
+        q119_purchase_streaks(spark, sf_bot)
