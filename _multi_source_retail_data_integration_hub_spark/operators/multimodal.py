@@ -192,6 +192,27 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     return np.ascontiguousarray(img)
 
 
+def dhash_bits(img: np.ndarray) -> int:
+    """Difference hash (dHash) of an HxWx3 RGB array, packed LSB-first.
+
+    The perceptual-hash scheme of image-dedup services (Krawetz,
+    "Kind of Like That", hackerfactor 2013): grayscale each pixel with
+    integer ``(r+g+b) // 3``, then set bit ``y*(W-1) + x`` iff
+    ``gray[y, x+1] > gray[y, x]`` (strict horizontal-gradient sign).
+    H*(W-1) bits total — the classic 9x8 form yields 64; the q165
+    pipeline's 8x6 source yields 42. Pure numpy/int math so a crafted
+    bitmap with hand-known gradient signs pins the exact packed value
+    (tests/test_literature_fixtures.py)."""
+    gray = img.astype(np.int64).sum(axis=2) // 3
+    h = 0
+    height, width = gray.shape
+    for y in range(height):
+        for x in range(width - 1):
+            if gray[y, x + 1] > gray[y, x]:
+                h |= 1 << (y * (width - 1) + x)
+    return h
+
+
 def nn_resize(img: np.ndarray, width: int, height: int) -> np.ndarray:
     """Nearest-neighbor resample (pixel-center sampling) via fancy
     indexing — one gather, no Python pixel loops."""

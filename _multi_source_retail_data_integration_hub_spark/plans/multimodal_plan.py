@@ -308,14 +308,8 @@ def q165_image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 # through the REAL codec: encode -> decode round trip
                 decoded = M.decode_bmp(M.encode_bmp(img))
-                gray = decoded.astype(np.int64).sum(axis=2) // 3
-                h = 0
-                for y in range(_DH_SRC_H):
-                    for x in range(_DH_SRC_W - 1):
-                        if gray[y, x + 1] > gray[y, x]:
-                            h |= 1 << (y * (_DH_SRC_W - 1) + x)
                 out_ids.append(int(doc_id))
-                out_hashes.append(h)
+                out_hashes.append(M.dhash_bits(decoded))
             yield pd.DataFrame({"doc_id": out_ids, "dhash": out_hashes})
 
     dh = docs.mapInPandas(dhash, "doc_id long, dhash long")

@@ -3421,20 +3421,22 @@ def _hybrid_sql() -> str:
     """
 
 
-@query("q157_hybrid_rrf", oracle=_hybrid_sql())
-def q157_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators import similarity as S
+def rrf_fuse(
+    bm: DataFrame, ann: DataFrame, k: int = HYBRID_RRF_K, topk: int = HYBRID_TOPK
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack, Clarke, Büttcher, SIGIR 2009)
+    of two ranking legs ``(doc_id, bm25_rank)`` and ``(doc_id,
+    ann_rank)``: each leg contributes ``1000000 DIV (k + rank)``
+    (integer-exact in both engines), a doc absent from a leg's top-K
+    contributes 0 from that leg (rank reported as the 0 sentinel),
+    and the fused top-``topk`` is ranked by score desc / doc_id asc.
+    Extracted from q157 so the hand-computed 3-doc/2-ranker fixture
+    (tests/test_literature_fixtures.py) can pin the paper formula
+    independently of the BM25/ANN legs."""
     from ..operators.ranking import ranked_topk
 
-    bm = _bm25_ranked(spark, sf_dir).select(
-        "doc_id", F.col("rank").alias("bm25_rank")
-    )
-    emb = load_table(spark, sf_dir, "embeddings")
-    ann = S.brute_force_topk(
-        emb, emb.where(F.col("vec_id") == HYBRID_QV), k=HYBRID_ANN_TOPK
-    ).select(F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("ann_rank"))
     contrib = lambda c: F.when(F.col(c).isNull(), F.lit(0)).otherwise(  # noqa: E731
-        F.expr(f"1000000 DIV ({HYBRID_RRF_K} + {c})")
+        F.expr(f"1000000 DIV ({k} + {c})")
     )
     fused = bm.join(ann, "doc_id", "full_outer").select(
         "doc_id",
@@ -3443,8 +3445,22 @@ def q157_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         (contrib("bm25_rank") + contrib("ann_rank")).cast("bigint").alias("rrf_milli"),
     )
     return ranked_topk(
-        fused, [F.desc("rrf_milli"), F.asc("doc_id")], HYBRID_TOPK
+        fused, [F.desc("rrf_milli"), F.asc("doc_id")], topk
     ).select("rank", "doc_id", "bm25_rank", "ann_rank", "rrf_milli")
+
+
+@query("q157_hybrid_rrf", oracle=_hybrid_sql())
+def q157_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import similarity as S
+
+    bm = _bm25_ranked(spark, sf_dir).select(
+        "doc_id", F.col("rank").alias("bm25_rank")
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    ann = S.brute_force_topk(
+        emb, emb.where(F.col("vec_id") == HYBRID_QV), k=HYBRID_ANN_TOPK
+    ).select(F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("ann_rank"))
+    return rrf_fuse(bm, ann)
 
 
 # ---------------------------------------------------------------------------

@@ -7,9 +7,12 @@ misread lands green on both sides (round 9's q168 case-variant
 stopword bug survived a green driver row exactly this way). These
 tests pin EXACT output rows computed BY HAND from the published rule
 definitions — Gopher's appendix A1 thresholds (Rae et al. 2021), the
-DSIR importance-weight formula (Xie et al. 2023), and plain cosine
-geometry for SemDeDup (Abbas et al. 2023) — values derived outside
-both engines, written here as literals.
+DSIR importance-weight formula (Xie et al. 2023), plain cosine
+geometry for SemDeDup (Abbas et al. 2023), winnowing validated
+against Schleimer et al.'s own SIGMOD 2003 worked example, RRF
+reciprocal ranks at k=60 (Cormack et al. 2009), and dHash gradient
+bits from crafted bitmaps — values derived outside both engines,
+written here as literals.
 """
 
 import hashlib
@@ -302,3 +305,206 @@ def test_temperature_weights_match_hand_computed_t2(spark):
         ("tail_b", 100, 9_523, 76_923, 67_400),
         ("tail_c", 400, 38_095, 153_846, 115_751),
     ]
+
+
+# ---------------------------------------------------------------------------
+# Winnowing (Schleimer, Wilkerson, Aiken, SIGMOD 2003) — r10 verdict
+# ask #6. The reference implementation below is the paper's Figure-5
+# procedure (select each w-window's minimum gram hash, rightmost on
+# ties) written directly from the paper's definition; it is first
+# validated against the paper's OWN worked example (its published hash
+# sequence and published fingerprint set), then applied — with
+# hashlib.md5, outside both engines — to a crafted token corpus whose
+# resulting summary rows are pinned as literals for the Spark operator.
+# ---------------------------------------------------------------------------
+
+_WINNOW_POS_SPACE = 1 << 22  # packing contract of operators/text.py
+
+
+def _winnow_reference(hashes, w):
+    """The paper's winnowing selection over a gram-hash sequence:
+    {(hash, pos)} with min-per-window, rightmost tie-break — expressed
+    through the same packed key the engines use (smaller hash wins;
+    equal hashes -> larger pos wins because pos is stored inverted)."""
+    keys = [
+        h * _WINNOW_POS_SPACE + (_WINNOW_POS_SPACE - 1 - p)
+        for p, h in enumerate(hashes)
+    ]
+    sel = set()
+    for s in range(len(keys) - w + 1):
+        sel.add(min(keys[s : s + w]))
+    return sel
+
+
+def _unpack(key):
+    return key // _WINNOW_POS_SPACE, _WINNOW_POS_SPACE - 1 - key % _WINNOW_POS_SPACE
+
+
+def test_winnow_reference_reproduces_papers_worked_example():
+    """Schleimer et al. Figure 5: hashes of the 5-grams of
+    'adorunrunrunadorunrun' are published as
+    77 74 42 17 98 50 17 98 8 88 67 39 77 74 42 17 98 and the
+    winnowed fingerprint set (w=4) as [17,3] [17,6] [8,8] [39,11]
+    [17,15]. The reference implementation must reproduce it exactly,
+    including both tie-break selections of hash 17."""
+    paper_hashes = [77, 74, 42, 17, 98, 50, 17, 98, 8, 88, 67, 39, 77, 74, 42, 17, 98]
+    got = sorted(_unpack(k) for k in _winnow_reference(paper_hashes, w=4))
+    assert got == [(8, 8), (17, 3), (17, 6), (17, 15), (39, 11)]
+
+
+def test_winnowing_fingerprints_match_reference_selection(spark):
+    """The Spark operator's per-doc summary vs literals derived by
+    running the paper-validated reference over hashlib.md5 gram hashes
+    (operators/text.py's engine-portable first-8-md5-hex-digits
+    family). Docs exercise: a repeated-passage text (d1), a
+    tie-break-heavy alternating text whose grams repeat within single
+    windows (d2), a text sharing a >= w+k-1 = 6-token run with d1
+    (d3 — the paper's match guarantee), and a 5-token text with no
+    full window (d4 — excluded by contract)."""
+    import hashlib as _hl
+
+    from _multi_source_retail_data_integration_hub_spark.operators.text import (
+        winnowing_fingerprints,
+        winnowing_matches,
+    )
+
+    docs = [
+        (1, "do run run run a do run run do run run run a do"),
+        (2, "a b a b a b a b a b"),
+        (3, "x y z do run run run a do q r s"),
+        (4, "too short for one window"),
+    ]
+    k, w = 3, 4
+
+    # reference selection, computed outside both engines
+    expected = {}
+    for doc_id, text in docs:
+        toks = text.split()
+        grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+        if len(grams) < w:
+            continue
+        hashes = [
+            int(_hl.md5(g.encode()).hexdigest()[:8], 16) for g in grams
+        ]
+        sel = _winnow_reference(hashes, w)
+        expected[doc_id] = (
+            len(grams),
+            len(grams) - w + 1,
+            len(sel),
+            sum(key % 1_000_000_007 for key in sel),
+        )
+    # pin the derived values as literals so a drift in the reference
+    # itself (or in md5 slicing) cannot silently move the target
+    assert expected == {
+        1: (12, 9, 4, 1706037155),
+        2: (8, 5, 3, 2239333698),
+        3: (10, 7, 3, 1260152706),
+    }
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_grams, r.n_windows, r.n_fingerprints, r.fp_set_checksum)
+        for r in winnowing_fingerprints(df, "text", "doc_id", k=k, w=w).collect()
+    }
+    assert got == expected  # d4 absent on both sides
+
+    # the paper's guarantee: d1 and d3 share the 6-token run
+    # 'do run run run a do' (= exactly w+k-1 tokens), so they MUST
+    # share at least one fingerprint hash
+    pairs = {
+        (r.id_a, r.id_b): r.n_shared
+        for r in winnowing_matches(
+            df, "text", "doc_id", k=k, w=w, min_shared=1
+        ).collect()
+    }
+    assert pairs.get((1, 3), 0) >= 1
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal Rank Fusion (Cormack, Clarke, Büttcher, SIGIR 2009) —
+# r10 verdict ask #6: a 3-doc-per-leg, 2-ranker case with every fused
+# score computed by hand from the paper's 1/(k+rank) formula at the
+# standard k=60, scaled integer-exact as 1000000 DIV (60 + rank):
+#   rank 1 -> 1000000 // 61 = 16393   (61 * 16393 = 999973)
+#   rank 2 -> 1000000 // 62 = 16129   (62 * 16129 = 999998)
+#   rank 3 -> 1000000 // 63 = 15873   (63 * 15873 = 999999)
+# ---------------------------------------------------------------------------
+
+
+def test_rrf_fusion_matches_hand_computed_reciprocal_ranks(spark):
+    from _multi_source_retail_data_integration_hub_spark.plans.training_data import (
+        rrf_fuse,
+    )
+
+    bm = spark.createDataFrame(
+        [(101, 1), (202, 2), (303, 3)], "doc_id long, bm25_rank long"
+    )
+    ann = spark.createDataFrame(
+        [(202, 1), (101, 2), (404, 3)], "doc_id long, ann_rank long"
+    )
+    got = _rows(
+        rrf_fuse(bm, ann, k=60, topk=10),
+        "rank",
+        "doc_id",
+        "bm25_rank",
+        "ann_rank",
+        "rrf_milli",
+    )
+    # 101: 16393 + 16129 = 32522; 202: 16129 + 16393 = 32522 (exact
+    # tie -> doc_id ascending orders 101 first); 303/404 appear in one
+    # leg only, the absent leg contributes 0 and reports the 0
+    # sentinel; their 15873 tie again breaks by doc_id.
+    assert got == [
+        (1, 101, 1, 2, 32522),
+        (2, 202, 2, 1, 32522),
+        (3, 303, 3, 0, 15873),
+        (4, 404, 0, 3, 15873),
+    ]
+
+
+# ---------------------------------------------------------------------------
+# dHash (Krawetz's difference hash, the perceptual-hash scheme of
+# image-dedup services) — r10 verdict ask #6: crafted bitmaps whose
+# horizontal gradient signs are known BY HAND pin the exact packed
+# value, through the same BMP encode -> decode round trip the q165
+# pipeline runs.
+# ---------------------------------------------------------------------------
+
+
+def test_dhash_matches_hand_derived_gradient_bits():
+    import numpy as np
+
+    from _multi_source_retail_data_integration_hub_spark.operators.multimodal import (
+        decode_bmp,
+        dhash_bits,
+        encode_bmp,
+    )
+
+    # classic 9-wide x 8-tall form, 8x8 = 64 bits: a strictly
+    # increasing row gradient sets EVERY bit; its mirror sets none
+    inc = np.tile(np.arange(9, dtype=np.uint8) * 10, (8, 1))
+    img_inc = np.repeat(inc[:, :, None], 3, axis=2).astype(np.uint8)
+    assert dhash_bits(img_inc) == (1 << 64) - 1
+    assert dhash_bits(img_inc[:, ::-1]) == 0
+
+    # q165's 8-wide x 6-tall source (7x6 = 42 bits), each pixel triple
+    # one ASCII char so gray == the char code exactly; per row:
+    #   row 0  a b c d e f g h   increasing        -> bits 0..6
+    #   row 1  m m m m m m m m   constant (strict >) -> none
+    #   row 2  h g f e d c b a   decreasing        -> none
+    #   row 3  a z a z a z a z   up/down alternate -> bits 21,23,25,27
+    #   row 4  a a b b c c d d   pairwise steps    -> bits 29,31,33
+    #   row 5  z a a a a a a a   single drop       -> none
+    # value = (2^7 - 1) + 2^21 + 2^23 + 2^25 + 2^27 + 2^29 + 2^31 + 2^33
+    #       = 11_452_547_199
+    rows = ["abcdefgh", "mmmmmmmm", "hgfedcba", "azazazaz", "aabbccdd", "zaaaaaaa"]
+    img = np.array(
+        [[[ord(c)] * 3 for c in row] for row in rows], dtype=np.uint8
+    )
+    expected = (1 << 7) - 1
+    for b in (21, 23, 25, 27, 29, 31, 33):
+        expected |= 1 << b
+    assert expected == 11_452_547_199
+    assert dhash_bits(img) == expected
+    # through the REAL codec, exactly as q165 computes it
+    assert dhash_bits(decode_bmp(encode_bmp(img))) == expected
