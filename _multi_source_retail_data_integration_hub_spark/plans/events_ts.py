@@ -656,8 +656,10 @@ def q113_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 # cap, instead of launching an unbounded job chain. Depth is
 # calendar-bounded (<= the data's day span), so 400 ≈ a year of daily
 # purchases — raise it deliberately, or pass None to skip the guard
-# pass entirely. Spark's own spark.sql.cteRecursionLevelLimit remains
-# the engine-level backstop.
+# pass entirely. The guard also reads the session's live
+# spark.sql.cteRecursionLevelLimit and enforces the tighter of the
+# two caps, so a guard-passed plan can never escape into the engine's
+# own opaque level-limit error.
 # ---------------------------------------------------------------------------
 @query(
     "q119_purchase_streaks",
@@ -702,7 +704,15 @@ def q119_purchase_streaks(
     if max_depth is not None:
         # guard pass: ONE gaps-and-islands window shuffle (q30 shape)
         # measures the longest streak = the recursion depth the CTE
-        # below would need; refuse to launch an unbounded job chain
+        # below would need; refuse to launch an unbounded job chain.
+        # The cap is the TIGHTER of max_depth and the session's live
+        # engine limit (spark.sql.cteRecursionLevelLimit, default 100,
+        # minus one level of margin) — a guard-passed plan must never
+        # escape into the engine's own opaque level-limit error.
+        engine_cap = (
+            int(spark.conf.get("spark.sql.cteRecursionLevelLimit", "100")) - 1
+        )
+        cap = min(max_depth, engine_cap)
         w = Window.partitionBy("user_id").orderBy("day")
         island = F.date_sub("day", F.row_number().over(w))
         longest = (
@@ -712,13 +722,19 @@ def q119_purchase_streaks(
             .agg(F.max("count"))
             .first()[0]
         ) or 0
-        if longest > max_depth:
+        if longest > cap:
+            which = (
+                f"max_depth={max_depth}"
+                if cap == max_depth
+                else f"spark.sql.cteRecursionLevelLimit-1={engine_cap}"
+            )
             raise ValueError(
                 f"q119_purchase_streaks: longest streak is {longest} days, "
-                f"above max_depth={max_depth} — the recursive plan would "
+                f"above {which} — the recursive plan would "
                 f"run {longest} sequential jobs. Use the gaps-and-islands "
                 "window plan (q30_sessionization shape) for unbounded "
-                "streak lengths, or raise max_depth."
+                "streak lengths, or raise both the cap and the session "
+                "recursion limit."
             )
     # per-call view name: concurrent callers (possibly with different
     # sf_dirs) must not race on a shared temp-view registration

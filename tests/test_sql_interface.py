@@ -158,3 +158,8 @@ def test_q119_streak_depth_guard(spark, tmp_path):
     bot.write.mode("overwrite").parquet(sf_bot + "/events.parquet")
     with pytest.raises(ValueError, match="longest streak is 500"):
         q119_purchase_streaks(spark, sf_bot)
+    # even a generous max_depth must not escape into the engine's own
+    # recursion-level error: the guard enforces the tighter of
+    # max_depth and the live spark.sql.cteRecursionLevelLimit
+    with pytest.raises(ValueError, match="cteRecursionLevelLimit"):
+        q119_purchase_streaks(spark, sf_bot, max_depth=10_000)
