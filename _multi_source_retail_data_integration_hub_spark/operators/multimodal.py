@@ -202,7 +202,15 @@ def dhash_bits(img: np.ndarray) -> int:
     H*(W-1) bits total — the classic 9x8 form yields 64; the q165
     pipeline's 8x6 source yields 42. Pure numpy/int math so a crafted
     bitmap with hand-known gradient signs pins the exact packed value
-    (tests/test_literature_fixtures.py)."""
+    (tests/test_literature_fixtures.py).
+
+    Storage caveat: the return value is an unsigned Python int. Forms
+    with >= 64 bits (the classic 9x8 included) can set bit 63 and
+    exceed int64 — q165's ``dhash long`` Arrow schema fits only
+    because its 42-bit form tops out at 2^42. A pipeline adopting the
+    64-bit form must reinterpret to signed (``v - (1 << 64)`` when bit
+    63 is set) or store as decimal before shipping through a Spark
+    ``long`` column."""
     gray = img.astype(np.int64).sum(axis=2) // 3
     h = 0
     height, width = gray.shape

@@ -653,13 +653,13 @@ def q113_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 # bounds that: one cheap gaps-and-islands window pass (the q30 plan
 # shape) measures the actual longest streak first and the function
 # fails fast with a pointer to the islands plan when it exceeds the
-# cap, instead of launching an unbounded job chain. Depth is
-# calendar-bounded (<= the data's day span), so 400 ≈ a year of daily
-# purchases — raise it deliberately, or pass None to skip the guard
-# pass entirely. The guard also reads the session's live
-# spark.sql.cteRecursionLevelLimit and enforces the tighter of the
-# two caps, so a guard-passed plan can never escape into the engine's
-# own opaque level-limit error.
+# EFFECTIVE cap = min(max_depth, spark.sql.cteRecursionLevelLimit - 1),
+# instead of launching an unbounded job chain or escaping into the
+# engine's own opaque level-limit error. Under the engine's default
+# limit (100) the effective cap is 99 and the 400 is headroom that
+# binds only in sessions that raise the engine limit — 400 ≈ a year
+# of daily purchases, the calendar-plausible ceiling for this query.
+# Pass None to skip the guard pass entirely (explicit opt-out).
 # ---------------------------------------------------------------------------
 @query(
     "q119_purchase_streaks",
@@ -709,9 +709,16 @@ def q119_purchase_streaks(
         # engine limit (spark.sql.cteRecursionLevelLimit, default 100,
         # minus one level of margin) — a guard-passed plan must never
         # escape into the engine's own opaque level-limit error.
-        engine_cap = (
-            int(spark.conf.get("spark.sql.cteRecursionLevelLimit", "100")) - 1
-        )
+        # NO fallback argument: conf.get(key) returns the REGISTERED
+        # engine default (100 on Spark 4.1) when the session never set
+        # the key, whereas conf.get(key, "100") would mask a vendor
+        # build's different default with our guess (verified on 4.1.2)
+        try:
+            engine_cap = (
+                int(spark.conf.get("spark.sql.cteRecursionLevelLimit")) - 1
+            )
+        except Exception:  # noqa: BLE001 — builds predating recursive CTEs
+            engine_cap = 99
         cap = min(max_depth, engine_cap)
         w = Window.partitionBy("user_id").orderBy("day")
         island = F.date_sub("day", F.row_number().over(w))

@@ -267,10 +267,14 @@ def _update_floor(steady_query: dict[str, float], sf, spark) -> None:
         for name, t in steady_query.items()
     }
     # Provenance when the suite itself changes (r10 advice): dropping a
-    # prior floor entry (renamed/demoted query) or seeding a new one
-    # rebases the floor TOTAL without any capture being faster/slower —
-    # record the delta so a floor-to-floor comparison can tell "query
-    # set changed" from "same suite got faster".
+    # prior floor entry (renamed/demoted query, or the protocol's own
+    # delete-to-re-seed step) or seeding a new one rebases the floor
+    # TOTAL without any capture being faster/slower. queries_changed is
+    # an APPEND-ONLY list of change records — a single overwritten slot
+    # would hide every change but the latest from a floor-to-floor
+    # comparison spanning multiple suite edits. Manual re-seed deletes
+    # happen outside this function; whoever deletes appends the record
+    # (with the dropped seconds) by hand — see the r11 entry.
     out = {
         "metric": "suite_seconds_floor",
         "sf": sf,
@@ -281,17 +285,22 @@ def _update_floor(steady_query: dict[str, float], sf, spark) -> None:
         "updated_unix": int(time.time()),
         "queries": merged,
     }
+    history = prior.get("queries_changed", [])
+    if isinstance(history, dict):  # migrate the pre-r11 single-slot shape
+        history = [history]
     if old_q and set(old_q) != set(merged):
-        out["queries_changed"] = {
-            "at_capture": out["n_captures"],
-            "added": sorted(set(merged) - set(old_q)),
-            "removed": sorted(set(old_q) - set(merged)),
-            "removed_floor_seconds": round(
-                sum(t for n, t in old_q.items() if n not in merged), 3
-            ),
-        }
-    elif "queries_changed" in prior:
-        out["queries_changed"] = prior["queries_changed"]
+        history = history + [
+            {
+                "at_capture": out["n_captures"],
+                "added": sorted(set(merged) - set(old_q)),
+                "removed": sorted(set(old_q) - set(merged)),
+                "removed_floor_seconds": round(
+                    sum(t for n, t in old_q.items() if n not in merged), 3
+                ),
+            }
+        ]
+    if history:
+        out["queries_changed"] = history
     with open(floor_path, "w") as fh:
         json.dump(out, fh, indent=1, sort_keys=True)
 

@@ -76,7 +76,8 @@ def test_window_protocol_layout():
         assert names.index(q) < 49, f"{q} must land in the r11 window"
     # the window closes with the oldest r8 rows (q01-q08)
     for i in range(1, 9):
-        q = next(n for n in names if n.startswith(f"q{i:02d}_"))
+        q = next((n for n in names if n.startswith(f"q{i:02d}_")), None)
+        assert q is not None, f"no registered query with prefix q{i:02d}_"
         assert names.index(q) < 49, f"{q} must land in the r11 window"
     # the leading stale block fits in this window — STRICT: every one
     # of the 48 leading backfill names must be a registered query (a

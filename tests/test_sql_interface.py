@@ -145,8 +145,10 @@ def test_q119_streak_depth_guard(spark, tmp_path):
 
     # the DRIVER path (default args — exactly how the registry invokes
     # it) must be guarded (r10 verdict): a synthetic 500-day streak
-    # trips the default max_depth=400 after ONE islands-window pass,
-    # never launching the ~500 sequential recursive jobs
+    # trips the default effective cap — min(max_depth=400, engine
+    # recursion limit - 1), i.e. 99 under the stock limit of 100 —
+    # after ONE islands-window pass, never launching the ~500
+    # sequential recursive jobs
     bot = spark.createDataFrame(
         [
             (3, dt.datetime(2023, 1, 1, 8, 0) + dt.timedelta(days=i), "purchase", 1000 + i, 1.0)
