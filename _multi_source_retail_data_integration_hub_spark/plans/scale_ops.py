@@ -1207,8 +1207,8 @@ def q145_mart_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # from single sets to SET ALGEBRA, which is what sketches exist for at
 # 100 TB (union = O(1) register merge; production swaps
 # approx_count_distinct for a mergeable DataSketches HLL column).
-# Registered after this round's window budget closed — see
-# __spark_entry__._DEFER_TO_NEXT_WINDOW.
+# Registered in r9 after that round's window budget closed; the
+# deferral was resolved in r10 (driver-green in CORRECTNESS_r10).
 #
 # Scale shape: one distinct (type,user) projection; the pair-tagged
 # union rows amplify it by (|types|-1) — bounded by the type domain,

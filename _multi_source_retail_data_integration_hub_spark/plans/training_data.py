@@ -4130,8 +4130,9 @@ def q171_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 # word and characters per BPE token, by language — the standard
 # tokenizer-evaluation table (a vocabulary trained on one language mix
 # "taxes" the others with higher fertility; this measures exactly
-# that, on the q137-learned merges). Registered after this round's
-# window budget closed — see __spark_entry__._DEFER_TO_NEXT_WINDOW.
+# that, on the q137-learned merges). Registered in r9 after that
+# round's window budget closed; the deferral was resolved in r10
+# (driver-green in CORRECTNESS_r10).
 #
 # Shares the session BPE training run (_bpe_rules) and tokenized
 # corpus (_doc_tokens); the oracle shares q141's learn->apply CTE

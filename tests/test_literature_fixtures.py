@@ -10,9 +10,11 @@ definitions — Gopher's appendix A1 thresholds (Rae et al. 2021), the
 DSIR importance-weight formula (Xie et al. 2023), plain cosine
 geometry for SemDeDup (Abbas et al. 2023), winnowing validated
 against Schleimer et al.'s own SIGMOD 2003 worked example, RRF
-reciprocal ranks at k=60 (Cormack et al. 2009), and dHash gradient
-bits from crafted bitmaps — values derived outside both engines,
-written here as literals.
+reciprocal ranks at k=60 (Cormack et al. 2009), dHash gradient
+bits from crafted bitmaps, fixed-point PageRank rounds on the classic
+3-page graph (Page et al. 1999), and SimHash per-bit votes (Charikar
+2002) — values derived outside both engines, written here as
+literals.
 """
 
 import hashlib
@@ -508,3 +510,103 @@ def test_dhash_matches_hand_derived_gradient_bits():
     assert dhash_bits(img) == expected
     # through the REAL codec, exactly as q165 computes it
     assert dhash_bits(decode_bmp(encode_bmp(img))) == expected
+
+
+# ---------------------------------------------------------------------------
+# PageRank (Page, Brin, Motwani, Winograd 1999) — the classic 3-page
+# example graph (A->B, A->C, B->C, C->A) through the engine's exact
+# fixed-point integer arithmetic, every round computed BY HAND from
+# the update rule rank' = base + (85 * sum(rank div outdeg)) div 100
+# with base = 150_000 and start rank = 1_000_000:
+#   iter1: A = 150000 + 850000            = 1_000_000
+#          B = 150000 + 85*500000 div 100 =   575_000
+#          C = 150000 + 85*(500000+1000000) div 100 = 1_425_000
+#   iter2: A = 150000 + 85*1425000 div 100 = 1_361_250
+#          B = 150000 + 85*500000  div 100 =   575_000
+#          C = 150000 + 85*(500000+575000) div 100 = 1_063_750
+#   iter3: A = 150000 + 85*1063750 div 100 = 1_054_187  (trunc div)
+#          B = 150000 + 85*680625  div 100 =   728_531  (trunc div)
+#          C = 150000 + 85*(680625+575000) div 100 = 1_217_281
+# The truncating divisions (1361250 div 2 = 680625; 90418750 div 100 =
+# 904187; 57853125 div 100 = 578531; 106728125 div 100 = 1067281) are
+# exactly where a float implementation would diverge — the fixture
+# pins them.
+# ---------------------------------------------------------------------------
+
+
+def test_pagerank_matches_hand_computed_fixed_point_rounds():
+    from pyspark.sql import SparkSession
+
+    from _multi_source_retail_data_integration_hub_spark.operators.graph import (
+        pagerank_fixed_point,
+    )
+
+    spark = SparkSession.getActiveSession()
+    edges = spark.createDataFrame(
+        [("A", "B"), ("A", "C"), ("B", "C"), ("C", "A")],
+        "src string, dst string",
+    )
+    after1 = {
+        r.node: r.rank_fp for r in pagerank_fixed_point(edges, iterations=1).collect()
+    }
+    assert after1 == {"A": 1_000_000, "B": 575_000, "C": 1_425_000}
+    after3 = {
+        r.node: r.rank_fp for r in pagerank_fixed_point(edges, iterations=3).collect()
+    }
+    assert after3 == {"A": 1_054_187, "B": 728_531, "C": 1_217_281}
+
+
+# ---------------------------------------------------------------------------
+# SimHash (Charikar, STOC 2002, the per-feature-vote form) — r11
+# extension of the fixture family: the engine's projection is "token
+# votes +1 on bit i iff hex digit i of md5(token) >= 8; doc bit i set
+# iff 2*ones >= n (ties SET); bits pack little-endian". Two of the
+# pinned values are fully hand-derivable from the printed digests;
+# the multi-token value comes from the same rule applied via
+# hashlib.md5 outside both engines.
+# ---------------------------------------------------------------------------
+
+
+def test_simhash_matches_hand_derived_votes(spark):
+    import hashlib as _hl
+
+    from _multi_source_retail_data_integration_hub_spark.operators.text import (
+        simhash,
+    )
+
+    # md5("single") = dd5c07036f2975ff... — digits 1..16 are
+    # d d 5 c 0 7 0 3 6 f 2 9 7 5 f f; >= 8 at i = 1,2,4,10,12,15,16
+    # -> 1 + 2 + 8 + 512 + 2048 + 16384 + 32768 = 51_723
+    # md5("a") = 0cc175b9c0f1b6a8..., md5("b") = 92eb5ffee6ae2fec...:
+    # with n=2 a bit is set iff EITHER digit >= 8 (the 2*ones >= n tie
+    # rule) — unset only at i=5 (7,5) and i=10 (0,6)
+    # -> 65535 - 16 - 512 = 65_007
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),
+        (3, "a b"),
+        (4, "single"),
+    ]
+
+    def ref(text, bits=16):
+        toks = text.split()
+        n = len(toks)
+        h = 0
+        for i in range(1, bits + 1):
+            ones = sum(
+                1
+                for t in toks
+                if int(_hl.md5(t.encode()).hexdigest()[i - 1], 16) >= 8
+            )
+            if 2 * ones >= n:
+                h |= 1 << (i - 1)
+        return h
+
+    expected = {doc_id: ref(text) for doc_id, text in docs}
+    assert expected[4] == 51_723  # hand-derived above
+    assert expected[3] == 65_007  # hand-derived above
+    assert expected[1] == expected[2] == 53_222  # identical text, same hash
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r.simhash for r in simhash(df, "text", "doc_id").collect()}
+    assert got == expected
