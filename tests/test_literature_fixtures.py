@@ -12,9 +12,12 @@ geometry for SemDeDup (Abbas et al. 2023), winnowing validated
 against Schleimer et al.'s own SIGMOD 2003 worked example, RRF
 reciprocal ranks at k=60 (Cormack et al. 2009), dHash gradient
 bits from crafted bitmaps, fixed-point PageRank rounds on the classic
-3-page graph (Page et al. 1999), and SimHash per-bit votes (Charikar
-2002) — values derived outside both engines, written here as
-literals.
+3-page graph (Page et al. 1999), SimHash per-bit votes (Charikar
+2002), MinHash affine-family mins from printed md5 digests (Broder
+1997), count-min cell sums with a hand-found all-rows collision
+(Cormode & Muthukrishnan 2005), and Bloom bit layout with a
+hand-found false positive (Bloom 1970) — values derived outside both
+engines, written here as literals.
 """
 
 import hashlib
@@ -610,3 +613,193 @@ def test_simhash_matches_hand_derived_votes(spark):
     df = spark.createDataFrame(docs, "doc_id long, text string")
     got = {r.doc_id: r.simhash for r in simhash(df, "text", "doc_id").collect()}
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# MinHash (Broder 1997, via the Carter-Wegman affine family over one
+# md5 per shingle) — r11 extension: the property/oracle tests check
+# permutation-min INVARIANTS, but the hash spec itself (which digest
+# substring becomes (a, b), the modulus, the band concat) is shared
+# with the DuckDB twin by construction. This fixture re-derives every
+# value from hashlib.md5 OUTSIDE both engines. "the cat sat on the
+# mat" has exactly 4 distinct 3-token shingles; their printed digests:
+#   md5("the cat sat") = f52864162b55874e... a=4113064982 b=727025486
+#   md5("cat sat on")  = abf43089e03714fc... a=2884907145 b=3761706236
+#   md5("sat on the")  = 53c08de1c082feb3... a=1405128161 b=3229810355
+#   md5("on the mat")  = 9afe7a76c8c2518e... a=2600368758 b=3368178062
+# mh_s = min over shingles of (a + s*b) mod 4294967291; e.g. mh00 =
+# min(a) = 1405128161 and mh01 = min(545123177, 2351645 + P ...) —
+# the 16 mins below are computed by the `ref` closure from those
+# digests, and band0 = md5("mh00|mh01|mh02|mh03" as decimal strings).
+# ---------------------------------------------------------------------------
+
+
+def test_minhash_signature_matches_hashlib_derivation(spark):
+    import hashlib as _hl
+
+    from _multi_source_retail_data_integration_hub_spark.operators.text import (
+        MINHASH_P,
+        minhash_signatures,
+    )
+
+    text = "the cat sat on the mat"
+    toks = text.split()
+    shingle_set = []
+    for i in range(len(toks) - 2):
+        s = " ".join(toks[i : i + 3])
+        if s not in shingle_set:
+            shingle_set.append(s)
+    assert len(shingle_set) == 4
+
+    ab = []
+    for s in shingle_set:
+        h = _hl.md5(s.encode()).hexdigest()
+        ab.append((int(h[0:8], 16), int(h[8:16], 16)))
+    assert ab[0] == (4113064982, 727025486)  # printed digest above
+
+    expected_mh = [
+        min((a + s * b) % MINHASH_P for a, b in ab) for s in range(16)
+    ]
+    # spot-pin the two ends as literals so a drift in the ref closure
+    # itself (not just the engine) is caught:
+    assert expected_mh[0] == 1_405_128_161  # = min ha, s=0 is identity
+    assert expected_mh[15] == 1_583_432_196
+    expected_bands = [
+        _hl.md5(
+            "|".join(str(expected_mh[b * 4 + j]) for j in range(4)).encode()
+        ).hexdigest()
+        for b in range(4)
+    ]
+    assert expected_bands[0] == "fad1d7bb952c18f13eee0b54d5565d8c"
+
+    df = spark.createDataFrame(
+        [(1, text), (2, "the cat sat on the mat extra")],
+        "doc_id long, text string",
+    )
+    row = {
+        r.doc_id: r for r in minhash_signatures(df, "text", "doc_id").collect()
+    }
+    got_mh = [row[1][f"mh{s:02d}"] for s in range(16)]
+    assert got_mh == expected_mh
+    got_bands = [row[1][f"band{b}"] for b in range(4)]
+    assert got_bands == expected_bands
+    # doc 2 is a superset (one extra shingle): every mh component must
+    # be <= doc 1's (adding a set element can only lower a min)
+    assert all(
+        row[2][f"mh{s:02d}"] <= expected_mh[s] for s in range(16)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (Cormode & Muthukrishnan 2005) — the cell layout
+# under the seeded-md5 family md5('cms<row>:' || item), first 32 bits
+# mod width, re-derived via hashlib at depth 4 x width 4 on the corpus
+# {alpha:3, beta:2, gamma:1, delta:5, tok0:1}. At width 4 the rows
+# collide heavily (row 0 buckets: alpha->2, beta->2, delta->0,
+# gamma->3, tok0->3), every cell below is the hand-summed collision
+# total, and the MIN over rows recovers the exact count for all items
+# EXCEPT tok0, which collides with a heavier item in ALL FOUR rows —
+# the canonical CMS one-sided error (estimate 2 > true 1, never
+# under).
+# ---------------------------------------------------------------------------
+
+
+def test_cms_cells_and_estimates_match_hashlib_derivation(spark):
+    import hashlib as _hl
+
+    from _multi_source_retail_data_integration_hub_spark.operators import (
+        sketches as SK,
+    )
+
+    corpus = [("alpha", 3), ("beta", 2), ("gamma", 1), ("delta", 5), ("tok0", 1)]
+    depth, width = 4, 4
+
+    def bucket(item, r):
+        return int(_hl.md5(f"cms{r}:{item}".encode()).hexdigest()[0:8], 16) % width
+
+    expected_cells: dict = {}
+    for item, w in corpus:
+        for r in range(depth):
+            k = (r, bucket(item, r))
+            expected_cells[k] = expected_cells.get(k, 0) + w
+    # spot-pin two cells as literals (row 3 bucket 2 collects alpha +
+    # gamma + delta + tok0 = 10; row 1 bucket 3 collects gamma + delta
+    # + tok0 = 7) so the derivation itself is anchored:
+    assert expected_cells[(3, 2)] == 10
+    assert expected_cells[(1, 3)] == 7
+
+    items = spark.createDataFrame(corpus, "token string, cnt long")
+    counters = SK.cms_counters(items, "token", weight_col="cnt", width=width)
+    got_cells = {
+        (r.row_id, r.bucket): r.counter for r in counters.collect()
+    }
+    assert got_cells == expected_cells
+
+    est = {
+        r.token: r.cms_count
+        for r in SK.cms_estimates(items, "token", counters, width=width).collect()
+    }
+    truth = dict(corpus)
+    expected_est = {
+        item: min(expected_cells[(r, bucket(item, r))] for r in range(depth))
+        for item, _ in corpus
+    }
+    assert est == expected_est
+    # CMS guarantee: never under; and tok0 IS the strict over-estimate
+    assert all(est[i] >= truth[i] for i in truth)
+    assert est["tok0"] == 2 and truth["tok0"] == 1
+    assert all(est[i] == truth[i] for i in truth if i != "tok0")
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (Bloom 1970) — bit layout under the seeded-md5 family
+# md5('bf<hash>:' || item) mod bits, re-derived via hashlib at 32 bits
+# x 4 hashes for members {alpha, beta}: alpha sets bits {20,12,6,11},
+# beta sets {8,19,9,26}, so word 0 = 0b...0100000110010000110101001
+# 1000000 = 68_688_704 and no other word row exists. "w45" hashes to
+# bits [11,19,19,9] — ALL already set by the members — making it a
+# hand-found FALSE POSITIVE; "gamma" hashes to [28,6,29,11] where bit
+# 28 is unset (true negative). False negatives are impossible by the
+# theorem; both probe verdicts below are pinned from the hashlib
+# filter, not from the engine.
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_words_and_probe_match_hashlib_derivation(spark):
+    import hashlib as _hl
+
+    from _multi_source_retail_data_integration_hub_spark.operators import (
+        sketches as SK,
+    )
+
+    bits, hashes = 32, 4
+    members = ["alpha", "beta"]
+
+    def bit(item, i):
+        return int(_hl.md5(f"bf{i}:{item}".encode()).hexdigest()[0:8], 16) % bits
+
+    assert [bit("alpha", i) for i in range(hashes)] == [20, 44 % 32, 6, 11]
+    expected_word = 0
+    for m in members:
+        for i in range(hashes):
+            expected_word |= 1 << (bit(m, i) % 32)
+    assert expected_word == 68_688_704  # hand-ORed above
+
+    mdf = spark.createDataFrame([(m,) for m in members], "item string")
+    words = SK.bloom_words(mdf, "item", bits=bits)
+    got = {(r.word_idx, r.word) for r in words.collect()}
+    assert got == {(0, expected_word)}
+
+    probes = spark.createDataFrame(
+        [("alpha",), ("beta",), ("w45",), ("gamma",)], "item string"
+    )
+    verdicts = {
+        r.item: r.might_contain
+        for r in SK.bloom_probe(probes, "item", words, bits=bits).collect()
+    }
+    # w45: hashlib bits [11, 19, 19, 9] all set -> false positive;
+    # gamma: bit 28 unset -> negative. Members always hit (no false
+    # negatives, Bloom's theorem).
+    assert [bit("w45", i) for i in range(hashes)] == [11, 19, 19, 9]
+    assert bit("gamma", 0) == 28 and not (expected_word >> 28) & 1
+    assert verdicts == {"alpha": 1, "beta": 1, "w45": 1, "gamma": 0}
