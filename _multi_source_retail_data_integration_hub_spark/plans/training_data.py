@@ -15,6 +15,8 @@ operators/text.py docstrings for the 100 TB rationale of each.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -24,7 +26,19 @@ from ..operators.checkpointing import materialize
 from ..sources.testdata import fan_out, load_table
 from .registry import query
 
-OFFSET = 100_000  # id offset for synthetic second-snapshot docs
+# id offset for synthetic second-snapshot docs. Env-overridable so
+# corpora larger than the default bound (e.g. tools/scale_rehearsal.py
+# manufactures >x10 corpora whose doc_ids exceed 100k) can raise it:
+# BOTH the Spark plans and every DuckDB oracle string below derive
+# from this one constant at import time, so Spark/oracle parity holds
+# at any setting. Must stay a positive multiple of 5 — q22 samples the
+# augmented corpus with `id % 5 = 0`, which must hit originals and
+# their +OFFSET mutants identically.
+OFFSET = int(os.environ.get("SPARK_GRAFT_DOC_OFFSET", "100000"))
+if OFFSET <= 0 or OFFSET % 5:
+    raise ValueError(
+        f"SPARK_GRAFT_DOC_OFFSET must be a positive multiple of 5, got {OFFSET}"
+    )
 
 # Token-list SQL fragments shared by the oracles (DuckDB dialect).
 _TOKS = (
@@ -2507,13 +2521,17 @@ def q124_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # is tiny; at 100 TB they live in a stored, bucketed signature table).
 #
 # Batch: every 20th document re-ingested with its last 5 tokens
-# dropped (the q23/q24 near-dup mutation, id + 200000) — guaranteed
-# high-Jaccard hits against history. The DuckDB twin rebuilds both
-# signature sets with the shared CTE fragments, applies the SAME
-# history-side hot-bucket cap, and the driver hash-compares the exact
-# pair list.
+# dropped (the q23/q24 near-dup mutation, id + PROBE_OFFSET) —
+# guaranteed high-Jaccard hits against history. The DuckDB twin
+# rebuilds both signature sets with the shared CTE fragments, applies
+# the SAME history-side hot-bucket cap, and the driver hash-compares
+# the exact pair list.
 # ---------------------------------------------------------------------------
-PROBE_OFFSET = 200_000
+# 2x OFFSET by construction: raw doc_ids are < OFFSET (guarded), so
+# mutant ids (doc_id + OFFSET) are < 2*OFFSET and probe ids
+# (doc_id + PROBE_OFFSET) can never collide with either — the
+# invariant survives any SPARK_GRAFT_DOC_OFFSET override.
+PROBE_OFFSET = 2 * OFFSET
 _PROBE_PRED = "doc_id % 20 = 0"
 _NEW_BATCH_SQL = f"""
   SELECT doc_id + {PROBE_OFFSET} AS id,

@@ -1383,3 +1383,51 @@ def test_gopher_stopword_case_variants_count_once(spark):
     )
     r3 = T.gopher_rules(one, "text", "doc_id").collect()[0]
     assert r3.n_stopwords == 1 and r3.f_stop == 0
+
+
+# ---------------------------------------------------------------------------
+# SPARK_GRAFT_DOC_OFFSET override (scale-rehearsal corpora)
+# ---------------------------------------------------------------------------
+def test_doc_offset_env_override_reaches_both_engines():
+    """OFFSET/PROBE_OFFSET are import-time constants embedded in every
+    oracle SQL string; the env override must land in BOTH the Python
+    constants and the SQL text (Spark/oracle parity at any setting),
+    and a non-multiple-of-5 must be rejected (q22's 1-in-5 sample).
+    Run in a subprocess: reloading the module in-process would
+    re-register every @query into the live registry."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    code = (
+        "import os, json\n"
+        "os.environ['SPARK_GRAFT_DOC_OFFSET'] = '1000005'\n"
+        "from _multi_source_retail_data_integration_hub_spark.plans import"
+        " training_data as TD\n"
+        "print(json.dumps({'off': TD.OFFSET, 'probe': TD.PROBE_OFFSET,"
+        " 'in_sql': '1000005' in TD._MUTATED_SQL}))\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, cwd=repo
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    got = json.loads(out.stdout.strip().splitlines()[-1])
+    assert got == {"off": 1000005, "probe": 2000010, "in_sql": True}
+
+    bad = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            "import os\n"
+            "os.environ['SPARK_GRAFT_DOC_OFFSET'] = '100001'\n"
+            "from _multi_source_retail_data_integration_hub_spark.plans import"
+            " training_data\n",
+        ],
+        capture_output=True,
+        text=True,
+        cwd=repo,
+    )
+    assert bad.returncode != 0
+    assert "multiple of 5" in bad.stderr

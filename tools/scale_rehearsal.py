@@ -28,6 +28,15 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+# The synthetic-id offsets of the mutant/probe corpora
+# (plans/training_data.py OFFSET / PROBE_OFFSET) are import-time
+# constants guarded against doc_id collisions; a manufactured xN
+# corpus multiplies max doc_id by ~N, so raise the offset BEFORE the
+# registry import (scaled generously: multiple of 5, covers any
+# multiplier this tool accepts). Explicit env settings win.
+_MULT = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+os.environ.setdefault("SPARK_GRAFT_DOC_OFFSET", str(100_000 * max(_MULT, 1) * 10))
+
 import __spark_entry__ as entrymod  # noqa: E402
 from pyspark.sql import DataFrame, functions as F  # noqa: E402
 
