@@ -61,17 +61,18 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _guard_offset(d: DataFrame, offset: int = OFFSET, label: str = "OFFSET") -> None:
-    """A synthetic id offset must not collide with real doc ids (for
-    the default OFFSET, q22's 1-in-5 sample additionally relies on
-    OFFSET % 5 == 0, so it can't be silently grown) — fail loudly
-    instead of corrupting dedup/probe results. Shared by the doubled/
-    mutated corpora and q125's ingest batch."""
+    """A synthetic id offset must not collide with real doc ids —
+    fail loudly instead of corrupting dedup/probe results. Shared by
+    the doubled/mutated corpora and q125's ingest batch. The
+    supported growth path is the SPARK_GRAFT_DOC_OFFSET env override
+    (validated at import: positive multiple of 5, which q22's 1-in-5
+    sample relies on), set before the module is imported."""
     max_id = d.agg(F.max("doc_id")).first()[0] or 0
     if max_id >= offset:
         raise ValueError(
             f"documents corpus max doc_id {max_id} >= synthetic {label} "
-            f"{offset}; raise it (OFFSET must stay a multiple of 5) for "
-            "this corpus size"
+            f"{offset}; set SPARK_GRAFT_DOC_OFFSET (a positive multiple "
+            "of 5, before import) above this corpus's max doc_id"
         )
 
 

@@ -698,9 +698,9 @@ def test_minhash_signature_matches_hashlib_derivation(spark):
 # collide heavily (row 0 buckets: alpha->2, beta->2, delta->0,
 # gamma->3, tok0->3), every cell below is the hand-summed collision
 # total, and the MIN over rows recovers the exact count for all items
-# EXCEPT tok0, which collides with a heavier item in ALL FOUR rows —
-# the canonical CMS one-sided error (estimate 2 > true 1, never
-# under).
+# EXCEPT tok0, which shares a cell with some other item in ALL FOUR
+# rows (gamma in row 0, heavier items in rows 1-3) — the canonical
+# CMS one-sided error (estimate 2 > true 1, never under).
 # ---------------------------------------------------------------------------
 
 
@@ -729,7 +729,9 @@ def test_cms_cells_and_estimates_match_hashlib_derivation(spark):
     assert expected_cells[(1, 3)] == 7
 
     items = spark.createDataFrame(corpus, "token string, cnt long")
-    counters = SK.cms_counters(items, "token", weight_col="cnt", width=width)
+    counters = SK.cms_counters(
+        items, "token", weight_col="cnt", depth=depth, width=width
+    )
     got_cells = {
         (r.row_id, r.bucket): r.counter for r in counters.collect()
     }
@@ -737,7 +739,9 @@ def test_cms_cells_and_estimates_match_hashlib_derivation(spark):
 
     est = {
         r.token: r.cms_count
-        for r in SK.cms_estimates(items, "token", counters, width=width).collect()
+        for r in SK.cms_estimates(
+            items, "token", counters, depth=depth, width=width
+        ).collect()
     }
     truth = dict(corpus)
     expected_est = {
@@ -786,7 +790,7 @@ def test_bloom_words_and_probe_match_hashlib_derivation(spark):
     assert expected_word == 68_688_704  # hand-ORed above
 
     mdf = spark.createDataFrame([(m,) for m in members], "item string")
-    words = SK.bloom_words(mdf, "item", bits=bits)
+    words = SK.bloom_words(mdf, "item", hashes=hashes, bits=bits)
     got = {(r.word_idx, r.word) for r in words.collect()}
     assert got == {(0, expected_word)}
 
@@ -795,7 +799,9 @@ def test_bloom_words_and_probe_match_hashlib_derivation(spark):
     )
     verdicts = {
         r.item: r.might_contain
-        for r in SK.bloom_probe(probes, "item", words, bits=bits).collect()
+        for r in SK.bloom_probe(
+            probes, "item", words, hashes=hashes, bits=bits
+        ).collect()
     }
     # w45: hashlib bits [11, 19, 19, 9] all set -> false positive;
     # gamma: bit 28 unset -> negative. Members always hit (no false

@@ -34,7 +34,17 @@ sys.path.insert(0, REPO)
 # corpus multiplies max doc_id by ~N, so raise the offset BEFORE the
 # registry import (scaled generously: multiple of 5, covers any
 # multiplier this tool accepts). Explicit env settings win.
-_MULT = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+def _cli_mult(default: int = 8) -> int:
+    """Multiplier from argv[1]; tolerant so a non-script import (test
+    collection, `from tools import scale_rehearsal`) never parses the
+    importer's argv into an import-time ValueError."""
+    try:
+        return int(sys.argv[1])
+    except (IndexError, ValueError):
+        return default
+
+
+_MULT = _cli_mult()
 os.environ.setdefault("SPARK_GRAFT_DOC_OFFSET", str(100_000 * max(_MULT, 1) * 10))
 
 import __spark_entry__ as entrymod  # noqa: E402
@@ -72,8 +82,10 @@ KEY_OFFSETS = {
     "embeddings": ("vec_id",),
 }
 OFF = 10_000_000
-# documents must stay below the queries' synthetic-snapshot OFFSET
-# guard (100k, multiple of 5); 5k docs/copy x 9 copies tops out at 95k
+# documents get a small per-copy id stride (ids stay dense); the
+# queries' synthetic-snapshot OFFSET guard is satisfied by the
+# SPARK_GRAFT_DOC_OFFSET raise at the top of this module (scaled to
+# the multiplier), not by keeping ids under the 100k default
 TABLE_OFF = {"documents": 10_000}
 
 
@@ -152,7 +164,7 @@ def time_query(spark, fn, sf_dir: str, runs: int = 2) -> float:
 
 def main() -> None:
     args = sys.argv[1:]
-    mult = int(args[0]) if args else 8
+    mult = _MULT  # parsed once at import, where the offset env is set
     names = args[1:] or DEFAULT_QUERIES
     spark = get_spark("scale_rehearsal")
     queries = entrymod.queries()
