@@ -148,6 +148,17 @@ def main() -> None:
     # "first" time is actually a WARM run (caches primed by the failed
     # attempt), so cold-run totals are skewed — flag instead of hiding
     # (r8 advice).
+    # Host-noise provenance: captures of identical code scatter
+    # 0.7x-2.1x with background load (SCALE.md r10-r11 records), so
+    # the artifact carries the 1-minute load average at suite start
+    # and end — a reader can tell a loud-host capture from a
+    # regression WITHOUT cross-referencing capture notes. Deliberately
+    # NOT part of _update_floor's run_config identity: load varies
+    # per capture and must never reset the floor.
+    try:
+        load_start = round(os.getloadavg()[0], 2)
+    except (AttributeError, OSError):  # non-POSIX / restricted env
+        load_start = None
     warm_first: list[str] = []
     for name, fn in sorted(queries.items()):
         first = best = None
@@ -211,6 +222,10 @@ def main() -> None:
             "shuffle_partitions": spark.conf.get("spark.sql.shuffle.partitions"),
             "suite_order": "sorted(name)",
             "demoted_demos": demoted_demos,
+            "loadavg_1m_start": load_start,
+            "loadavg_1m_end": (
+                round(os.getloadavg()[0], 2) if load_start is not None else None
+            ),
         },
     )
     out_path = os.environ.get(
