@@ -5,6 +5,7 @@ downgrades the correctness gate to rows-only — fail here instead)."""
 import glob
 import os
 import re
+import sys
 
 import pytest
 
@@ -116,6 +117,68 @@ def test_window_protocol_layout():
     assert not never_rotates, f"registered but never rotates: {never_rotates}"
     stale_names = backfill - set(names)
     assert not stale_names, f"backfill names not registered: {stale_names}"
+
+
+def test_backfill_matches_artifacts():
+    """The committed _BACKFILL must equal tools/regen_backfill.py's
+    regeneration from the committed CORRECTNESS_r*.json artifacts
+    (oldest newest-driver-row first, ascending query number within a
+    round). This turns the round-open rotation into a forcing
+    function: committing a new round's artifact without regenerating
+    the list goes red here instead of the window silently re-scoring
+    fresh rows while the stale block ages another round."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    try:
+        import regen_backfill as rb
+    finally:
+        sys.path.pop(0)
+    # the tool's stdlib-only guard mirror must match the entry module
+    guards = (
+        set(entry._GUARD_HEAD) | set(entry._RETIRED_GUARDS) | {entry._GUARD_TAIL}
+    )
+    assert guards == set(rb.GUARDS), "regen_backfill.GUARDS drifted from entry"
+    regen = rb.regenerate()
+    committed = list(entry._BACKFILL)
+    assert rb.current_backfill() == committed, "textual parse drifted"
+    if committed != regen:
+        drift = next(
+            (i, a, b) for i, (a, b) in enumerate(zip(committed, regen)) if a != b
+        )
+        raise AssertionError(
+            "_BACKFILL is stale vs CORRECTNESS artifacts — run "
+            f"`python tools/regen_backfill.py` and paste; first drift "
+            f"at index {drift[0]}: committed {drift[1]!r} vs "
+            f"regenerated {drift[2]!r}"
+        )
+
+
+def test_backfill_sync_check_trips_on_new_artifact(tmp_path):
+    """Negative twin of test_backfill_matches_artifacts: when a NEW
+    round's artifact lands (freshly scored rows), the regeneration
+    must rotate those rows to the back — i.e. the sync check must go
+    red until the committed list is regenerated, or the forcing
+    function is vacuous."""
+    import json
+    import shutil
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    try:
+        import regen_backfill as rb
+    finally:
+        sys.path.pop(0)
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    for p in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        shutil.copy(p, tmp_path)
+    entry_copy = tmp_path / "__spark_entry__.py"
+    shutil.copy(os.path.join(repo, "__spark_entry__.py"), entry_copy)
+    head = entry._BACKFILL[:3]  # the current window's leading stale rows
+    fake = {n: {"match": True} for n in ["q000_generation_fingerprint", *head]}
+    (tmp_path / "CORRECTNESS_r99.json").write_text(json.dumps(fake))
+    regen = rb.regenerate(repo=str(tmp_path), entry_path=str(entry_copy))
+    committed = rb.current_backfill(str(entry_copy))
+    assert committed != regen, "sync check failed to trip on a new artifact"
+    # the freshly scored rows must have rotated to the very back
+    assert regen[-len(head):] == sorted(head, key=rb._qnum)
 
 
 def test_no_oracle_output_binds_to_hugeint():
