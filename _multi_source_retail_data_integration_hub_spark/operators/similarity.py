@@ -422,6 +422,63 @@ def lsh_buckets(
     )
 
 
+#: default hot-bucket cap for the embedding-LSH within-bucket pair
+#: join (the q37/q53/q158/q164 candidate stage). The 8-plane bucket
+#: space is FIXED at 256 buckets, so without a cap the within-bucket
+#: pair count grows quadratically with the corpus and one hot bucket
+#: becomes a single m² join task — exactly the failure the round-11
+#: x64 rehearsal produced (executor heap OOM on the hot-bucket tasks).
+#: Sized like text.LSH_MAX_BUCKET_SIZE: far above any bucket at the
+#: test SFs (sf0.1 max augmented bucket = 48), so registered results
+#: are byte-identical there; the registered oracles replay the SAME
+#: cap so the differential gate stays aligned on corpora where it
+#: does engage.
+EMB_LSH_MAX_BUCKET = 1000
+
+
+def subsplit_hot_buckets(
+    bucketed: DataFrame,
+    id_col: str = "vec_id",
+    bucket_col: str = "bucket",
+    max_bucket_size: int | None = EMB_LSH_MAX_BUCKET,
+) -> DataFrame:
+    """Salt members of oversized LSH buckets into ``ceil(size / cap)``
+    deterministic groups (md5 of ``'0:' || id`` — the same engine-
+    portable seeded-md5 family as text.lsh_candidate_pairs's subsplit
+    mode), appending a ``salt`` column to join on alongside the
+    bucket. A size-m bucket's pair cost falls from m² to ~m * cap
+    (linear in m), at the price of sampling ~1/groups of its pairs —
+    the embedding twin of the MinHash hot-bucket guard, with the same
+    rationale: hot embedding-LSH buckets are dense regions that DO
+    hold real near-dups, so partial recall (subsplit) beats none
+    (drop). ``max_bucket_size=None`` disables the guard (salt 0 for
+    every row — audits that must see the uncapped universe).
+    """
+    if max_bucket_size is None:
+        return bucketed.withColumn("salt", F.lit(0).cast("bigint"))
+    counts = bucketed.groupBy(bucket_col).agg(F.count("*").alias("bucket_size"))
+    n_groups = F.greatest(
+        F.lit(1), F.ceil(F.col("bucket_size") / F.lit(max_bucket_size))
+    ).cast("bigint")
+    return (
+        bucketed.join(counts, bucket_col)
+        .withColumn(
+            "salt",
+            F.pmod(
+                F.conv(
+                    F.md5(
+                        F.concat(F.lit("0:"), F.col(id_col).cast("string"))
+                    ).substr(1, 8),
+                    16,
+                    10,
+                ).cast("bigint"),
+                n_groups,
+            ),
+        )
+        .drop("bucket_size")
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

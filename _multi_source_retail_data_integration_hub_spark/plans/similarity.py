@@ -213,7 +213,9 @@ def q42_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # with deterministic perturbations (last 8 dims zeroed, id + 100000):
 # cos(orig, mutant) = ||e[:56]|| / ||e|| ~= 0.94. Candidates come from
 # the LSH bucket equi-join (small perturbations mostly preserve
-# hyperplane signs); pairs with exact cosine >= 0.9 are near-dups.
+# hyperplane signs), hot buckets subsplit past EMB_LSH_MAX_BUCKET
+# members (inactive at test SFs; see _bucket_pair_cands_uncached);
+# pairs with exact cosine >= 0.9 are near-dups.
 # At 100 TB this is the standard embedding-dedup shape: bucket ->
 # within-bucket exact verify -> keep min-id canonical.
 # ---------------------------------------------------------------------------
@@ -243,11 +245,22 @@ _NEARDUP_CTES = f"""
     e AS (SELECT vec_id, {_QUANT_LIST} AS qe FROM aug),
     n AS (SELECT vec_id, qe, CAST(list_dot_product(qe, qe) AS BIGINT) AS nsq FROM e),
     b AS (SELECT vec_id, qe, nsq, {_bucket_sql()} AS bucket FROM n),
+    bcnt AS (SELECT bucket, COUNT(*) AS bucket_size FROM b GROUP BY 1),
+    bs AS (
+      SELECT b.vec_id, b.qe, b.nsq, b.bucket,
+             CAST('0x' || substr(md5('0:' || CAST(b.vec_id AS VARCHAR)), 1, 8)
+                  AS BIGINT)
+               % GREATEST(1, CAST(CEIL(bcnt.bucket_size /
+                                       {S.EMB_LSH_MAX_BUCKET})
+                                  AS BIGINT)) AS salt
+      FROM b JOIN bcnt USING (bucket)
+    ),
     allpairs AS (
       SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
              CAST(list_dot_product(a.qe, b2.qe) AS BIGINT) AS dot,
              a.nsq AS na, b2.nsq AS nb
-      FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+      FROM bs a JOIN bs b2 ON a.bucket = b2.bucket AND a.salt = b2.salt
+                          AND a.vec_id < b2.vec_id
     ),
     neardup AS (
       SELECT id_a, id_b,
@@ -318,13 +331,31 @@ def _neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bucket_pair_cands_uncached(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _bucket_pair_cands_uncached(
+    spark: SparkSession,
+    sf_dir: str,
+    max_bucket_size: int | None = S.EMB_LSH_MAX_BUCKET,
+) -> DataFrame:
+    # Hot-bucket subsplit BEFORE the self-join (r11 x64 rehearsal
+    # finding): the 8-plane bucket space is fixed at 256 buckets, so an
+    # uncapped within-bucket join grows quadratically with the corpus
+    # and its hottest bucket is one m² task — at x64 those tasks OOMed
+    # the executor heap. The cap (inactive at test SFs; sf0.1 max
+    # bucket = 48) is replayed exactly by every consumer's oracle via
+    # _NEARDUP_CTES, so the pair sample stays engine-identical where
+    # it does engage.
     aug = _augmented(spark, sf_dir)
-    b = S.lsh_buckets(aug, "embedding", "vec_id")
-    a_side = b.select(F.col("vec_id").alias("id_a"), F.col("qe").alias("qa"), F.col("nsq").alias("na"), "bucket")
-    b_side = b.select(F.col("vec_id").alias("id_b"), F.col("qe").alias("qb"), F.col("nsq").alias("nb"), "bucket")
+    b = S.subsplit_hot_buckets(
+        S.lsh_buckets(aug, "embedding", "vec_id"),
+        "vec_id",
+        "bucket",
+        max_bucket_size,
+    )
+    keys = ["bucket", "salt"]
+    a_side = b.select(F.col("vec_id").alias("id_a"), F.col("qe").alias("qa"), F.col("nsq").alias("na"), *keys)
+    b_side = b.select(F.col("vec_id").alias("id_b"), F.col("qe").alias("qb"), F.col("nsq").alias("nb"), *keys)
     pairs = (
-        a_side.join(b_side, "bucket")
+        a_side.join(b_side, keys)
         .where(F.col("id_a") < F.col("id_b"))
         .withColumn("dot", S.dot_long_vec(F.col("qa"), F.col("qb")))
         .withColumn("cos_sim", S.cosine_from_ints(F.col("dot"), F.col("na"), F.col("nb")))

@@ -255,3 +255,104 @@ def test_centroid_drift_matches_mean_centroid_recompute(spark):
 def test_semdedup_requires_corpus_or_assignment(spark):
     with pytest.raises(ValueError, match="corpus or an assigned"):
         S.semdedup()
+
+
+def test_subsplit_hot_buckets_default_inactive_on_test_corpus(spark):
+    """The q37/q53/q158/q164 candidate stage gained a hot-bucket
+    subsplit (r11 x64 rehearsal: the fixed 256-bucket space turns hot
+    buckets into m² join tasks that OOM at scale). The default cap
+    must be INACTIVE at test SFs — capped and uncapped pair sets
+    byte-identical on the real corpus — or every registered row and
+    bench floor in the family silently changed."""
+    from _multi_source_retail_data_integration_hub_spark.plans.similarity import (
+        _bucket_pair_cands_uncached,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    capped = _bucket_pair_cands_uncached(spark, sf_dir)
+    uncapped = _bucket_pair_cands_uncached(spark, sf_dir, max_bucket_size=None)
+    assert capped.exceptAll(uncapped).count() == 0
+    assert uncapped.exceptAll(capped).count() == 0
+    assert capped.count() > 0
+
+
+def test_subsplit_hot_buckets_bounds_pair_cost(spark, embeddings):
+    """With a cap below the hot bucket's size the guard must (a) emit
+    only within-salt-group pairs whose union is a strict subset of the
+    uncapped universe, (b) keep every salt group at most ~cap-scaled
+    (groups = ceil(size/cap), md5-uniform assignment), and (c) be
+    deterministic — the sampled pair set is a function of ids alone,
+    so the DuckDB oracle can replay it exactly."""
+    # one synthetic hot bucket: identical vectors share every
+    # hyperplane sign, so all N land in one bucket
+    hot = spark.createDataFrame(
+        [(i, [1.0] * DIM) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    planes = S.hyperplane_weights(dim=DIM)
+    b = S.lsh_buckets(hot, "embedding", "vec_id", planes)
+    assert b.select("bucket").distinct().count() == 1
+
+    cap = 5
+    salted = S.subsplit_hot_buckets(b, "vec_id", "bucket", cap)
+    sizes = [r.n for r in salted.groupBy("salt").agg(F.count("*").alias("n")).collect()]
+    assert len(sizes) == 8  # ceil(40 / 5) deterministic groups
+    assert sum(sizes) == 40
+    # md5-uniform, not exact: groups stay small, far under the hot size
+    assert max(sizes) <= 3 * cap
+
+    def pairs(frame):
+        a = frame.select(F.col("vec_id").alias("id_a"), "bucket", "salt")
+        bb = frame.select(F.col("vec_id").alias("id_b"), "bucket", "salt")
+        return (
+            a.join(bb, ["bucket", "salt"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+        )
+
+    capped_pairs = {(r.id_a, r.id_b) for r in pairs(salted).collect()}
+    full = S.subsplit_hot_buckets(b, "vec_id", "bucket", None)
+    all_pairs = {(r.id_a, r.id_b) for r in pairs(full).collect()}
+    assert capped_pairs < all_pairs  # strict subset: partial recall
+    assert len(all_pairs) == 40 * 39 // 2
+    # bounded: sum over groups of size² « hot-bucket m²
+    assert len(capped_pairs) <= sum(s * s for s in sizes)
+    # deterministic replay
+    again = {
+        (r.id_a, r.id_b)
+        for r in pairs(S.subsplit_hot_buckets(b, "vec_id", "bucket", cap)).collect()
+    }
+    assert again == capped_pairs
+
+
+def test_subsplit_salt_matches_duckdb_replay(spark):
+    """Cross-engine proof of the ACTIVE-cap path: the registered
+    oracles replay the subsplit salt in DuckDB SQL, but the driver's
+    gate only runs at test SFs where the cap never engages — so the
+    salt formula (md5('0:'||id) first-8-hex-digits mod ceil(size/cap))
+    is a shared-spec surface with no differential coverage unless we
+    force it. 1200 ids in one bucket with cap 1000 => 2 groups; the
+    two engines must assign every id the same group."""
+    import duckdb
+
+    cap = 1000
+    n = 1200
+    hot = spark.createDataFrame(
+        [(i, "b0") for i in range(n)], "vec_id long, bucket string"
+    )
+    salted = S.subsplit_hot_buckets(hot, "vec_id", "bucket", cap)
+    got = {r.vec_id: r.salt for r in salted.collect()}
+    expect = dict(
+        duckdb.sql(
+            f"""
+            WITH ids AS (SELECT UNNEST(RANGE({n})) AS vec_id)
+            SELECT vec_id,
+                   CAST('0x' || substr(md5('0:' || CAST(vec_id AS VARCHAR)), 1, 8)
+                        AS BIGINT)
+                     % GREATEST(1, CAST(CEIL({n} / {cap}) AS BIGINT)) AS salt
+            FROM ids
+            """
+        ).fetchall()
+    )
+    assert got == expect
+    assert set(got.values()) == {0, 1}
