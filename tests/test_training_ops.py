@@ -1431,3 +1431,59 @@ def test_doc_offset_env_override_reaches_both_engines():
     )
     assert bad.returncode != 0
     assert "multiple of 5" in bad.stderr
+
+
+def test_q80_audit_sample_headroom(spark):
+    """q80's exact-verify runs on at most AUDIT_MAX_PAIRS candidates
+    (r11 x64 finding: unsampled, the audit grew 221x at 64x data).
+    The cap must be INACTIVE at driver SFs — assert the candidate
+    count sits under a tenth of it at sf0.01, so registered rows
+    can't silently become a sample as the corpus drifts."""
+    from _multi_source_retail_data_integration_hub_spark.plans.training_data import (
+        AUDIT_MAX_PAIRS,
+        _mutated_lsh_pairs,
+    )
+
+    n = _mutated_lsh_pairs(spark, "/root/testdata/sf0.01").count()
+    assert 0 < n < AUDIT_MAX_PAIRS / 10
+
+
+def test_q80_audit_sample_matches_duckdb_replay(spark):
+    """Active-cap path of the audit sample: the lowest-md5-K pair
+    pick must be engine-identical (the oracle replays ORDER BY
+    md5('0:'||id_a||':'||id_b) LIMIT K), and the driver gate never
+    exercises it at test SFs — force it on a crafted pair table."""
+    import duckdb
+
+    k = 10
+    pairs = [(a, b) for a in range(10) for b in range(a + 1, 10)]  # 45 pairs
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {
+        (r.id_a, r.id_b)
+        for r in df.orderBy(
+            F.md5(
+                F.concat(
+                    F.lit("0:"),
+                    F.col("id_a").cast("string"),
+                    F.lit(":"),
+                    F.col("id_b").cast("string"),
+                )
+            )
+        )
+        .limit(k)
+        .collect()
+    }
+    expect = set(
+        duckdb.sql(
+            f"""
+            SELECT id_a, id_b
+            FROM (SELECT UNNEST($1) AS p) t,
+                 LATERAL (SELECT p['id_a'] AS id_a, p['id_b'] AS id_b)
+            ORDER BY md5('0:' || CAST(id_a AS VARCHAR) || ':'
+                          || CAST(id_b AS VARCHAR))
+            LIMIT {k}
+            """,
+            params=[[{"id_a": a, "id_b": b} for a, b in pairs]],
+        ).fetchall()
+    )
+    assert got == expect and len(got) == k
