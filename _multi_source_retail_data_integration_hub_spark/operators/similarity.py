@@ -452,29 +452,28 @@ def subsplit_hot_buckets(
     rationale: hot embedding-LSH buckets are dense regions that DO
     hold real near-dups, so partial recall (subsplit) beats none
     (drop). ``max_bucket_size=None`` disables the guard (salt 0 for
-    every row — audits that must see the uncapped universe).
+    every row — audits that must see the uncapped universe). The salt
+    formula is operators/text.py::subsplit_salt — the ONE Spark-side
+    source both subsplit guards share and every subsplit oracle
+    replays.
     """
     if max_bucket_size is None:
         return bucketed.withColumn("salt", F.lit(0).cast("bigint"))
+    from .text import subsplit_salt  # noqa: PLC0415 — sibling operator module
+
     counts = bucketed.groupBy(bucket_col).agg(F.count("*").alias("bucket_size"))
+    # LEFT join + coalesce: NULL-bucket rows (NULL embeddings) never
+    # equi-join to their count group, but they must survive the guard
+    # exactly as they survive the cap-None path — the two paths expose
+    # the same row universe to any row-wise consumer (pair joins are
+    # unaffected either way: a NULL bucket never equi-joins).
     n_groups = F.greatest(
-        F.lit(1), F.ceil(F.col("bucket_size") / F.lit(max_bucket_size))
+        F.lit(1),
+        F.ceil(F.coalesce(F.col("bucket_size"), F.lit(1)) / F.lit(max_bucket_size)),
     ).cast("bigint")
     return (
-        bucketed.join(counts, bucket_col)
-        .withColumn(
-            "salt",
-            F.pmod(
-                F.conv(
-                    F.md5(
-                        F.concat(F.lit("0:"), F.col(id_col).cast("string"))
-                    ).substr(1, 8),
-                    16,
-                    10,
-                ).cast("bigint"),
-                n_groups,
-            ),
-        )
+        bucketed.join(counts, bucket_col, "left")
+        .withColumn("salt", subsplit_salt(F.col(id_col), n_groups))
         .drop("bucket_size")
     )
 

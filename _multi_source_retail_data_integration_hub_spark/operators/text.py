@@ -73,6 +73,22 @@ def seeded_md5(col: Column, seed: int) -> Column:
     return F.md5(F.concat(F.lit(f"{seed}:"), col))
 
 
+def subsplit_salt(id_col: Column, n_groups: Column) -> Column:
+    """Deterministic hot-bucket subsplit group: first 8 hex digits of
+    ``seeded_md5(id, 0)`` mod ``n_groups``. The ONE Spark-side source
+    of the formula both subsplit guards use (the MinHash path here and
+    the embedding path in operators/similarity.py) and that every
+    subsplit oracle replays as
+    ``CAST('0x' || substr(md5('0:' || id), 1, 8) AS BIGINT) % n`` —
+    keep the three in lockstep."""
+    return F.pmod(
+        F.conv(seeded_md5(id_col.cast("string"), 0).substr(1, 8), 16, 10).cast(
+            "bigint"
+        ),
+        n_groups,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Exact / canonical dedup
 # ---------------------------------------------------------------------------
@@ -733,17 +749,7 @@ def lsh_candidate_pairs(
             ).cast("bigint")
             melted = (
                 melted.join(counts, join_keys)
-                .withColumn(
-                    "salt",
-                    F.pmod(
-                        F.conv(
-                            seeded_md5(F.col(id_col).cast("string"), 0).substr(1, 8),
-                            16,
-                            10,
-                        ).cast("bigint"),
-                        n_groups,
-                    ),
-                )
+                .withColumn("salt", subsplit_salt(F.col(id_col), n_groups))
                 .drop("bucket_size")
             )
             join_keys = ["band_id", "bucket", "salt"]

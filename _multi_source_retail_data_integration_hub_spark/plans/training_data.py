@@ -1159,8 +1159,12 @@ def q80_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bounded audit sample (see the header comment): lowest-md5
     # AUDIT_MAX_PAIRS candidates via orderBy+limit — Spark plans this
     # as TakeOrderedAndProject (per-partition heaps, no global sort
-    # materialization), so the sample costs one linear pass over the
-    # pair table however large the LSH output grows
+    # materialization). The sample is localCheckpointed because the
+    # query references it FOUR times (est, cand_ids twice, inter) and
+    # Spark does not dedupe identical TakeOrderedAndProject subtrees —
+    # unmaterialized, the linear pass over the (at scale, huge) pair
+    # table would re-run per reference; checkpointed, it runs once and
+    # downstream consumers read <= 100k cached rows.
     pairs = (
         _mutated_lsh_pairs(spark, sf_dir)
         .orderBy(
@@ -1174,6 +1178,7 @@ def q80_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .limit(AUDIT_MAX_PAIRS)
+        .localCheckpoint()
     )
 
     a = sig.select(

@@ -137,18 +137,31 @@ def test_backfill_matches_artifacts():
         set(entry._GUARD_HEAD) | set(entry._RETIRED_GUARDS) | {entry._GUARD_TAIL}
     )
     assert guards == set(rb.GUARDS), "regen_backfill.GUARDS drifted from entry"
-    regen = rb.regenerate()
+    # pass the live registry: orphan artifact rows (renamed queries)
+    # drop exactly, and a registered query missing from _BACKFILL is
+    # forced into the regeneration so this test catches it
+    regen = rb.regenerate(registered=set(entry.queries()))
     committed = list(entry._BACKFILL)
     assert rb.current_backfill() == committed, "textual parse drifted"
     if committed != regen:
         drift = next(
-            (i, a, b) for i, (a, b) in enumerate(zip(committed, regen)) if a != b
+            (
+                (i, a, b)
+                for i, (a, b) in enumerate(zip(committed, regen))
+                if a != b
+            ),
+            None,
+        )
+        detail = (
+            f"first drift at index {drift[0]}: committed {drift[1]!r} vs "
+            f"regenerated {drift[2]!r}"
+            if drift
+            else f"lengths differ: committed {len(committed)} vs "
+            f"regenerated {len(regen)}"
         )
         raise AssertionError(
             "_BACKFILL is stale vs CORRECTNESS artifacts — run "
-            f"`python tools/regen_backfill.py` and paste; first drift "
-            f"at index {drift[0]}: committed {drift[1]!r} vs "
-            f"regenerated {drift[2]!r}"
+            f"`python tools/regen_backfill.py` and paste; {detail}"
         )
 
 
@@ -177,8 +190,12 @@ def test_backfill_sync_check_trips_on_new_artifact(tmp_path):
     regen = rb.regenerate(repo=str(tmp_path), entry_path=str(entry_copy))
     committed = rb.current_backfill(str(entry_copy))
     assert committed != regen, "sync check failed to trip on a new artifact"
-    # the freshly scored rows must have rotated to the very back
-    assert regen[-len(head):] == sorted(head, key=rb._qnum)
+    # the freshly scored rows must have rotated behind every OTHER
+    # scored query (never-scored mid-freeze additions legitimately
+    # sort after them, so compare within the scored subset only)
+    rows = rb.newest_driver_rows(str(tmp_path))
+    scored = [q for q in regen if q in rows]
+    assert scored[-len(head):] == sorted(head, key=rb._qnum)
 
 
 def test_no_oracle_output_binds_to_hugeint():

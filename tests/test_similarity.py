@@ -276,7 +276,7 @@ def test_subsplit_hot_buckets_default_inactive_on_test_corpus(spark):
     assert capped.count() > 0
 
 
-def test_subsplit_hot_buckets_bounds_pair_cost(spark, embeddings):
+def test_subsplit_hot_buckets_bounds_pair_cost(spark):
     """With a cap below the hot bucket's size the guard must (a) emit
     only within-salt-group pairs whose union is a strict subset of the
     uncapped universe, (b) keep every salt group at most ~cap-scaled
@@ -323,6 +323,22 @@ def test_subsplit_hot_buckets_bounds_pair_cost(spark, embeddings):
         for r in pairs(S.subsplit_hot_buckets(b, "vec_id", "bucket", cap)).collect()
     }
     assert again == capped_pairs
+
+
+def test_subsplit_hot_buckets_keeps_null_bucket_rows(spark):
+    """NULL-bucket rows (NULL embeddings produce NULL buckets) must
+    survive the guard identically on the capped and cap-None paths —
+    the count join is LEFT precisely so the two paths expose the same
+    row universe to row-wise consumers (pair joins are unaffected:
+    NULL buckets never equi-join)."""
+    b = spark.createDataFrame(
+        [(1, 7), (2, 7), (3, None)], "vec_id long, bucket long"
+    )
+    capped = S.subsplit_hot_buckets(b, "vec_id", "bucket", 1)
+    uncapped = S.subsplit_hot_buckets(b, "vec_id", "bucket", None)
+    assert capped.count() == uncapped.count() == 3
+    null_row = capped.where(F.col("bucket").isNull()).collect()
+    assert len(null_row) == 1 and null_row[0].salt is not None
 
 
 def test_subsplit_salt_matches_duckdb_replay(spark):

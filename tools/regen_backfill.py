@@ -52,7 +52,12 @@ def newest_driver_rows(repo: str = REPO) -> dict[str, int]:
     """name -> newest round with a driver row, from CORRECTNESS_r*.json."""
     rows: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
-        round_no = int(re.search(r"r(\d+)\.json$", path).group(1))
+        match = re.search(r"r(\d+)\.json$", path)
+        if match is None:
+            # a stray editor backup or partial file matching the glob
+            # must fail with its NAME, not an AttributeError
+            raise RuntimeError(f"unrecognized correctness artifact name: {path}")
+        round_no = int(match.group(1))
         try:
             with open(path) as fh:
                 artifact = json.load(fh)
@@ -78,10 +83,24 @@ def _qnum(name: str) -> int:
     return int(name.split("_", 1)[0][1:])
 
 
-def regenerate(repo: str = REPO, entry_path: str = ENTRY) -> list[str]:
-    """Ordered backfill: union of the committed list and every
-    non-guard artifact row, oldest newest-driver-row first, then
-    ascending query number.
+def regenerate(
+    repo: str = REPO,
+    entry_path: str = ENTRY,
+    registered: set[str] | None = None,
+) -> list[str]:
+    """Ordered backfill: every non-guard query that is committed,
+    driver-scored, or (when ``registered`` is given) registered —
+    oldest newest-driver-row first, then ascending query number.
+
+    ``registered`` is the live registry (``set(entry.queries())``):
+    with it, orphan artifact rows from renamed/retired queries are
+    dropped exactly, and registered-but-unlisted queries are forced
+    into the regeneration so ``--check``/the sync test catches a
+    query that was scored (or registered) but never added to
+    _BACKFILL. Without it (the no-pyspark CLI path), scored names
+    missing from the committed list are KEPT with a stderr note —
+    silently dropping a scored query from the rotation is the worse
+    failure; verify retired names by hand before pasting.
 
     Queries registered but never driver-scored (a mid-freeze addition)
     keep rotating last — they sort as "newer than every artifact" so
@@ -90,17 +109,26 @@ def regenerate(repo: str = REPO, entry_path: str = ENTRY) -> list[str]:
     """
     rows = newest_driver_rows(repo)
     names = set(current_backfill(entry_path)) | (set(rows) - GUARDS)
-    unregistered = (set(rows) - GUARDS) - set(current_backfill(entry_path))
-    if unregistered:
-        # renamed/retired queries leave orphan artifact rows; they must
-        # not re-enter the rotation under their dead name
-        print(
-            f"note: artifact rows without a registered twin, skipped: "
-            f"{sorted(unregistered)}",
-            file=sys.stderr,
-        )
-        names -= unregistered
-    never_scored = len(rows) + 1  # sorts after every real round
+    if registered is not None:
+        live = set(registered) - GUARDS
+        orphans = names - live
+        if orphans:
+            print(
+                f"note: names without a registered twin, dropped: "
+                f"{sorted(orphans)}",
+                file=sys.stderr,
+            )
+        names = (names & live) | live
+    else:
+        uncommitted = (set(rows) - GUARDS) - set(current_backfill(entry_path))
+        if uncommitted:
+            print(
+                "note: artifact rows missing from the committed _BACKFILL "
+                f"(kept — verify they are still registered): "
+                f"{sorted(uncommitted)}",
+                file=sys.stderr,
+            )
+    never_scored = max(rows.values(), default=0) + 1  # after every real round
     return sorted(names, key=lambda n: (rows.get(n, never_scored), _qnum(n)))
 
 
