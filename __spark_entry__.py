@@ -50,29 +50,27 @@ from _multi_source_retail_data_integration_hub_spark.plans import (  # noqa: E40
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
-# Round-10 window (the driver records the first ~50 registered queries
-# per round, against freshly regenerated testdata). Layout per the r10
-# verdict (ask #1: rotate the r6 carries + the r7 block; ask #2: keep
-# the registry frozen so the full refresh cycle completes by r12):
+# Round-12 window (the driver records the first ~50 registered queries
+# per round, against freshly regenerated testdata). Layout per the r11
+# verdict (ask #1/#2: rotate the r8-stale block in — this completes the
+# full registry refresh cycle, after which every query holds a driver
+# row ≤4 rounds old and registry growth may resume):
 #   1. q000_generation_fingerprint FIRST (red => the two engines compared
 #      different testdata generations; see CORRECTNESS_NOTES.md). The
 #      per-table guards q00c/d/e/l/o stay REGISTERED (incident
 #      diagnosis) but are pinned past the recorded window via
 #      _RETIRED_GUARDS.
-#   2. Queries NEW this round (q179+, none registered — growth is
-#      frozen this round per the r10 verdict so the window spends its
-#      slots on rotation) — picked up automatically by _ordered()'s
-#      is-new check if any land.
-#   3. Backfill, oldest driver row first. Front of the list: the two
-#      r6-block carries (q138_regex_pretokenize,
-#      q140_hll_distinct_rollup — last scored r6, the oldest rows in
-#      the registry), then the 38-query r7 block (q27-q36, q38-q40,
-#      q43-q46, q48-q51, q59-q63, q85, q100-q101, q104-q108, q110,
-#      q141-q143), then the r8 block oldest-first (q01-q08 fill the
-#      remaining 8 slots; the rest of the r8 block is the r12 window
-#      by construction), then the r9/r10 blocks. _BACKFILL lists EVERY
-#      non-guard query oldest-first, so future rounds rotate
-#      automatically as rows refresh.
+#   2. Queries NEW this round (q179+) — picked up automatically by
+#      _ordered()'s is-new check. New registrations land AFTER the
+#      rotation's 50 slots are safe (growth resumed post-refresh per
+#      the r11 verdict, but the r8-stale block gets the window first
+#      via _DEFER_TO_NEXT_WINDOW if needed).
+#   3. Backfill, oldest driver row first. Front of the list: the
+#      r8-stale block (q09-q13, q17-q19, q81-q84, q86-q87, q103,
+#      q111-q115, q117-q120, q128-q129, q139, q144-q150 — 34 queries,
+#      last scored r8, now the oldest rows), then the r9/r10/r11
+#      blocks. _BACKFILL lists EVERY non-guard query oldest-first, so
+#      future rounds rotate automatically as rows refresh.
 #   4. q997_generation_fingerprint_tail pinned LAST in the window — the
 #      byte-identical twin of q000, so head/tail disagreement proves a
 #      MID-window regeneration and agreement brackets the window.
@@ -111,57 +109,7 @@ _DEFER_TO_NEXT_WINDOW: list[str] = []
 # unchanged — the list only needs regenerating when a round's artifact
 # lands (the leading stale block rotates to the back).
 _BACKFILL = [
-    # -- newest driver row: round 6 --
-    "q138_regex_pretokenize",
-    "q140_hll_distinct_rollup",
-    # -- newest driver row: round 7 --
-    "q27_lsh_buckets",
-    "q28_ann_lsh_topk",
-    "q29_tumbling_daily",
-    "q30_sessionization",
-    "q31_sliding_weekly",
-    "q32_multimodal_features",
-    "q33_json_extract",
-    "q34_salted_agg",
-    "q35_approx_distinct",
-    "q36_asof_join",
-    "q38_rollup",
-    "q39_user_gap_stats",
-    "q40_moving_avg",
-    "q43_multiselect_kpis",
-    "q44_interval_join",
-    "q45_stratified_sample",
-    "q46_cube",
-    "q48_funnel",
-    "q49_approx_median",
-    "q50_unpivot",
-    "q51_recent_event_seq",
-    "q59_audio_features",
-    "q60_frame_samples",
-    "q61_cogroup_timelines",
-    "q62_cdc_apply",
-    "q63_median_impute",
-    "q85_lsh_hot_buckets",
-    "q100_repetition_signals",
-    "q101_decontamination",
-    "q104_ann_recall",
-    "q105_embedding_quantization",
-    "q106_mixture_sample",
-    "q107_sequence_packing",
-    "q108_snapshot_diff",
-    "q110_bloom_membership",
-    "q141_bpe_tokenize",
-    "q142_decile_cutpoints",
-    "q143_quantile_rollup",
     # -- newest driver row: round 8 --
-    "q01_monthly_sales_trend",
-    "q02_category_share",
-    "q03_customer_segments",
-    "q04_segment_status_pivot",
-    "q05_weekday_analysis",
-    "q06_top_customers",
-    "q07_catalog_stats",
-    "q08_quarterly_yoy",
     "q09_calendar_dim",
     "q10_row_hash",
     "q11_kpi_summary",
@@ -294,6 +242,55 @@ _BACKFILL = [
     "q176_feature_corr",
     "q177_mad_outliers",
     "q178_semdedup_probe",
+    # -- newest driver row: round 11 --
+    "q01_monthly_sales_trend",
+    "q02_category_share",
+    "q03_customer_segments",
+    "q04_segment_status_pivot",
+    "q05_weekday_analysis",
+    "q06_top_customers",
+    "q07_catalog_stats",
+    "q08_quarterly_yoy",
+    "q27_lsh_buckets",
+    "q28_ann_lsh_topk",
+    "q29_tumbling_daily",
+    "q30_sessionization",
+    "q31_sliding_weekly",
+    "q32_multimodal_features",
+    "q33_json_extract",
+    "q34_salted_agg",
+    "q35_approx_distinct",
+    "q36_asof_join",
+    "q38_rollup",
+    "q39_user_gap_stats",
+    "q40_moving_avg",
+    "q43_multiselect_kpis",
+    "q44_interval_join",
+    "q45_stratified_sample",
+    "q46_cube",
+    "q48_funnel",
+    "q49_approx_median",
+    "q50_unpivot",
+    "q51_recent_event_seq",
+    "q59_audio_features",
+    "q60_frame_samples",
+    "q61_cogroup_timelines",
+    "q62_cdc_apply",
+    "q63_median_impute",
+    "q85_lsh_hot_buckets",
+    "q100_repetition_signals",
+    "q101_decontamination",
+    "q104_ann_recall",
+    "q105_embedding_quantization",
+    "q106_mixture_sample",
+    "q107_sequence_packing",
+    "q108_snapshot_diff",
+    "q110_bloom_membership",
+    "q138_regex_pretokenize",
+    "q140_hll_distinct_rollup",
+    "q141_bpe_tokenize",
+    "q142_decile_cutpoints",
+    "q143_quantile_rollup",
 ]
 
 

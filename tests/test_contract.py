@@ -58,28 +58,27 @@ def test_window_protocol_layout():
     fingerprint twin pinned at exactly position 50 — a refactor of
     _ordered() that silently moves either breaks the bracket
     inference. Round-11 rotation (r10 verdict ask #1): the per-table
-    guards stay retired PAST the window; the two r6-block carries
-    (q138/q140, last scored r6 — the oldest rows in the registry)
-    lead the backfill, then the 38-query r7 block, then the r8 block
-    oldest-first (q01-q08 fill the window's remaining slots)."""
+    guards stay retired PAST the window; round-12 rotation (r11
+    verdict asks #1/#2): the r8-stale block (q09..q150, last scored
+    r8 — now the oldest rows in the registry) leads the backfill,
+    completing the full registry refresh cycle."""
     names = list(entry.queries())
     assert names[0] == "q000_generation_fingerprint"
     assert names[49] == "q997_generation_fingerprint_tail"
     # retired guards stay registered but OUTSIDE the recorded window
     for g in entry._RETIRED_GUARDS:
         assert names.index(g) > 49, f"{g} must sit past the window"
-    # the r6 carries lead the backfill and land in the window; the
-    # r7 block follows contiguously (structural, so adding a new
-    # query never silently displaces the oldest rows)
-    carries = ["q138_regex_pretokenize", "q140_hll_distinct_rollup"]
-    assert entry._BACKFILL[:2] == carries
+    # the r8-stale block leads the backfill and lands in the window
+    # (structural, so adding a new query never silently displaces the
+    # oldest rows)
+    carries = ["q09_calendar_dim", "q10_row_hash", "q11_kpi_summary"]
+    assert entry._BACKFILL[:3] == carries
     for q in carries:
-        assert names.index(q) < 49, f"{q} must land in the r11 window"
-    # the window closes with the oldest r8 rows (q01-q08)
-    for i in range(1, 9):
-        q = next((n for n in names if n.startswith(f"q{i:02d}_")), None)
-        assert q is not None, f"no registered query with prefix q{i:02d}_"
-        assert names.index(q) < 49, f"{q} must land in the r11 window"
+        assert names.index(q) < 49, f"{q} must land in the r12 window"
+    # spot-check the tail of the r8-stale block also makes the window
+    for q in ("q147_simhash_neardup", "q149_winnowing_fingerprints",
+              "q150_winnowing_matches"):
+        assert names.index(q) < 49, f"{q} must land in the r12 window"
     # the leading stale block fits in this window — STRICT: every one
     # of the 48 leading backfill names must be a registered query (a
     # typo or deregistration must fail here, not silently admit a

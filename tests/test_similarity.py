@@ -296,7 +296,10 @@ def test_subsplit_hot_buckets_bounds_pair_cost(spark):
     cap = 5
     salted = S.subsplit_hot_buckets(b, "vec_id", "bucket", cap)
     sizes = [r.n for r in salted.groupBy("salt").agg(F.count("*").alias("n")).collect()]
-    assert len(sizes) == 8  # ceil(40 / 5) deterministic groups
+    # at most ceil(40 / 5) groups; md5-uniform assignment makes all 8
+    # non-empty for THIS id set, but that's a distributional accident —
+    # only the upper bound is contractual
+    assert 1 < len(sizes) <= 8
     assert sum(sizes) == 40
     # md5-uniform, not exact: groups stay small, far under the hot size
     assert max(sizes) <= 3 * cap

@@ -1437,8 +1437,11 @@ def test_q80_audit_sample_headroom(spark):
     """q80's exact-verify runs on at most AUDIT_MAX_PAIRS candidates
     (r11 x64 finding: unsampled, the audit grew 221x at 64x data).
     The cap must be INACTIVE at driver SFs — assert the candidate
-    count sits under a tenth of it at sf0.01, so registered rows
-    can't silently become a sample as the corpus drifts."""
+    count sits under a tenth of it at BOTH sf0.01 and sf0.1 (the SF
+    the driver actually scores), so registered rows can't silently
+    become a sample as the corpus drifts."""
+    import os
+
     from _multi_source_retail_data_integration_hub_spark.plans.training_data import (
         AUDIT_MAX_PAIRS,
         _mutated_lsh_pairs,
@@ -1446,6 +1449,9 @@ def test_q80_audit_sample_headroom(spark):
 
     n = _mutated_lsh_pairs(spark, "/root/testdata/sf0.01").count()
     assert 0 < n < AUDIT_MAX_PAIRS / 10
+    if os.path.isdir("/root/testdata/sf0.1"):
+        n1 = _mutated_lsh_pairs(spark, "/root/testdata/sf0.1").count()
+        assert 0 < n1 < AUDIT_MAX_PAIRS / 10
 
 
 def test_q80_audit_sample_matches_duckdb_replay(spark):

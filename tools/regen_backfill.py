@@ -118,7 +118,9 @@ def regenerate(
                 f"{sorted(orphans)}",
                 file=sys.stderr,
             )
-        names = (names & live) | live
+        # the registered set IS the universe: committed/scored names
+        # only matter for the orphan warning above
+        names = live
     else:
         uncommitted = (set(rows) - GUARDS) - set(current_backfill(entry_path))
         if uncommitted:
