@@ -727,11 +727,61 @@ def lsh_candidate_pairs(
     guard (bench-scale audits where output must be the uncapped
     universe).
     """
+    melted = _melt_bands(sig, id_col, n_bands)
+    return lsh_candidate_pairs_from_bands(
+        melted, id_col, max_bucket_size=max_bucket_size, hot_bucket_mode=hot_bucket_mode
+    )
+
+
+def write_signatures_bucketed(
+    sig: DataFrame,
+    table: str,
+    id_col: str = "id",
+    n_bands: int = 4,
+    n_buckets: int = 64,
+) -> None:
+    """Persist the melted LSH band table ``(id, band_id, bucket)``
+    bucketed (and sorted) by the candidate join keys.
+
+    The 100 TB layout the signature-cache docstring promises
+    (plans/training_data.py ``_SIG_CACHE``): in a real pipeline
+    signatures are written ONCE by the ingestion job and every dedup
+    pass reads them back — nothing corpus-sized lives in any single
+    JVM's heap (SCALE.md r11: the localCheckpoint session caches were
+    the binding x64 capacity wall at 16g). Bucketing by
+    ``(band_id, bucket)`` makes the read-side candidate stage
+    (``lsh_candidate_pairs_from_bands``) entirely Exchange-free up to
+    the final pair distinct: the hot-bucket count, the guard join and
+    the within-bucket self-join all reuse the scan's hash
+    partitioning (tests/test_bucketing.py asserts the plan).
+    """
+    (
+        _melt_bands(sig, id_col, n_bands)
+        .write.mode("overwrite")
+        .bucketBy(n_buckets, "band_id", "bucket")
+        .sortBy("band_id", "bucket")
+        .saveAsTable(table)
+    )
+
+
+def lsh_candidate_pairs_from_bands(
+    melted: DataFrame,
+    id_col: str,
+    max_bucket_size: int | None = LSH_MAX_BUCKET_SIZE,
+    hot_bucket_mode: str = "drop",
+) -> DataFrame:
+    """Candidate pairs from an already-melted ``(id, band_id, bucket)``
+    table — the persisted-table twin of ``lsh_candidate_pairs``.
+
+    Value-identical to melting in-process (``lsh_candidate_pairs`` is
+    now a thin wrapper over this); the split exists so a table written
+    by ``write_signatures_bucketed`` feeds the same guarded join with
+    no Exchange and no in-heap signature blocks.
+    """
     if hot_bucket_mode not in ("drop", "subsplit"):
         raise ValueError(
             f"hot_bucket_mode must be 'drop' or 'subsplit', got {hot_bucket_mode!r}"
         )
-    melted = _melt_bands(sig, id_col, n_bands)
     join_keys = ["band_id", "bucket"]
     if max_bucket_size is not None:
         counts = melted.groupBy("band_id", "bucket").agg(

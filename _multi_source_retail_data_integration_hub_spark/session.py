@@ -31,6 +31,12 @@ def get_spark(app_name: str = "retail_hub_spark", extra_conf: dict | None = None
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        # a join whose keys are a SUPERSET of a bucketed scan's keys
+        # (the subsplit candidate join adds a salt derived per row) is
+        # already co-located — don't force a re-shuffle on all keys.
+        # Semantics-preserving: Spark only skips the Exchange when the
+        # existing hash partitioning is a subset of the join keys.
+        .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -88,3 +88,46 @@ def test_ivf_members_bucketed_probe_join(spark):
         assert joined.count() > 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64MB")
+
+
+def test_minhash_bands_bucketed_candidate_stage(spark):
+    """The MinHash scale layout (operators/text.py
+    write_signatures_bucketed, r11 verdict ask #3): the melted band
+    table persisted bucketed by (band_id, bucket) feeds the guarded
+    candidate join with (a) zero Exchange before the final pair
+    distinct — the hot-bucket count, the guard join and the
+    within-bucket self-join all reuse the scan's partitioning — and
+    (b) pair output byte-identical to the in-process path, so the
+    persisted table can replace the _SIG_CACHE localCheckpoint without
+    touching any oracle."""
+    from _multi_source_retail_data_integration_hub_spark.operators import text as T
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sig = T.minhash_signatures(docs, "text", "doc_id")
+    T.write_signatures_bucketed(sig, "bkt_db.mh_bands", id_col="doc_id", n_buckets=8)
+    tbl = spark.table("bkt_db.mh_bands")
+    assert tbl.columns == ["doc_id", "band_id", "bucket"]
+    assert tbl.count() == docs.count() * 4  # one row per (doc, band)
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for mode in ("drop", "subsplit"):
+            pairs = T.lsh_candidate_pairs_from_bands(
+                tbl, "doc_id", max_bucket_size=1000, hot_bucket_mode=mode
+            )
+            plan = pairs._jdf.queryExecution().executedPlan().toString()
+            # exactly ONE Exchange: the final distinct over (id_a, id_b)
+            # — a different key set, irreducible. The candidate stage
+            # itself (count/guard/self-join) must reuse the bucketing.
+            n_exchange = plan.count("Exchange")
+            assert n_exchange == 1, f"{mode}: {n_exchange} Exchanges\n{plan[:3000]}"
+
+            # value parity with the in-process melt path
+            direct = T.lsh_candidate_pairs(
+                sig, "doc_id", max_bucket_size=1000, hot_bucket_mode=mode
+            )
+            got = {(r.id_a, r.id_b) for r in pairs.collect()}
+            want = {(r.id_a, r.id_b) for r in direct.collect()}
+            assert got == want and len(got) > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64MB")
