@@ -63,6 +63,40 @@ def normalized_text(text: Column) -> Column:
     return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
 
 
+def write_tokens_bucketed(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    table: str,
+    n_buckets: int = 64,
+) -> None:
+    """Persist the exploded ``(id, token)`` table bucketed (and sorted)
+    by ``token``.
+
+    The token twin of ``write_signatures_bucketed`` — the persisted
+    form of the ``_doc_tokens`` session cache
+    (plans/training_data.py): at 100 TB the tokenized corpus is
+    written ONCE by the ingestion job, and the whole term-statistics
+    family reads it back Exchange-free. ``token`` is the right bucket
+    key because every downstream shuffle in that family is term-keyed
+    or term-superset-keyed: tf = groupBy(id, token) needs clustering
+    only on a SUBSET of its keys (rows sharing (id, token) share
+    token), df = groupBy(token) reuses tf's partitioning, and the
+    tf ⋈ df join is co-partitioned by construction — so the q47/q122
+    TF-IDF/BM25 shape runs with zero Exchange until its final per-doc
+    ranking window (tests/test_bucketing.py asserts the plan).
+    """
+    (
+        docs.select(
+            F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
+        )
+        .write.mode("overwrite")
+        .bucketBy(n_buckets, "token")
+        .sortBy("token")
+        .saveAsTable(table)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Hashing primitives
 # ---------------------------------------------------------------------------

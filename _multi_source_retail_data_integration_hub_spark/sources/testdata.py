@@ -42,9 +42,16 @@ EVENTS_NANOS_SCHEMA = StructType(
 
 
 def events_parquet_ts_unit(path: str) -> str:
-    """Physical ts unit of an events parquet ('ns' or 'us'), from the
-    file footer (pyarrow; no Spark job). ``path`` may be a single file
-    or a Spark-written directory of part files.
+    """Physical ts encoding of an events parquet ('ns', 'us' or
+    'int96'), from the file footer (pyarrow; no Spark job). ``path``
+    may be a single file or a Spark-written directory of part files.
+
+    'int96' is reported separately because pyarrow maps parquet's
+    legacy INT96 timestamps to the SAME arrow type as int64 nanos
+    (timestamp[ns]) — but Spark must read INT96 as TIMESTAMP, not as
+    a nanosAsLong bigint (found by the r12 x64 rehearsal: a
+    Spark-rewritten events table is INT96 under the default
+    outputTimestampType, and the 'ns' stream schema failed the read).
 
     Fails loudly instead of guessing: an unexpected encoding (a future
     'ms' generation, a non-timestamp ts column) raises rather than
@@ -57,7 +64,14 @@ def events_parquet_ts_unit(path: str) -> str:
     import pyarrow.parquet as pq
 
     def _unit(p: str) -> str:
-        t = pq.read_schema(p).field("ts").type
+        pf = pq.ParquetFile(p)
+        phys = {
+            pf.schema.column(i).path: pf.schema.column(i).physical_type
+            for i in range(len(pf.schema))
+        }
+        if phys.get("ts") == "INT96":
+            return "int96"
+        t = pf.schema_arrow.field("ts").type
         unit = getattr(t, "unit", None)
         if unit not in ("ns", "us"):
             raise ValueError(

@@ -27,7 +27,12 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructField, StructType, TimestampNTZType
+from pyspark.sql.types import (
+    StructField,
+    StructType,
+    TimestampNTZType,
+    TimestampType,
+)
 
 from ..sources.testdata import (
     EVENTS_NANOS_SCHEMA,
@@ -49,20 +54,38 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     timestamp convention."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    if events_parquet_ts_unit(os.path.join(sf_dir, "events.parquet")) == "ns":
+    unit = events_parquet_ts_unit(os.path.join(sf_dir, "events.parquet"))
+    if unit == "ns":
         schema = EVENTS_NANOS_SCHEMA
     else:
+        # 'us' parquet reads as TIMESTAMP_NTZ; legacy INT96 (any
+        # Spark-rewritten events table under the default
+        # outputTimestampType) reads as session-tz TIMESTAMP. Both
+        # normalize to session-tz TIMESTAMP below.
+        ts_type = TimestampType() if unit == "int96" else TimestampNTZType()
         schema = StructType(
             [
-                f if f.name != "ts" else StructField("ts", TimestampNTZType())
+                f if f.name != "ts" else StructField("ts", ts_type)
                 for f in EVENTS_NANOS_SCHEMA.fields
             ]
         )
-    raw = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    # the dataset may be a single file (driver testdata) or a
+    # Spark-written DIRECTORY of part files (any production layout —
+    # at scale a source is always a directory). pathGlobFilter matches
+    # LEAF FILE names, so the single-file layout streams the parent
+    # dir filtered to that name, while a directory streams directly —
+    # the glob form would match zero part files and silently drain an
+    # EMPTY stream (found by the r12 x64 rehearsal: the streaming
+    # twins "sped up" 64x because they read nothing).
+    events_path = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(events_path):
+        raw = spark.readStream.schema(schema).parquet(events_path)
+    else:
+        raw = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
     return normalize_events_ts(raw)
 
 

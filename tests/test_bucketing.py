@@ -131,3 +131,51 @@ def test_minhash_bands_bucketed_candidate_stage(spark):
             assert got == want and len(got) > 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64MB")
+
+
+def test_token_table_bucketed_term_stats_stage(spark):
+    """The token-table scale layout (operators/text.py
+    write_tokens_bucketed): the exploded (id, token) table persisted
+    bucketed by token feeds the q47/q122 term-statistics shape —
+    tf = groupBy(doc_id, token), df = groupBy(token), tf ⋈ df on token
+    — with zero Exchange until the final per-doc ranking window, and
+    values identical to the inline explode."""
+    from pyspark.sql import Window
+
+    from _multi_source_retail_data_integration_hub_spark.operators import text as T
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    T.write_tokens_bucketed(docs, "text", "doc_id", "bkt_db.toks", n_buckets=8)
+    tbl = spark.table("bkt_db.toks")
+    assert tbl.columns == ["doc_id", "token"]
+
+    def term_stats(toks):
+        tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+        df_counts = tf.groupBy("token").agg(F.count("*").alias("df"))
+        w = Window.partitionBy("doc_id").orderBy("df", F.desc("tf"), "token")
+        return (
+            tf.join(df_counts, "token")
+            .withColumn("term_rank", F.row_number().over(w))
+            .where(F.col("term_rank") <= 3)
+            .select("doc_id", "term_rank", "token", "tf", "df")
+        )
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        ranked = term_stats(tbl)
+        plan = ranked._jdf.queryExecution().executedPlan().toString()
+        # exactly ONE Exchange: the doc_id ranking window — tf, df and
+        # the join all reuse the scan's token bucketing (tf's keys are
+        # a SUPERSET of the bucket key; clustering by the subset is
+        # enough, same relaxation the subsplit join uses)
+        n_exchange = plan.count("Exchange")
+        assert n_exchange == 1, f"{n_exchange} Exchanges\n{plan[:3000]}"
+
+        inline = term_stats(
+            docs.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("token"))
+        )
+        got = {tuple(r) for r in ranked.collect()}
+        want = {tuple(r) for r in inline.collect()}
+        assert got == want and len(got) > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64MB")

@@ -637,3 +637,37 @@ def test_apply_mart_batch_empty_mart_keeps_fence(spark):
     assert jobs.apply_mart_batch(spark, "mart_empty_t", d1, 2, _event_merge, app_id="A")
     row = spark.table("mart_empty_t").collect()[0]
     assert row.n_events == 2 and float(row.sum_value) == 4.0
+
+
+def test_stream_source_reads_directory_shaped_events(spark, tmp_path):
+    """events.parquet as a Spark-written DIRECTORY of part files (every
+    production layout) must stream the same rows as the single-file
+    test layout. Regression for the r12 x64 rehearsal finding: the
+    pathGlobFilter('events.parquet') form matches leaf FILE names, so
+    over a directory it matched nothing and the twins drained an empty
+    stream — 'streaming got 64x faster' because it read zero rows."""
+    sf_dir = str(tmp_path / "sf_dirshape")
+    src = load_table(spark, SF_DIR, "events")
+    # several part files, like any scaled/production write
+    src.repartition(4).write.parquet(f"{sf_dir}/events.parquet")
+
+    stream = jobs.read_events_stream(spark, sf_dir)
+    # min(ts) forces the ts column through the scan: a Spark-rewritten
+    # events table stores ts as legacy INT96 (second half of the same
+    # rehearsal finding — the 'ns' nanosAsLong schema fails that read;
+    # an agg that prunes ts away would green-wash it)
+    agg = stream.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.min("ts").alias("first_ts")
+    )
+    jobs.run_available_now(agg, "t_dirshape")
+    got = {
+        (r.event_type, r.n, r.first_ts)
+        for r in spark.table("t_dirshape").collect()
+    }
+    want = {
+        (r.event_type, r.n, r.first_ts)
+        for r in src.groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.min("ts").alias("first_ts"))
+        .collect()
+    }
+    assert got == want and sum(n for _, n, _ts in got) == src.count()
