@@ -1636,8 +1636,28 @@ def lsh_probe_pairs(
     (drop mode semantics, audit via ``lsh_hot_buckets``); a hot batch
     bucket is bounded by the batch size by construction.
     """
-    mn = _melt_bands(sig_new, id_col, n_bands).withColumnRenamed(id_col, "id_new")
-    mh = _melt_bands(sig_hist, id_col, n_bands).withColumnRenamed(id_col, "id_hist")
+    mn = _melt_bands(sig_new, id_col, n_bands)
+    mh = _melt_bands(sig_hist, id_col, n_bands)
+    return lsh_probe_pairs_from_bands(mn, mh, id_col, max_bucket_size=max_bucket_size)
+
+
+def lsh_probe_pairs_from_bands(
+    melted_new: DataFrame,
+    melted_hist: DataFrame,
+    id_col: str,
+    max_bucket_size: int | None = LSH_MAX_BUCKET_SIZE,
+) -> DataFrame:
+    """Probe from already-melted ``(id, band_id, bucket)`` tables — the
+    persisted-history form of ``lsh_probe_pairs`` (a thin wrapper over
+    this). At ingest time the history side IS the table
+    ``write_signatures_bucketed`` maintains: the hot-bucket count and
+    the probe join both reuse its scan partitioning, so only the
+    (small) batch side shuffles — the history side is never
+    re-partitioned, never recomputed and never heap-resident
+    (tests/test_bucketing.py asserts the plan).
+    """
+    mn = melted_new.withColumnRenamed(id_col, "id_new")
+    mh = melted_hist.withColumnRenamed(id_col, "id_hist")
     keys = ["band_id", "bucket"]
     if max_bucket_size is not None:
         ok = (

@@ -179,3 +179,47 @@ def test_token_table_bucketed_term_stats_stage(spark):
         assert got == want and len(got) > 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64MB")
+
+
+def test_probe_join_against_bucketed_history_bands(spark):
+    """The incremental-ingest layout lsh_probe_pairs promises: history
+    bands persisted by write_signatures_bucketed, each new batch melted
+    in-process. The history scan must never re-partition — its bucketing
+    feeds both the hot-bucket guard and the probe join — so the only
+    Exchanges are the (small) batch side entering the join and the
+    final pair distinct. Values must match the all-in-process probe."""
+    from _multi_source_retail_data_integration_hub_spark.operators import text as T
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    hist = docs.select(F.col("doc_id").alias("id"), "text")
+    sig_hist = T.minhash_signatures(hist, "text", "id")
+    T.write_signatures_bucketed(sig_hist, "bkt_db.hist_bands", id_col="id", n_buckets=8)
+
+    batch = docs.limit(40).select((F.col("doc_id") + 1_000_000).alias("id"), "text")
+    sig_new = T.minhash_signatures(batch, "text", "id")
+    # materialize the batch melt (at ingest the batch arrives as rows,
+    # not as a plan) so the probe's plan isolates the HISTORY claim
+    melted_new = spark.createDataFrame(
+        T._melt_bands(sig_new, "id", 4).collect(), "id long, band_id int, bucket string"
+    )
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        pairs = T.lsh_probe_pairs_from_bands(
+            melted_new, spark.table("bkt_db.hist_bands"), "id"
+        )
+        plan = pairs._jdf.queryExecution().executedPlan().toString()
+        # exactly TWO Exchanges, both on the batch/output side: the
+        # batch entering the join's co-partitioning and the final pair
+        # distinct. The history scan, the hot-bucket guard aggregation
+        # and the guard join all reuse the table's bucketing.
+        n_exchange = plan.count("Exchange")
+        assert n_exchange == 2, f"{n_exchange} Exchanges\n{plan[:3000]}"
+        assert "Bucketed: true" in plan
+
+        direct = T.lsh_probe_pairs(sig_new, sig_hist, "id")
+        got = {(r.id_new, r.id_hist) for r in pairs.collect()}
+        want = {(r.id_new, r.id_hist) for r in direct.collect()}
+        assert got == want and len(got) > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64MB")
