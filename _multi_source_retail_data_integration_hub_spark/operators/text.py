@@ -1069,6 +1069,8 @@ def simhash_pairs(
     implementation takes ``bits``/``n_bands`` as parameters and keeps
     the same plan shape at any width ``md5`` can feed (<= 32 here).
     """
+    # validate BOTH preconditions before touching sig: callers get the
+    # config errors eagerly, not an error from inside the melt
     if bits % n_bands != 0:
         raise ValueError(f"bits={bits} must be divisible by n_bands={n_bands}")
     if hamming_max >= n_bands:
@@ -1076,11 +1078,28 @@ def simhash_pairs(
             f"hamming_max={hamming_max} needs n_bands > hamming_max "
             f"(got {n_bands}) for the pigeonhole recall guarantee"
         )
+    melted = _melt_simhash_bands(sig, id_col, hash_col, bits, n_bands)
+    return simhash_pairs_from_bands(
+        melted,
+        id_col,
+        n_bands=n_bands,
+        hamming_max=hamming_max,
+        max_bucket_size=max_bucket_size,
+    )
+
+
+def _melt_simhash_bands(
+    sig: DataFrame, id_col: str, hash_col: str, bits: int, n_bands: int
+) -> DataFrame:
+    """``(id, fp, band_id, bucket)`` rows — one per (doc, band), the
+    fingerprint riding along so verification never joins back."""
+    if bits % n_bands != 0:
+        raise ValueError(f"bits={bits} must be divisible by n_bands={n_bands}")
     width = bits // n_bands
     mask = F.lit((1 << width) - 1).cast("bigint")
-    melted = sig.select(
+    return sig.select(
         F.col(id_col),
-        F.col(hash_col).cast("bigint").alias("_h"),
+        F.col(hash_col).cast("bigint").alias("fp"),
         F.posexplode(
             F.array(
                 *[
@@ -1091,6 +1110,49 @@ def simhash_pairs(
             )
         ).alias("band_id", "bucket"),
     )
+
+
+def write_simhash_bands_bucketed(
+    sig: DataFrame,
+    table: str,
+    id_col: str,
+    hash_col: str = "simhash",
+    bits: int = 32,
+    n_bands: int = 4,
+    n_buckets: int = 64,
+) -> None:
+    """Persist the melted SimHash band table bucketed (and sorted) by
+    the candidate join keys — the SimHash member of the
+    persisted-bucketed family (``write_signatures_bucketed`` /
+    ``write_tokens_bucketed`` / ``write_members_bucketed``): ingest
+    writes fingerprint bands once, every dedup pass reads them back
+    with the whole candidate stage reusing the scan partitioning."""
+    (
+        _melt_simhash_bands(sig, id_col, hash_col, bits, n_bands)
+        .write.mode("overwrite")
+        .bucketBy(n_buckets, "band_id", "bucket")
+        .sortBy("band_id", "bucket")
+        .saveAsTable(table)
+    )
+
+
+def simhash_pairs_from_bands(
+    melted: DataFrame,
+    id_col: str,
+    n_bands: int = 4,
+    hamming_max: int = 3,
+    max_bucket_size: int | None = LSH_MAX_BUCKET_SIZE,
+) -> DataFrame:
+    """Verified Hamming pairs from an already-melted
+    ``(id, fp, band_id, bucket)`` table — the persisted-table twin of
+    ``simhash_pairs`` (a thin wrapper over this). ``n_bands`` must
+    state the table's banding: it exists only to enforce the
+    pigeonhole recall precondition ``hamming_max < n_bands``."""
+    if hamming_max >= n_bands:
+        raise ValueError(
+            f"hamming_max={hamming_max} needs n_bands > hamming_max "
+            f"(got {n_bands}) for the pigeonhole recall guarantee"
+        )
     if max_bucket_size is not None:
         ok = (
             melted.groupBy("band_id", "bucket")
@@ -1100,10 +1162,10 @@ def simhash_pairs(
         )
         melted = melted.join(ok, ["band_id", "bucket"])
     a = melted.select(
-        F.col(id_col).alias("id_a"), F.col("_h").alias("_ha"), "band_id", "bucket"
+        F.col(id_col).alias("id_a"), F.col("fp").alias("_ha"), "band_id", "bucket"
     )
     b = melted.select(
-        F.col(id_col).alias("id_b"), F.col("_h").alias("_hb"), "band_id", "bucket"
+        F.col(id_col).alias("id_b"), F.col("fp").alias("_hb"), "band_id", "bucket"
     )
     return (
         a.join(b, ["band_id", "bucket"])

@@ -223,3 +223,37 @@ def test_probe_join_against_bucketed_history_bands(spark):
         assert got == want and len(got) > 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64MB")
+
+
+def test_simhash_bands_bucketed_candidate_stage(spark):
+    """The SimHash member of the persisted-bucketed family: fingerprint
+    bands written by write_simhash_bands_bucketed feed the guarded
+    Hamming join with zero Exchange before the pair distinct, and
+    verified pairs identical to the in-process path."""
+    from _multi_source_retail_data_integration_hub_spark.operators import text as T
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sig = T.simhash(docs, "text", "doc_id", bits=16)
+    T.write_simhash_bands_bucketed(
+        sig, "bkt_db.sh_bands", id_col="doc_id", bits=16, n_bands=2, n_buckets=8
+    )
+    tbl = spark.table("bkt_db.sh_bands")
+    assert tbl.columns == ["doc_id", "fp", "band_id", "bucket"]
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        pairs = T.simhash_pairs_from_bands(
+            tbl, "doc_id", n_bands=2, hamming_max=1
+        )
+        plan = pairs._jdf.queryExecution().executedPlan().toString()
+        n_exchange = plan.count("Exchange")
+        assert n_exchange == 1, f"{n_exchange} Exchanges\n{plan[:3000]}"
+
+        direct = T.simhash_pairs(
+            sig, "doc_id", bits=16, n_bands=2, hamming_max=1
+        )
+        got = {tuple(r) for r in pairs.collect()}
+        want = {tuple(r) for r in direct.collect()}
+        assert got == want and len(got) > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64MB")
