@@ -116,8 +116,13 @@ _MUTATED_SQL = f"""
 #: in a real pipeline signatures are a persisted upstream table, not a
 #: per-query recompute — this cache is that contract in-process (the
 #: same shape as the shared shingle/signature materialization inside
-#: q80). Keyed by applicationId so a new session never sees another
-#: session's checkpointed blocks.
+#: q80). The persisted form is REAL since r12:
+#: operators/text.py::write_signatures_bucketed writes the melted band
+#: table bucketed by the join keys and lsh_candidate_pairs_from_bands /
+#: lsh_probe_pairs_from_bands consume it Exchange-free with no
+#: corpus-sized heap state (SCALE.md r12: 16g at 12.8 SF-units vs 96g
+#: for this cache). Keyed by applicationId so a new session never sees
+#: another session's checkpointed blocks.
 _SIG_CACHE: dict[tuple[str, str, str], object] = {}
 
 
