@@ -319,13 +319,63 @@ def winnowing_matches(
         )
         .distinct()
     )
+    return winnowing_matches_from_index(
+        sel, id_col, min_shared=min_shared, max_fp_df=max_fp_df
+    )
+
+
+def write_winnow_index_bucketed(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    table: str,
+    k: int = 3,
+    w: int = 4,
+    n_buckets: int = 64,
+    *,
+    selection: DataFrame | None = None,
+) -> None:
+    """Persist the distinct ``(id, fp_hash)`` fingerprint index
+    bucketed (and sorted) by ``fp_hash`` — the winnowing member of the
+    persisted-bucketed family, and the most literal one: a MOSS-style
+    deployment maintains exactly this inverted index, appending each
+    ingest batch's fingerprints, and every copy-detection pass reads
+    it back. Downstream the DF count, the boilerplate guard and the
+    cross-doc self-join are all fp_hash-keyed, so
+    ``winnowing_matches_from_index`` runs with one Exchange total (the
+    final per-pair count — a different key, irreducible)."""
+    selected = (
+        selection
+        if selection is not None
+        else winnow_selection(df, text_col, id_col, k, w)
+    )
+    (
+        selected.select(F.col(id_col), F.shiftright("fp_key", 22).alias("fp_hash"))
+        .distinct()
+        .write.mode("overwrite")
+        .bucketBy(n_buckets, "fp_hash")
+        .sortBy("fp_hash")
+        .saveAsTable(table)
+    )
+
+
+def winnowing_matches_from_index(
+    index: DataFrame,
+    id_col: str,
+    min_shared: int = 2,
+    max_fp_df: int = 50,
+) -> DataFrame:
+    """Copy-detection pairs from an already-built distinct
+    ``(id, fp_hash)`` index — the persisted-table twin of
+    ``winnowing_matches`` (a thin wrapper over this; see
+    ``write_winnow_index_bucketed`` for the layout)."""
     rare = (
-        sel.groupBy("fp_hash")
+        index.groupBy("fp_hash")
         .agg(F.count("*").alias("fp_df"))
         .where(F.col("fp_df") <= max_fp_df)
         .select("fp_hash")
     )
-    indexed = sel.join(rare, "fp_hash")
+    indexed = index.join(rare, "fp_hash")
     a = indexed.select(F.col("fp_hash"), F.col(id_col).alias("id_a"))
     b = indexed.select(F.col("fp_hash"), F.col(id_col).alias("id_b"))
     return (

@@ -257,3 +257,31 @@ def test_simhash_bands_bucketed_candidate_stage(spark):
         assert got == want and len(got) > 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64MB")
+
+
+def test_winnow_index_bucketed_match_stage(spark):
+    """The winnowing member of the persisted-bucketed family: the
+    MOSS-style (id, fp_hash) inverted index written by
+    write_winnow_index_bucketed feeds the copy-detection join with one
+    Exchange total (the final per-pair count), and pairs identical to
+    the in-process path."""
+    from _multi_source_retail_data_integration_hub_spark.operators import text as T
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    T.write_winnow_index_bucketed(docs, "text", "doc_id", "bkt_db.winnow_idx", n_buckets=8)
+    tbl = spark.table("bkt_db.winnow_idx")
+    assert tbl.columns == ["doc_id", "fp_hash"]
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        pairs = T.winnowing_matches_from_index(tbl, "doc_id")
+        plan = pairs._jdf.queryExecution().executedPlan().toString()
+        n_exchange = plan.count("Exchange")
+        assert n_exchange == 1, f"{n_exchange} Exchanges\n{plan[:3000]}"
+
+        direct = T.winnowing_matches(docs, "text", "doc_id")
+        got = {tuple(r) for r in pairs.collect()}
+        want = {tuple(r) for r in direct.collect()}
+        assert got == want and len(got) > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64MB")
