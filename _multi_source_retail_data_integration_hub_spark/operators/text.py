@@ -823,6 +823,7 @@ def write_signatures_bucketed(
     id_col: str = "id",
     n_bands: int = 4,
     n_buckets: int = 64,
+    mode: str = "overwrite",
 ) -> None:
     """Persist the melted LSH band table ``(id, band_id, bucket)``
     bucketed (and sorted) by the candidate join keys.
@@ -838,10 +839,16 @@ def write_signatures_bucketed(
     the final pair distinct: the hot-bucket count, the guard join and
     the within-bucket self-join all reuse the scan's hash
     partitioning (tests/test_bucketing.py asserts the plan).
+
+    ``mode="append"`` is the per-batch ingest path: each new batch's
+    bands land in the same bucket layout (Spark routes appended rows
+    into the existing bucket files' hash space), so history grows
+    in place and the probe/candidate readers keep their plan. The
+    bucket spec must match the table's — Spark raises if it doesn't.
     """
     (
         _melt_bands(sig, id_col, n_bands)
-        .write.mode("overwrite")
+        .write.mode(mode)
         .bucketBy(n_buckets, "band_id", "bucket")
         .sortBy("band_id", "bucket")
         .saveAsTable(table)

@@ -285,3 +285,50 @@ def test_winnow_index_bucketed_match_stage(spark):
         assert got == want and len(got) > 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64MB")
+
+
+def test_signature_table_append_is_the_ingest_path(spark):
+    """Per-batch ingest: write the history bands once, APPEND each new
+    batch with the same bucket spec — the combined table must (a) stay
+    a bucketed scan feeding the Exchange-free probe plan, and (b) give
+    probe pairs identical to probing against the in-process union."""
+    from _multi_source_retail_data_integration_hub_spark.operators import text as T
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    hist = docs.where(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("id"), "text"
+    )
+    day2 = docs.where(F.col("doc_id") % 2 == 1).select(
+        F.col("doc_id").alias("id"), "text"
+    )
+    sig_hist, sig_day2 = (
+        T.minhash_signatures(x, "text", "id") for x in (hist, day2)
+    )
+    T.write_signatures_bucketed(sig_hist, "bkt_db.appnd", id_col="id", n_buckets=8)
+    T.write_signatures_bucketed(
+        sig_day2, "bkt_db.appnd", id_col="id", n_buckets=8, mode="append"
+    )
+    tbl = spark.table("bkt_db.appnd")
+    assert tbl.count() == docs.count() * 4
+
+    batch = docs.limit(25).select((F.col("doc_id") + 2_000_000).alias("id"), "text")
+    sig_new = T.minhash_signatures(batch, "text", "id")
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        pairs = T.lsh_probe_pairs_from_bands(
+            T._melt_bands(sig_new, "id", 4), tbl, "id"
+        )
+        plan = pairs._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan  # appends kept the layout
+
+        direct = T.lsh_probe_pairs(
+            sig_new, T.minhash_signatures(
+                hist.unionByName(day2), "text", "id"
+            ), "id"
+        )
+        got = {(r.id_new, r.id_hist) for r in pairs.collect()}
+        want = {(r.id_new, r.id_hist) for r in direct.collect()}
+        assert got == want and len(got) > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64MB")
