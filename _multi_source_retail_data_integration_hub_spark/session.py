@@ -92,6 +92,10 @@ def cluster_conf(
         # in the star joins is a hint; this is the planner ceiling)
         "spark.sql.autoBroadcastJoinThreshold": "64MB",
         "spark.sql.cbo.enabled": "true",  # ANALYZE TABLE feeds it (tests/test_stats.py)
+        # bucketed-table readers (SCALE.md persisted-state recipe):
+        # superset-keyed joins/aggs reuse the scan partitioning instead
+        # of re-shuffling on all keys (same key as get_spark)
+        "spark.sql.requireAllClusterKeysForCoPartition": "false",
         # Python boundary: Arrow-batched everywhere
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         # streaming: RocksDB state store for large keyed state
