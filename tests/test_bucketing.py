@@ -111,24 +111,34 @@ def test_minhash_bands_bucketed_candidate_stage(spark):
 
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        for mode in ("drop", "subsplit"):
-            pairs = T.lsh_candidate_pairs_from_bands(
-                tbl, "doc_id", max_bucket_size=1000, hot_bucket_mode=mode
-            )
-            plan = pairs._jdf.queryExecution().executedPlan().toString()
-            # exactly ONE Exchange: the final distinct over (id_a, id_b)
-            # — a different key set, irreducible. The candidate stage
-            # itself (count/guard/self-join) must reuse the bucketing.
-            n_exchange = plan.count("Exchange")
-            assert n_exchange == 1, f"{mode}: {n_exchange} Exchanges\n{plan[:3000]}"
+        # cap=1000 is the production default (inactive at this SF);
+        # cap=2 forces the guard to ENGAGE so parity also covers the
+        # drop-excised and salt-subsplit row sets (x128 showed the two
+        # modes diverge exactly at cap engagement — SCALE.md r12)
+        for cap in (1000, 2):
+            for mode in ("drop", "subsplit"):
+                pairs = T.lsh_candidate_pairs_from_bands(
+                    tbl, "doc_id", max_bucket_size=cap, hot_bucket_mode=mode
+                )
+                plan = pairs._jdf.queryExecution().executedPlan().toString()
+                # exactly ONE Exchange: the final distinct over
+                # (id_a, id_b) — a different key set, irreducible. The
+                # candidate stage (count/guard/self-join) must reuse
+                # the bucketing whether or not the guard engages.
+                n_exchange = plan.count("Exchange")
+                assert n_exchange == 1, (
+                    f"{mode} cap={cap}: {n_exchange} Exchanges\n{plan[:3000]}"
+                )
 
-            # value parity with the in-process melt path
-            direct = T.lsh_candidate_pairs(
-                sig, "doc_id", max_bucket_size=1000, hot_bucket_mode=mode
-            )
-            got = {(r.id_a, r.id_b) for r in pairs.collect()}
-            want = {(r.id_a, r.id_b) for r in direct.collect()}
-            assert got == want and len(got) > 0
+                # value parity with the in-process melt path
+                direct = T.lsh_candidate_pairs(
+                    sig, "doc_id", max_bucket_size=cap, hot_bucket_mode=mode
+                )
+                got = {(r.id_a, r.id_b) for r in pairs.collect()}
+                want = {(r.id_a, r.id_b) for r in direct.collect()}
+                assert got == want, f"{mode} cap={cap}"
+                if cap == 1000:
+                    assert len(got) > 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64MB")
 
