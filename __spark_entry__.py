@@ -109,56 +109,7 @@ _DEFER_TO_NEXT_WINDOW: list[str] = []
 # unchanged — the list only needs regenerating when a round's artifact
 # lands (the leading stale block rotates to the back).
 _BACKFILL = [
-    # -- newest driver row: round 8 --
-    "q09_calendar_dim",
-    "q10_row_hash",
-    "q11_kpi_summary",
-    "q12_heatmap",
-    "q13_histogram",
-    "q17_exact_dedup",
-    "q18_token_stats",
-    "q19_quality_score",
-    "q81_heavy_hitters",
-    "q82_volume_shipping",
-    "q83_returned_top_customers",
-    "q84_local_supplier_volume",
-    "q86_promo_share",
-    "q87_market_share",
-    "q103_priority_mix",
-    "q111_incremental_mart",
-    "q112_bpe_pairs",
-    "q113_rolling_anomaly",
-    "q114_rare_token_score",
-    "q115_data_expectations",
-    "q117_variant_props_stats",
-    "q118_lateral_topk",
-    "q119_purchase_streaks",
-    "q120_crossdoc_dups",
-    "q128_key_skew_audit",
-    "q129_table_checksum",
-    "q139_multilane_checksum",
-    "q144_topn_per_segment",
-    "q145_mart_distinct_rollup",
-    "q146_pareto_curve",
-    "q147_simhash_neardup",
-    "q148_bigram_surprisal",
-    "q149_winnowing_fingerprints",
-    "q150_winnowing_matches",
     # -- newest driver row: round 9 --
-    "q88_best_price_supplier",
-    "q89_product_profit",
-    "q90_important_parts",
-    "q91_custdist",
-    "q92_top_supplier",
-    "q93_supplier_diversity",
-    "q94_small_order_drain",
-    "q95_large_orders",
-    "q96_disjunctive_revenue",
-    "q97_excess_shipments",
-    "q98_sole_failing_supplier",
-    "q99_dormant_customers",
-    "q102_forecast_revenue",
-    "q109_vocab_coverage",
     "q121_cdc_mart",
     "q122_bm25_search",
     "q123_supplier_pagerank",
@@ -291,6 +242,55 @@ _BACKFILL = [
     "q141_bpe_tokenize",
     "q142_decile_cutpoints",
     "q143_quantile_rollup",
+    # -- newest driver row: round 12 --
+    "q09_calendar_dim",
+    "q10_row_hash",
+    "q11_kpi_summary",
+    "q12_heatmap",
+    "q13_histogram",
+    "q17_exact_dedup",
+    "q18_token_stats",
+    "q19_quality_score",
+    "q81_heavy_hitters",
+    "q82_volume_shipping",
+    "q83_returned_top_customers",
+    "q84_local_supplier_volume",
+    "q86_promo_share",
+    "q87_market_share",
+    "q88_best_price_supplier",
+    "q89_product_profit",
+    "q90_important_parts",
+    "q91_custdist",
+    "q92_top_supplier",
+    "q93_supplier_diversity",
+    "q94_small_order_drain",
+    "q95_large_orders",
+    "q96_disjunctive_revenue",
+    "q97_excess_shipments",
+    "q98_sole_failing_supplier",
+    "q99_dormant_customers",
+    "q102_forecast_revenue",
+    "q103_priority_mix",
+    "q109_vocab_coverage",
+    "q111_incremental_mart",
+    "q112_bpe_pairs",
+    "q113_rolling_anomaly",
+    "q114_rare_token_score",
+    "q115_data_expectations",
+    "q117_variant_props_stats",
+    "q118_lateral_topk",
+    "q119_purchase_streaks",
+    "q120_crossdoc_dups",
+    "q128_key_skew_audit",
+    "q129_table_checksum",
+    "q139_multilane_checksum",
+    "q144_topn_per_segment",
+    "q145_mart_distinct_rollup",
+    "q146_pareto_curve",
+    "q147_simhash_neardup",
+    "q148_bigram_surprisal",
+    "q149_winnowing_fingerprints",
+    "q150_winnowing_matches",
 ]
 
 

@@ -58,27 +58,27 @@ def test_window_protocol_layout():
     fingerprint twin pinned at exactly position 50 — a refactor of
     _ordered() that silently moves either breaks the bracket
     inference. Round-11 rotation (r10 verdict ask #1): the per-table
-    guards stay retired PAST the window; round-12 rotation (r11
-    verdict asks #1/#2): the r8-stale block (q09..q150, last scored
-    r8 — now the oldest rows in the registry) leads the backfill,
-    completing the full registry refresh cycle."""
+    guards stay retired PAST the window; round-13 rotation (r12
+    verdict asks #1/#2): the r9 block (q121..q173, last scored r9 —
+    now the oldest rows after CORRECTNESS_r12 landed) leads the
+    backfill, followed by the head of the r10 block."""
     names = list(entry.queries())
     assert names[0] == "q000_generation_fingerprint"
     assert names[49] == "q997_generation_fingerprint_tail"
     # retired guards stay registered but OUTSIDE the recorded window
     for g in entry._RETIRED_GUARDS:
         assert names.index(g) > 49, f"{g} must sit past the window"
-    # the r8-stale block leads the backfill and lands in the window
+    # the r9 block leads the backfill and lands in the window
     # (structural, so adding a new query never silently displaces the
     # oldest rows)
-    carries = ["q09_calendar_dim", "q10_row_hash", "q11_kpi_summary"]
+    carries = ["q121_cdc_mart", "q122_bm25_search", "q123_supplier_pagerank"]
     assert entry._BACKFILL[:3] == carries
     for q in carries:
-        assert names.index(q) < 49, f"{q} must land in the r12 window"
-    # spot-check the tail of the r8-stale block also makes the window
-    for q in ("q147_simhash_neardup", "q149_winnowing_fingerprints",
-              "q150_winnowing_matches"):
-        assert names.index(q) < 49, f"{q} must land in the r12 window"
+        assert names.index(q) < 49, f"{q} must land in the r13 window"
+    # spot-check the tail of the r9 block also makes the window
+    for q in ("q171_curation_funnel", "q172_k_anonymity",
+              "q173_centroid_drift"):
+        assert names.index(q) < 49, f"{q} must land in the r13 window"
     # the leading stale block fits in this window — STRICT: every one
     # of the 48 leading backfill names must be a registered query (a
     # typo or deregistration must fail here, not silently admit a
