@@ -291,6 +291,9 @@ _BACKFILL = [
     "q148_bigram_surprisal",
     "q149_winnowing_fingerprints",
     "q150_winnowing_matches",
+    # -- newest driver row: never driver-scored --
+    "q179_persisted_lsh_candidates",
+    "q180_persisted_top_terms",
 ]
 
 

@@ -88,6 +88,37 @@ def write_parquet(
     write_files(df, path, "parquet", mode, partition_by)
 
 
+def ensure_table_writable(spark: SparkSession, table: str) -> None:
+    """Make ``saveAsTable(table)`` safe to (re-)create: drop any
+    catalog entry AND any stale managed location left in the
+    warehouse directory.
+
+    Why both: with the session-scoped in-memory catalog, a managed
+    table written by a previous (possibly killed) process leaves its
+    directory under ``spark.sql.warehouse.dir`` while the new
+    session's catalog has no entry for it — ``saveAsTable`` then
+    fails with LOCATION_ALREADY_EXISTS even in overwrite mode. A
+    persistent-metastore deployment (Hive/Glue/Unity) doesn't have
+    this asymmetry (DROP TABLE removes the location); this helper
+    mirrors that contract locally so the persisted-table queries are
+    re-runnable across sessions. Only local ``file:`` warehouses are
+    swept — on a real cluster the metastore owns the lifecycle.
+    """
+    import shutil
+    from urllib.parse import urlparse
+
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir", ""))
+    if warehouse.scheme not in ("", "file"):
+        return
+    parts = table.split(".")
+    db = parts[-2] if len(parts) > 1 else None
+    leaf = parts[-1]
+    root = warehouse.path
+    path = f"{root}/{db}.db/{leaf}" if db else f"{root}/{leaf}"
+    shutil.rmtree(path, ignore_errors=True)
+
+
 #: built-in columnar/row formats this engine round-trips without extra
 #: jars. Delta/Iceberg/Hudi need their connectors on the classpath —
 #: absent in this container, so they stay out of the supported set

@@ -342,3 +342,59 @@ def test_signature_table_append_is_the_ingest_path(spark):
         assert got == want and len(got) > 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64MB")
+
+
+def test_persisted_path_queries_read_bucketed_tables(spark):
+    """q179/q180 (the persisted production path under the oracle gate,
+    r12 verdict ask #3) must actually READ the bucketed tables they
+    write — not silently fall back to an in-process recompute — and
+    keep the Exchange budget their operator-level twins assert: one
+    Exchange total on each read side (the final pair distinct resp.
+    the per-doc ranking window)."""
+    import _multi_source_retail_data_integration_hub_spark.plans.training_data  # noqa: F401 — registers the queries
+    from _multi_source_retail_data_integration_hub_spark.plans.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for name, n_exchange_want in (
+            ("q179_persisted_lsh_candidates", 1),
+            ("q180_persisted_top_terms", 1),
+        ):
+            df = QUERIES[name](spark, sf)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            assert "Bucketed: true" in plan, f"{name} not reading the table"
+            n_exchange = plan.count("Exchange")
+            assert n_exchange == n_exchange_want, (
+                f"{name}: {n_exchange} Exchanges\n{plan[:3000]}"
+            )
+            assert df.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        for t in ("persisted_bands_sf0_001", "persisted_tokens_sf0_001"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_ensure_table_writable_clears_stale_location(spark, tmp_path):
+    """A managed location left behind by a killed previous process (the
+    in-memory catalog forgets the table, the warehouse directory stays)
+    must not brick saveAsTable: ensure_table_writable sweeps it."""
+    import os
+    from urllib.parse import urlparse
+
+    from _multi_source_retail_data_integration_hub_spark.sources.sinks import (
+        ensure_table_writable,
+    )
+
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    stale = os.path.join(warehouse, "stale_loc_tbl")
+    os.makedirs(stale, exist_ok=True)
+    with open(os.path.join(stale, "junk"), "w") as fh:
+        fh.write("leftover")
+
+    ensure_table_writable(spark, "stale_loc_tbl")
+    try:
+        spark.range(3).write.mode("overwrite").saveAsTable("stale_loc_tbl")
+        assert spark.table("stale_loc_tbl").count() == 3
+    finally:
+        spark.sql("DROP TABLE IF EXISTS stale_loc_tbl")
