@@ -313,11 +313,8 @@ def winnowing_matches(
         if selection is not None
         else winnow_selection(df, text_col, id_col, k, w)
     )
-    sel = (
-        selected.select(
-            F.col(id_col), F.shiftright("fp_key", 22).alias("fp_hash")
-        )
-        .distinct()
+    sel = selected.select(
+        F.col(id_col), F.shiftright("fp_key", 22).alias("fp_hash")
     )
     return winnowing_matches_from_index(
         sel, id_col, min_shared=min_shared, max_fp_df=max_fp_df
@@ -332,6 +329,7 @@ def write_winnow_index_bucketed(
     k: int = 3,
     w: int = 4,
     n_buckets: int = 64,
+    mode: str = "overwrite",
     *,
     selection: DataFrame | None = None,
 ) -> None:
@@ -339,11 +337,19 @@ def write_winnow_index_bucketed(
     bucketed (and sorted) by ``fp_hash`` — the winnowing member of the
     persisted-bucketed family, and the most literal one: a MOSS-style
     deployment maintains exactly this inverted index, appending each
-    ingest batch's fingerprints, and every copy-detection pass reads
-    it back. Downstream the DF count, the boilerplate guard and the
-    cross-doc self-join are all fp_hash-keyed, so
-    ``winnowing_matches_from_index`` runs with one Exchange total (the
-    final per-pair count — a different key, irreducible)."""
+    ingest batch's fingerprints (``mode="append"``, same per-batch
+    ingest contract as ``write_signatures_bucketed``), and every
+    copy-detection pass reads it back. Downstream the DF count, the
+    boilerplate guard and the cross-doc self-join are all
+    fp_hash-keyed, so ``winnowing_matches_from_index`` runs with one
+    Exchange total (the final per-pair count — a different key,
+    irreducible).
+
+    Each WRITE is distinct within itself; a re-ingested document
+    appended twice would still duplicate (id, fp_hash) rows across
+    batches, which is why the reader re-distincts the index before
+    counting (r12 advice) — duplicate rows inflate neither fp_df nor
+    n_shared."""
     selected = (
         selection
         if selection is not None
@@ -352,7 +358,7 @@ def write_winnow_index_bucketed(
     (
         selected.select(F.col(id_col), F.shiftright("fp_key", 22).alias("fp_hash"))
         .distinct()
-        .write.mode("overwrite")
+        .write.mode(mode)
         .bucketBy(n_buckets, "fp_hash")
         .sortBy("fp_hash")
         .saveAsTable(table)
@@ -365,10 +371,20 @@ def winnowing_matches_from_index(
     min_shared: int = 2,
     max_fp_df: int = 50,
 ) -> DataFrame:
-    """Copy-detection pairs from an already-built distinct
-    ``(id, fp_hash)`` index — the persisted-table twin of
-    ``winnowing_matches`` (a thin wrapper over this; see
-    ``write_winnow_index_bucketed`` for the layout)."""
+    """Copy-detection pairs from an already-built ``(id, fp_hash)``
+    index — the persisted-table twin of ``winnowing_matches`` (a thin
+    wrapper over this; see ``write_winnow_index_bucketed`` for the
+    layout).
+
+    The index is re-distincted here before any counting: appended
+    ingest batches (or a re-ingested document) may duplicate
+    (id, fp_hash) rows across batches, and duplicates would inflate
+    both fp_df (mis-tripping the boilerplate guard) and n_shared. On
+    the fp_hash-bucketed table the distinct reuses the scan's
+    partitioning (grouping keys are a superset of the bucket key), so
+    the Exchange budget is unchanged; the in-process wrapper simply
+    stopped pre-distincting (same total work, one owner)."""
+    index = index.distinct()
     rare = (
         index.groupBy("fp_hash")
         .agg(F.count("*").alias("fp_df"))
@@ -1196,15 +1212,20 @@ def write_simhash_bands_bucketed(
 def simhash_pairs_from_bands(
     melted: DataFrame,
     id_col: str,
-    n_bands: int = 4,
+    *,
+    n_bands: int,
     hamming_max: int = 3,
     max_bucket_size: int | None = LSH_MAX_BUCKET_SIZE,
 ) -> DataFrame:
     """Verified Hamming pairs from an already-melted
     ``(id, fp, band_id, bucket)`` table — the persisted-table twin of
-    ``simhash_pairs`` (a thin wrapper over this). ``n_bands`` must
-    state the table's banding: it exists only to enforce the
-    pigeonhole recall precondition ``hamming_max < n_bands``."""
+    ``simhash_pairs`` (a thin wrapper over this). ``n_bands`` is
+    REQUIRED and must state the table's ACTUAL banding (the n_bands
+    that was passed to ``write_simhash_bands_bucketed``): it exists
+    only to enforce the pigeonhole recall precondition
+    ``hamming_max < n_bands``, and a default here would let a caller
+    reading a coarser-banded table pass validation while silently
+    losing the recall guarantee (r12 advice)."""
     if hamming_max >= n_bands:
         raise ValueError(
             f"hamming_max={hamming_max} needs n_bands > hamming_max "

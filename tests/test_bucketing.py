@@ -398,3 +398,31 @@ def test_ensure_table_writable_clears_stale_location(spark, tmp_path):
         assert spark.table("stale_loc_tbl").count() == 3
     finally:
         spark.sql("DROP TABLE IF EXISTS stale_loc_tbl")
+
+
+def test_winnow_index_append_reingest_dedup(spark):
+    """The MOSS append contract (r12 advice): appending ingest batches
+    must keep the match join correct even when a document is
+    RE-INGESTED (its (id, fp_hash) rows duplicated across batches) —
+    the reader re-distincts, so fp_df and n_shared are computed over
+    the logical index, not the physical rows."""
+    from _multi_source_retail_data_integration_hub_spark.operators import text as T
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    batch1 = docs.limit(60)
+    T.write_winnow_index_bucketed(batch1, "text", "doc_id", "bkt_db.wn_app", n_buckets=8)
+    # batch 2 = the rest of the corpus PLUS a re-ingest of batch 1
+    T.write_winnow_index_bucketed(docs, "text", "doc_id", "bkt_db.wn_app",
+                                  n_buckets=8, mode="append")
+    tbl = spark.table("bkt_db.wn_app")
+    # physical rows really are duplicated — the scenario is live
+    assert tbl.count() > tbl.distinct().count()
+
+    got = {
+        tuple(r)
+        for r in T.winnowing_matches_from_index(tbl, "doc_id").collect()
+    }
+    want = {
+        tuple(r) for r in T.winnowing_matches(docs, "text", "doc_id").collect()
+    }
+    assert got == want and len(want) > 0
