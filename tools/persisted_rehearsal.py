@@ -27,14 +27,22 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def _cli_mult(default: int = 64) -> int:
+def _cli_spec(default: str = "64") -> str:
+    """Corpus spec from argv[1]: a plain multiplier (``64``) or the
+    grouped-documents form ``<mult>g<group>`` (``64g8``) that
+    tools/scale_rehearsal.py builds for the winnow match stage (the
+    suffix-only corpus pushes every fingerprint over the boilerplate
+    cap at x64+, so its match join vacuously emits 0 pairs)."""
     try:
-        return int(sys.argv[1])
+        spec = str(sys.argv[1])
+        int(spec.split("g")[0])  # validate the numeric multiplier part
+        return spec
     except (IndexError, ValueError):
         return default
 
 
-_MULT = _cli_mult()
+_SPEC = _cli_spec()
+_MULT = int(_SPEC.split("g")[0])
 # raise the synthetic-id offsets BEFORE the plans import (same guard as
 # tools/scale_rehearsal.py — the xN corpus multiplies max doc_id by ~N)
 os.environ.setdefault("SPARK_GRAFT_DOC_OFFSET", str(100_000 * max(_MULT, 1) * 10))
@@ -168,15 +176,15 @@ STEPS = {
 
 
 def main() -> None:
-    mult = _MULT
     names = sys.argv[2:] or list(STEPS)
     bad = [n for n in names if n not in STEPS]
     if bad:
         raise SystemExit(f"unknown steps {bad}; choose from {sorted(STEPS)}")
-    sf = os.path.join(REPO, ".scale_tmp", f"sf0.1x{mult}")
+    sf = os.path.join(REPO, ".scale_tmp", f"sf0.1x{_SPEC}")
     if not os.path.isdir(sf):
         raise SystemExit(
-            f"{sf} missing — build it first: python tools/scale_rehearsal.py {mult}"
+            f"{sf} missing — build it first: python tools/scale_rehearsal.py {_SPEC}"
+            " --build-only"
         )
     spark = get_spark("persisted_rehearsal")
     heap = os.environ.get("SPARK_DRIVER_MEMORY", "16g")

@@ -37,9 +37,11 @@ sys.path.insert(0, REPO)
 def _cli_mult(default: int = 8) -> int:
     """Multiplier from argv[1]; tolerant so a non-script import (test
     collection, `from tools import scale_rehearsal`) never parses the
-    importer's argv into an import-time ValueError."""
+    importer's argv into an import-time ValueError. Accepts the
+    ``<mult>g<group>`` spec too (``64g8``) — the numeric multiplier is
+    what the id-offset guard needs."""
     try:
-        return int(sys.argv[1])
+        return int(str(sys.argv[1]).split("g")[0])
     except (IndexError, ValueError):
         return default
 
@@ -89,12 +91,36 @@ OFF = 10_000_000
 TABLE_OFF = {"documents": 10_000}
 
 
-def _copy_variant(df: DataFrame, table: str, k: int) -> DataFrame:
-    if k == 0:
+def _copy_variant(
+    df: DataFrame, table: str, k: int, doc_group_size: int | None = None
+) -> DataFrame:
+    if k == 0 and doc_group_size is None:
         return df
     for col in KEY_OFFSETS.get(table, ()):
         df = df.withColumn(col, F.col(col) + F.lit(k * TABLE_OFF.get(table, OFF)))
     if table == "documents":
+        if doc_group_size is not None:
+            # GROUPED mode (r12 verdict ask #4): the default suffix-only
+            # perturbation keeps every copy's INTERIOR k-grams shared by
+            # all N copies, so at x64+ every winnow fingerprint's DF
+            # blows past the max_fp_df=50 boilerplate cap and the match
+            # join vacuously emits 0 pairs. Here copies are split into
+            # groups of ``doc_group_size``: a per-GROUP suffix on every
+            # token gives each group a disjoint gram universe, so a
+            # fingerprint's DF is ~group_size x its base-corpus DF —
+            # under the cap when the group is small — while copies
+            # WITHIN a group stay genuine near-dups (shared interior,
+            # per-copy tail) and the match join has real work at any
+            # multiplier.
+            gid = k // doc_group_size
+            toks = F.split(F.trim("text"), r"\s+")
+            df = df.withColumn(
+                "text",
+                F.concat_ws(
+                    " ",
+                    F.transform(toks, lambda t: F.concat(t, F.lit(f"_g{gid}"))),
+                ),
+            )
         # distinct shingle/token universes per copy — near-dup structure
         # stays sparse instead of every doc having N exact clones
         df = df.withColumn("text", F.concat("text", F.lit(f" copytag{k}")))
@@ -129,8 +155,9 @@ def _shift_keep_type(df: DataFrame, col: str, k: int):
     return F.col(col) + F.expr(f"INTERVAL {k} HOURS")
 
 
-def build_scaled(spark, mult: int) -> str:
-    out_dir = os.path.join(SCRATCH, f"sf0.1x{mult}")
+def build_scaled(spark, mult: int, doc_group_size: int | None = None) -> str:
+    tag = f"sf0.1x{mult}" + (f"g{doc_group_size}" if doc_group_size else "")
+    out_dir = os.path.join(SCRATCH, tag)
     marker = os.path.join(out_dir, "_DONE")
     if os.path.exists(marker):
         return out_dir
@@ -139,7 +166,9 @@ def build_scaled(spark, mult: int) -> str:
     for table in TESTDATA_TABLES:
         src = load_table(spark, BASE_SF, table)
         if table in KEY_OFFSETS:
-            parts = [_copy_variant(src, table, k) for k in range(mult)]
+            parts = [
+                _copy_variant(src, table, k, doc_group_size) for k in range(mult)
+            ]
             df = parts[0]
             for p in parts[1:]:
                 df = df.unionByName(p)
@@ -162,13 +191,31 @@ def time_query(spark, fn, sf_dir: str, runs: int = 2) -> float:
     return best
 
 
+def _cli_group() -> int | None:
+    """Optional doc-group size from a ``<mult>g<group>`` argv[1] spec
+    (``64g8`` -> groups of 8); None for the default suffix-only corpus."""
+    try:
+        spec = str(sys.argv[1])
+    except IndexError:
+        return None
+    if "g" in spec:
+        try:
+            return int(spec.split("g", 1)[1])
+        except ValueError:
+            return None
+    return None
+
+
 def main() -> None:
     args = sys.argv[1:]
     mult = _MULT  # parsed once at import, where the offset env is set
     names = args[1:] or DEFAULT_QUERIES
     spark = get_spark("scale_rehearsal")
     queries = entrymod.queries()
-    scaled_dir = build_scaled(spark, mult)
+    scaled_dir = build_scaled(spark, mult, _cli_group())
+    if names == ["--build-only"]:
+        print(f"built {scaled_dir}")
+        return
 
     print(f"\n| query | sf0.1 (s) | sf0.1 x{mult} (s) | ratio | verdict |")
     print("|---|---|---|---|---|")
