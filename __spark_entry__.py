@@ -294,6 +294,7 @@ _BACKFILL = [
     # -- newest driver row: never driver-scored --
     "q179_persisted_lsh_candidates",
     "q180_persisted_top_terms",
+    "q181_lsh_cap_recall",
 ]
 
 

@@ -551,18 +551,18 @@ def _sig_ctes() -> str:
     )"""
 
 
-def _per_band_union(table: str) -> str:
+def _per_band_union(table: str, cap: int = T.LSH_MAX_BUCKET_SIZE) -> str:
     """Candidate pairs: docs sharing any of the 4 band hashes (shared
-    by the q24/q80/q116 oracles). Mirrors the Spark side's hot-bucket
-    cap (operators/text.py LSH_MAX_BUCKET_SIZE, drop mode): a band
-    bucket holding more docs than the cap leaves the join on BOTH
-    engines, so a regenerated corpus with genuinely hot buckets cannot
-    diverge the differential gate."""
+    by the q24/q80/q116/q181 oracles). Mirrors the Spark side's
+    hot-bucket cap (operators/text.py LSH_MAX_BUCKET_SIZE, drop mode):
+    a band bucket holding more docs than the cap leaves the join on
+    BOTH engines, so a regenerated corpus with genuinely hot buckets
+    cannot diverge the differential gate."""
     return "\n      UNION\n".join(
         f"""      SELECT a.id AS id_a, b.id AS id_b
       FROM {table} a JOIN {table} b ON a.band{b} = b.band{b} AND a.id < b.id
       WHERE a.band{b} IN (SELECT band{b} FROM {table}
-                          GROUP BY 1 HAVING COUNT(*) <= {T.LSH_MAX_BUCKET_SIZE})"""
+                          GROUP BY 1 HAVING COUNT(*) <= {cap})"""
         for b in range(4)
     )
 
@@ -4350,3 +4350,228 @@ def q180_persisted_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     toks = spark.table(table).withColumnRenamed("token", "term")
     return _top_terms(toks)
+
+
+# ---------------------------------------------------------------------------
+# q181 — drop-vs-subsplit RECALL at cap-engaged scale (r12 verdict ask
+# #5). The x128/x256 rehearsals produced the first pair sets where the
+# two hot-bucket modes diverge (660.12M vs 667.58M pairs at x256), but
+# no number said what either mode's recall IS on the contested pairs.
+# This audit produces that number, exact-anchored in the q80 pattern:
+#
+#   1. contested universe = within-bucket pairs of every CAP-EXCEEDING
+#      band bucket (the pairs drop mode excises from that band);
+#   2. deterministic sample (lowest seeded-md5, engine-portable) of at
+#      most _RECALL_SAMPLE_MAX contested pairs;
+#   3. ground truth = exact Jaccard >= 0.5 over the pair's distinct
+#      shingle sets (never all-pairs — only the sampled contested set);
+#   4. for each true pair, membership in the FULL candidate set of
+#      each mode (a pair dropped from one band still surfaces if any
+#      other band catches it — recall is a property of the whole
+#      4-band scheme, not of one band);
+#   5. one row: n_true_pairs, caught/recall per mode.
+#
+# Cap is _SUBSPLIT_CAP (=2, engages on the mutated corpus's near-dup
+# buckets at every test SF, same constant as q134 so the subsplit
+# candidate set here is exactly q134's). Buckets above
+# _RECALL_MAX_AUDIT_BUCKET are excluded from the contested-pair
+# enumeration (its cost is sum(m^2) over audited buckets — the
+# ceiling keeps the audit bounded at any corpus; monster buckets are
+# enumerated by the q85 audit surface instead, and at production caps
+# they are overwhelmingly exact-dup spam the exact-dedup pass owns).
+# ---------------------------------------------------------------------------
+_RECALL_SAMPLE_MAX = 20_000
+_RECALL_MAX_AUDIT_BUCKET = 4096
+
+
+def _cap_recall_sql() -> str:
+    melted = "\n      UNION ALL\n".join(
+        f"      SELECT id, {b} AS band_id, band{b} AS bucket FROM sigb"
+        for b in range(4)
+    )
+    return f"""
+    WITH {_sig_ctes()},
+    sigb AS (
+      SELECT id,
+           {_band_exprs()}
+      FROM sig0
+    ),
+    melted AS (
+{melted}
+    ),
+    counts AS (
+      SELECT band_id, bucket, COUNT(*) AS bucket_size
+      FROM melted GROUP BY 1, 2
+    ),
+    hot AS (
+      SELECT band_id, bucket FROM counts
+      WHERE bucket_size > {_SUBSPLIT_CAP}
+        AND bucket_size <= {_RECALL_MAX_AUDIT_BUCKET}
+    ),
+    hp AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM melted a
+      JOIN melted b ON a.band_id = b.band_id AND a.bucket = b.bucket
+                    AND a.id < b.id
+      JOIN hot h ON h.band_id = a.band_id AND h.bucket = a.bucket
+    ),
+    sampled AS (
+      SELECT id_a, id_b FROM hp
+      ORDER BY md5('0:' || CAST(id_a AS VARCHAR) || ':'
+                   || CAST(id_b AS VARCHAR))
+      LIMIT {_RECALL_SAMPLE_MAX}
+    ),
+    sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+      SELECT s.id_a, s.id_b, COUNT(*) AS ni
+      FROM sampled s
+      JOIN sh sa ON sa.id = s.id_a
+      JOIN sh sb ON sb.id = s.id_b AND sb.shingle = sa.shingle
+      GROUP BY 1, 2
+    ),
+    truep AS (
+      SELECT s.id_a, s.id_b
+      FROM sampled s
+      LEFT JOIN inter i ON i.id_a = s.id_a AND i.id_b = s.id_b
+      JOIN sizes na ON na.id = s.id_a
+      JOIN sizes nb ON nb.id = s.id_b
+      WHERE CAST(COALESCE(i.ni, 0) AS DOUBLE)
+            / (na.n + nb.n - COALESCE(i.ni, 0)) >= 0.5
+    ),
+    dropc AS (
+{_per_band_union("sigb", cap=_SUBSPLIT_CAP)}
+    ),
+    salted AS (
+      SELECT m.id, m.band_id, m.bucket,
+             CAST('0x' || substr(md5('0:' || CAST(m.id AS VARCHAR)), 1, 8)
+                  AS BIGINT)
+               % GREATEST(1, CAST(CEIL(c.bucket_size / {_SUBSPLIT_CAP})
+                                  AS BIGINT)) AS salt
+      FROM melted m JOIN counts c USING (band_id, bucket)
+    ),
+    subc AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM salted a
+      JOIN salted b
+        ON a.band_id = b.band_id AND a.bucket = b.bucket
+           AND a.salt = b.salt AND a.id < b.id
+    ),
+    flags AS (
+      SELECT t.id_a, t.id_b,
+             (d.id_a IS NOT NULL) AS in_drop,
+             (sc.id_a IS NOT NULL) AS in_sub
+      FROM truep t
+      LEFT JOIN dropc d ON d.id_a = t.id_a AND d.id_b = t.id_b
+      LEFT JOIN subc sc ON sc.id_a = t.id_a AND sc.id_b = t.id_b
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs,
+             CAST(COALESCE(SUM(CASE WHEN in_drop THEN 1 ELSE 0 END), 0)
+                  AS BIGINT) AS caught_drop,
+             CAST(COALESCE(SUM(CASE WHEN in_sub THEN 1 ELSE 0 END), 0)
+                  AS BIGINT) AS caught_subsplit
+      FROM flags
+    )
+    SELECT n_true_pairs, caught_drop, caught_subsplit,
+           CASE WHEN n_true_pairs > 0
+                THEN CAST(caught_drop AS DOUBLE) / n_true_pairs
+           END AS recall_drop,
+           CASE WHEN n_true_pairs > 0
+                THEN CAST(caught_subsplit AS DOUBLE) / n_true_pairs
+           END AS recall_subsplit
+    FROM agg
+    """
+
+
+@query("q181_lsh_cap_recall", oracle=_cap_recall_sql())
+def q181_lsh_cap_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _mutated(spark, sf_dir)
+    # one shingle pass feeds ground truth (same materialization
+    # rationale as q80: the exact-verify side reads it twice)
+    sh_all = T.distinct_shingles(corpus, "text", "id").localCheckpoint()
+    sig = _mutated_sig(spark, sf_dir)
+    melted = T._melt_bands(sig, "id", 4)
+    counts = melted.groupBy("band_id", "bucket").agg(
+        F.count("*").alias("bucket_size")
+    )
+    hot = counts.where(
+        (F.col("bucket_size") > _SUBSPLIT_CAP)
+        & (F.col("bucket_size") <= _RECALL_MAX_AUDIT_BUCKET)
+    ).select("band_id", "bucket")
+    hot_members = melted.join(hot, ["band_id", "bucket"])
+    hp = (
+        hot_members.select(F.col("id").alias("id_a"), "band_id", "bucket")
+        .join(
+            hot_members.select(F.col("id").alias("id_b"), "band_id", "bucket"),
+            ["band_id", "bucket"],
+        )
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    # deterministic bounded sample; localCheckpoint because the frame
+    # is referenced by BOTH the intersection count and the size join
+    # (q80's TakeOrderedAndProject-dedup rationale)
+    sampled = (
+        hp.orderBy(
+            F.md5(
+                F.concat(
+                    F.lit("0:"),
+                    F.col("id_a").cast("string"),
+                    F.lit(":"),
+                    F.col("id_b").cast("string"),
+                )
+            )
+        )
+        .limit(_RECALL_SAMPLE_MAX)
+        .localCheckpoint()
+    )
+    sizes = sh_all.groupBy("id").agg(F.count("*").alias("n"))
+    inter = (
+        sampled.join(sh_all.select(F.col("id").alias("id_a"), "shingle"), "id_a")
+        .join(
+            sh_all.select(F.col("id").alias("id_b"), "shingle"),
+            ["id_b", "shingle"],
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("ni"))
+    )
+    ni = F.coalesce(F.col("ni"), F.lit(0))
+    truep = (
+        sampled.join(inter, ["id_a", "id_b"], "left")
+        .join(sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb")), "id_b")
+        .where(
+            ni.cast("double") / (F.col("na") + F.col("nb") - ni) >= 0.5
+        )
+        .select("id_a", "id_b")
+    )
+    dropc = T.lsh_candidate_pairs(
+        sig, "id", max_bucket_size=_SUBSPLIT_CAP, hot_bucket_mode="drop"
+    ).withColumn("in_drop", F.lit(True))
+    subc = T.lsh_candidate_pairs(
+        sig, "id", max_bucket_size=_SUBSPLIT_CAP, hot_bucket_mode="subsplit"
+    ).withColumn("in_sub", F.lit(True))
+    flags = (
+        truep.join(dropc, ["id_a", "id_b"], "left")
+        .join(subc, ["id_a", "id_b"], "left")
+    )
+    agg = flags.agg(
+        F.count("*").cast("bigint").alias("n_true_pairs"),
+        F.coalesce(
+            F.sum(F.when(F.col("in_drop"), 1).otherwise(0)), F.lit(0)
+        ).cast("bigint").alias("caught_drop"),
+        F.coalesce(
+            F.sum(F.when(F.col("in_sub"), 1).otherwise(0)), F.lit(0)
+        ).cast("bigint").alias("caught_subsplit"),
+    )
+    n = F.col("n_true_pairs")
+    return agg.select(
+        "n_true_pairs",
+        "caught_drop",
+        "caught_subsplit",
+        F.when(n > 0, F.col("caught_drop").cast("double") / n).alias("recall_drop"),
+        F.when(n > 0, F.col("caught_subsplit").cast("double") / n).alias(
+            "recall_subsplit"
+        ),
+    )

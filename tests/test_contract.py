@@ -82,14 +82,15 @@ def test_window_protocol_layout():
     # the r13 registrations (persisted-path queries) are NEW — the
     # is-new rule slots them right after the guard for their first
     # driver row, displacing the last 2 backfill names to next round
-    for q in ("q179_persisted_lsh_candidates", "q180_persisted_top_terms"):
+    for q in ("q179_persisted_lsh_candidates", "q180_persisted_top_terms",
+              "q181_lsh_cap_recall"):
         assert names.index(q) < 49, f"{q} must land in the r13 window"
     # the leading stale block fits in this window — STRICT: every one
-    # of the 46 leading backfill names must be a registered query (a
+    # of the 45 leading backfill names must be a registered query (a
     # typo or deregistration must fail here, not silently admit a
-    # different 46th query into the recorded window; 46 = 48 minus the
-    # 2 window slots the new q179/q180 registrations take)
-    stale = entry._BACKFILL[:46]
+    # different 45th query into the recorded window; 45 = 48 minus the
+    # 3 window slots the new q179/q180/q181 registrations take)
+    stale = entry._BACKFILL[:45]
     unregistered = [q for q in stale if q not in names]
     assert not unregistered, f"unregistered backfill names: {unregistered}"
     assert all(names.index(q) < 49 for q in stale)

@@ -1493,3 +1493,24 @@ def test_q80_audit_sample_matches_duckdb_replay(spark):
         ).fetchall()
     )
     assert got == expect and len(got) == k
+
+
+def test_cap_recall_audit_invariants(spark):
+    """q181 (drop-vs-subsplit recall at cap engagement): structural
+    invariants that hold for ANY corpus — drop's candidate set only
+    contains pairs from sub-cap buckets, all of which subsplit also
+    keeps (subsplit touches hot buckets only), so caught_drop <=
+    caught_subsplit and both recalls sit in [0, 1] with
+    recall_drop <= recall_subsplit. Also pins that the audit ENGAGES
+    on the mutated corpus (n_true_pairs > 0) — a corpus change that
+    silently stops exercising the cap must fail here, not leave the
+    recall number vacuously NULL."""
+    from _multi_source_retail_data_integration_hub_spark.plans import training_data as td
+
+    row = td.q181_lsh_cap_recall(spark, "/root/testdata/sf0.001").collect()
+    assert len(row) == 1
+    r = row[0]
+    assert r.n_true_pairs > 0, "audit did not engage: no contested true pairs"
+    assert 0 <= r.caught_drop <= r.caught_subsplit <= r.n_true_pairs
+    assert r.recall_drop is not None and r.recall_subsplit is not None
+    assert 0.0 <= r.recall_drop <= r.recall_subsplit <= 1.0
