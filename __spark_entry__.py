@@ -295,6 +295,8 @@ _BACKFILL = [
     "q179_persisted_lsh_candidates",
     "q180_persisted_top_terms",
     "q181_lsh_cap_recall",
+    "q182_persisted_winnow_matches",
+    "q183_persisted_simhash_pairs",
 ]
 
 

@@ -24,7 +24,7 @@ from ..operators import sampling
 from ..operators import text as T
 from ..operators.checkpointing import materialize
 from ..sources.testdata import fan_out, load_table
-from .registry import query
+from .registry import ORACLE, query
 
 # id offset for synthetic second-snapshot docs. Env-overridable so
 # corpora larger than the default bound (e.g. tools/scale_rehearsal.py
@@ -4575,3 +4575,68 @@ def q181_lsh_cap_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall_subsplit"
         ),
     )
+
+
+@query("q182_persisted_winnow_matches", oracle=None)
+def q182_persisted_winnow_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q150's copy-detection join off the PERSISTED (id, fp_hash)
+    winnow index (bucketed by fp_hash): DF count, boilerplate guard
+    and cross-doc self-join all reuse the scan partitioning. Oracle is
+    q150's, attached below by reference."""
+    table = _persisted_table(
+        spark,
+        sf_dir,
+        "winnow",
+        lambda t: T.write_winnow_index_bucketed(
+            _docs(spark, sf_dir),
+            "text",
+            "doc_id",
+            t,
+            k=_WINNOW_K,
+            w=_WINNOW_W,
+            selection=_winnow_sel(spark, sf_dir),
+        ),
+    )
+    # no trailing orderBy: the gate's value hash is order-insensitive
+    # and a presentation sort would add a rangepartitioning Exchange to
+    # the otherwise single-Exchange read path (plan test pins it)
+    return T.winnowing_matches_from_index(
+        spark.table(table),
+        "doc_id",
+        min_shared=_WINNOW_MIN_SHARED,
+        max_fp_df=_WINNOW_MAX_FP_DF,
+    )
+
+
+@query("q183_persisted_simhash_pairs", oracle=None)
+def q183_persisted_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q147's banded Hamming join off the PERSISTED SimHash band table
+    (bucketed by (band_id, bucket)), same 16-bit/2-band/h<=1 config.
+    Oracle is q147's, attached below by reference."""
+    table = _persisted_table(
+        spark,
+        sf_dir,
+        "shbands",
+        lambda t: T.write_simhash_bands_bucketed(
+            T.simhash(_docs(spark, sf_dir), "text", "doc_id", bits=16),
+            t,
+            id_col="doc_id",
+            bits=16,
+            n_bands=2,
+        ),
+    )
+    return T.simhash_pairs_from_bands(
+        spark.table(table),
+        "doc_id",
+        n_bands=2,
+        hamming_max=1,
+        max_bucket_size=_SIMHASH_MAX_BUCKET,
+    )
+
+
+# Oracle twins SHARED BY REFERENCE with the in-process queries — the
+# differential gate then isolates the persistence layer exactly (see
+# the q179/q180 header comment). Attached post-definition because the
+# registry stores oracles by name, keyed at decoration time.
+ORACLE["q182_persisted_winnow_matches"] = ORACLE["q150_winnowing_matches"]
+ORACLE["q183_persisted_simhash_pairs"] = ORACLE["q147_simhash_neardup"]

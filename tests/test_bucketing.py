@@ -360,6 +360,8 @@ def test_persisted_path_queries_read_bucketed_tables(spark):
         for name, n_exchange_want in (
             ("q179_persisted_lsh_candidates", 1),
             ("q180_persisted_top_terms", 1),
+            ("q182_persisted_winnow_matches", 1),
+            ("q183_persisted_simhash_pairs", 1),
         ):
             df = QUERIES[name](spark, sf)
             plan = df._jdf.queryExecution().executedPlan().toString()
@@ -371,7 +373,8 @@ def test_persisted_path_queries_read_bucketed_tables(spark):
             assert df.count() > 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64MB")
-        for t in ("persisted_bands_sf0_001", "persisted_tokens_sf0_001"):
+        for t in ("persisted_bands_sf0_001", "persisted_tokens_sf0_001",
+                  "persisted_winnow_sf0_001", "persisted_shbands_sf0_001"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
