@@ -197,6 +197,22 @@ def _mutated_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sig
 
 
+def _mutated_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached distinct (id, shingle) table of the mutated
+    corpus — the exact-Jaccard ground-truth side shared by the q80 and
+    q181 audits (each previously localCheckpointed its own copy; one
+    tokenize+shingle pass per (session, sf_dir) instead). Value-
+    identical to computing it inline: shingling is deterministic."""
+    key = _sig_cache_key(spark, sf_dir, "shingles")
+    sh = _SIG_CACHE.get(key)
+    if sh is None:
+        sh = T.distinct_shingles(
+            _mutated(spark, sf_dir), "text", "id"
+        ).localCheckpoint()
+        _SIG_CACHE[key] = sh
+    return sh
+
+
 def _mutated_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Default-cap (drop-mode) LSH candidate pairs over the cached
     signature table — shared by q24/q116/q135 (q134's subsplit-mode
@@ -1156,12 +1172,12 @@ def _q80_sql() -> str:
 
 @query("q80_minhash_accuracy", oracle=_q80_sql())
 def q80_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    corpus = _mutated(spark, sf_dir)
-    # ONE tokenize+shingle pass for the whole audit: the materialized
-    # (id, shingle) table feeds signature computation AND the exact-
-    # Jaccard verify below (previously each side re-shingled the corpus
-    # — measured ~25% of the query's steady-state cost at sf0.1)
-    sh_all = T.distinct_shingles(corpus, "text", "id").localCheckpoint()
+    # ONE tokenize+shingle pass for the whole audit, now shared with
+    # q181 via the session cache: the materialized (id, shingle) table
+    # feeds the exact-Jaccard verify (previously each audit
+    # localCheckpointed its own copy — the re-shingle was measured at
+    # ~25% of this query's steady-state cost at sf0.1)
+    sh_all = _mutated_shingles(spark, sf_dir)
     # signatures + default-cap candidate pairs come from the shared
     # session caches (_mutated_sig/_mutated_lsh_pairs — identical
     # content to computing them from sh_all here); only the exact-
@@ -4485,10 +4501,9 @@ def _cap_recall_sql() -> str:
 
 @query("q181_lsh_cap_recall", oracle=_cap_recall_sql())
 def q181_lsh_cap_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    corpus = _mutated(spark, sf_dir)
-    # one shingle pass feeds ground truth (same materialization
-    # rationale as q80: the exact-verify side reads it twice)
-    sh_all = T.distinct_shingles(corpus, "text", "id").localCheckpoint()
+    # ground-truth shingle table shared with q80 via the session cache
+    # (the exact-verify side reads it twice)
+    sh_all = _mutated_shingles(spark, sf_dir)
     sig = _mutated_sig(spark, sf_dir)
     melted = T._melt_bands(sig, "id", 4)
     counts = melted.groupBy("band_id", "bucket").agg(
