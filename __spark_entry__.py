@@ -297,6 +297,7 @@ _BACKFILL = [
     "q181_lsh_cap_recall",
     "q182_persisted_winnow_matches",
     "q183_persisted_simhash_pairs",
+    "q184_persisted_ivf_topk",
 ]
 
 

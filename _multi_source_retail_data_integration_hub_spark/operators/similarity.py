@@ -303,14 +303,41 @@ def ivf_topk(
     cents = ivf_centroid_matrix(cq, id_col)
     # one broadcast shared by the member-assignment and probe stages
     bc = corpus.sparkSession.sparkContext.broadcast(cents)
-    members = ivf_probes(cq, bc, 1, id_col).select(
+    members = ivf_members(cq, bc, id_col)
+    return ivf_topk_from_members(members, queries, bc, k, nprobe, id_col, emb_col)
+
+
+def ivf_members(cq: DataFrame, cents_bc, id_col: str = "vec_id") -> DataFrame:
+    """The IVF members table ``(neighbor_id, ce, cn, list_id)`` — each
+    corpus vector assigned to its nearest centroid, quantized embedding
+    and squared norm carried so probe-time re-ranking never joins back
+    to the corpus. This is the frame ``write_members_bucketed``
+    persists at ingest in the 100 TB layout."""
+    return ivf_probes(cq, cents_bc, 1, id_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col("qe").alias("ce"),
         F.col("nsq").alias("cn"),
         "list_id",
     )
+
+
+def ivf_topk_from_members(
+    members: DataFrame,
+    queries: DataFrame,
+    cents_bc,
+    k: int = 3,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Probe/re-rank stage against an already-built members table —
+    the persisted-table twin of ``ivf_topk`` (a thin wrapper over
+    this). ``cents_bc`` must broadcast the SAME centroid matrix that
+    assigned the members (in production both are written by the same
+    ingest job; centroid derivation is deterministic, so recomputing
+    from the corpus yields the identical matrix)."""
     probes = ivf_probes(
-        with_quantized(queries, emb_col, id_col), bc, nprobe, id_col
+        with_quantized(queries, emb_col, id_col), cents_bc, nprobe, id_col
     ).select(
         F.col(id_col).alias("query_id"), "qe", F.col("nsq").alias("qn"), "list_id"
     )

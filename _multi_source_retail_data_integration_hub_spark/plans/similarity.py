@@ -1116,3 +1116,40 @@ def q178_semdedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("batch_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q184 — the IVF members table under the differential gate: the last
+# member of the persisted-bucketed family (bands/tokens/winnow/simhash
+# landed in q179/q180/q182/q183) to get a write->read driver row. The
+# members table (neighbor_id, quantized embedding, squared norm,
+# list_id) is written bucketed by list_id; the probe join reads it
+# back with the members side Exchange-free and unprobed buckets
+# prunable at scan time (tests/test_bucketing.py asserts both). The
+# centroid matrix is re-derived from the corpus at probe time — the
+# derivation is deterministic, so it is byte-identical to the matrix
+# that assigned the members (in production both are artifacts of the
+# same ingest job). Oracle shared by reference with q42.
+# ---------------------------------------------------------------------------
+@query("q184_persisted_ivf_topk", oracle=None)
+def q184_persisted_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .training_data import _persisted_table
+
+    corpus = load_table(spark, sf_dir, "embeddings")
+    cq = S.with_quantized(corpus, "embedding", "vec_id")
+    bc = spark.sparkContext.broadcast(S.ivf_centroid_matrix(cq, "vec_id"))
+    table = _persisted_table(
+        spark,
+        sf_dir,
+        "ivf",
+        lambda t: S.write_members_bucketed(S.ivf_members(cq, bc, "vec_id"), t),
+    )
+    out = S.ivf_topk_from_members(
+        spark.table(table), _queries_df(spark, sf_dir), bc, k=3, nprobe=2
+    )
+    return out.withColumnRenamed("rank", "knn_rank")
+
+
+from .registry import ORACLE as _ORACLE  # noqa: E402
+
+_ORACLE["q184_persisted_ivf_topk"] = _ORACLE["q42_ann_ivf_topk"]

@@ -362,6 +362,10 @@ def test_persisted_path_queries_read_bucketed_tables(spark):
             ("q180_persisted_top_terms", 1),
             ("q182_persisted_winnow_matches", 1),
             ("q183_persisted_simhash_pairs", 1),
+            # q184: the in-process PROBE side enters the join's
+            # co-partitioning (1) + the per-query ranking window (1);
+            # the members scan itself is Exchange-free
+            ("q184_persisted_ivf_topk", 2),
         ):
             df = QUERIES[name](spark, sf)
             plan = df._jdf.queryExecution().executedPlan().toString()
@@ -374,7 +378,8 @@ def test_persisted_path_queries_read_bucketed_tables(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64MB")
         for t in ("persisted_bands_sf0_001", "persisted_tokens_sf0_001",
-                  "persisted_winnow_sf0_001", "persisted_shbands_sf0_001"):
+                  "persisted_winnow_sf0_001", "persisted_shbands_sf0_001",
+                  "persisted_ivf_sf0_001"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 

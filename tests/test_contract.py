@@ -84,14 +84,14 @@ def test_window_protocol_layout():
     # driver row, displacing the last 2 backfill names to next round
     for q in ("q179_persisted_lsh_candidates", "q180_persisted_top_terms",
               "q181_lsh_cap_recall", "q182_persisted_winnow_matches",
-              "q183_persisted_simhash_pairs"):
+              "q183_persisted_simhash_pairs", "q184_persisted_ivf_topk"):
         assert names.index(q) < 49, f"{q} must land in the r13 window"
     # the leading stale block fits in this window — STRICT: every one
-    # of the 43 leading backfill names must be a registered query (a
+    # of the 42 leading backfill names must be a registered query (a
     # typo or deregistration must fail here, not silently admit a
-    # different 43rd query into the recorded window; 43 = 48 minus the
-    # 5 window slots the new q179-q183 registrations take)
-    stale = entry._BACKFILL[:43]
+    # different 42nd query into the recorded window; 42 = 48 minus the
+    # 6 window slots the new q179-q184 registrations take)
+    stale = entry._BACKFILL[:42]
     unregistered = [q for q in stale if q not in names]
     assert not unregistered, f"unregistered backfill names: {unregistered}"
     assert all(names.index(q) < 49 for q in stale)
