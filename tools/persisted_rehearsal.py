@@ -14,7 +14,7 @@ is heap-resident).
 Usage:
     SPARK_DRIVER_MEMORY=16g python tools/persisted_rehearsal.py [mult] [step ...]
 
-Steps (default: all): minhash, probe, simhash, tokens, winnow.
+Steps (default: all): minhash, probe, simhash, tokens, winnow, ivf.
 """
 
 from __future__ import annotations
@@ -166,12 +166,38 @@ def step_winnow(spark, sf):
     )
 
 
+def step_ivf(spark, sf):
+    from _multi_source_retail_data_integration_hub_spark.operators import (
+        similarity as S,
+    )
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    cq = S.with_quantized(emb, "embedding", "vec_id")
+    bc = spark.sparkContext.broadcast(S.ivf_centroid_matrix(cq, "vec_id"))
+    _timed(
+        "ivf members write (bucketed)",
+        lambda: S.write_members_bucketed(
+            S.ivf_members(cq, bc, "vec_id"), f"{DB}.ivf_members", n_buckets=64
+        ),
+    )
+    queries = emb.limit(500).select(
+        (F.col("vec_id") + 900_000_000).alias("vec_id"), "embedding"
+    )
+    _timed(
+        "ivf topk from members table",
+        lambda: S.ivf_topk_from_members(
+            spark.table(f"{DB}.ivf_members"), queries, bc, k=3, nprobe=2
+        ).count(),
+    )
+
+
 STEPS = {
     "minhash": step_minhash,
     "probe": step_probe,
     "simhash": step_simhash,
     "tokens": step_tokens,
     "winnow": step_winnow,
+    "ivf": step_ivf,
 }
 
 
