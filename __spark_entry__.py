@@ -298,6 +298,7 @@ _BACKFILL = [
     "q182_persisted_winnow_matches",
     "q183_persisted_simhash_pairs",
     "q184_persisted_ivf_topk",
+    "q185_streaming_band_ingest",
 ]
 
 

@@ -822,6 +822,14 @@ def lsh_candidate_pairs(
       none. Use when hot buckets may hold real near-dups (boilerplate
       with small mutations) rather than exact spam clones.
 
+    Measured (q181_lsh_cap_recall, exact-Jaccard ground truth on the
+    contested pairs inside cap-exceeding buckets, cap engaged): drop
+    keeps ~22% of true contested pairs (those surfacing via another
+    sub-cap band), subsplit ~58–62%, at ~m x cap join cost. Drop's
+    candidate set is a subset of subsplit's by construction, so
+    subsplit recall is never below drop's. Pick "subsplit" whenever
+    the corpus has NOT already been exact-deduped upstream.
+
     Audit what the cap affected with ``lsh_hot_buckets`` (same cap =>
     exactly the guarded buckets). ``max_bucket_size=None`` disables the
     guard (bench-scale audits where output must be the uncapped

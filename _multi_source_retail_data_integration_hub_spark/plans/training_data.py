@@ -4352,6 +4352,70 @@ def q179_persisted_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame
     return T.lsh_candidate_pairs_from_bands(spark.table(table), "id")
 
 
+#: micro-batches the streaming ingest splits the corpus into (q185):
+#: the landing zone is written as this many part files and the file
+#: stream reads one file per trigger, so the band table accumulates
+#: across genuinely separate foreachBatch appends.
+INGEST_BATCHES = 4
+
+
+def _stream_ingest_bands(spark: SparkSession, sf_dir: str, table: str) -> None:
+    """Build the persisted band table via STREAMING ingest: land the
+    mutated corpus as ``INGEST_BATCHES`` parquet part files, stream
+    them one file per micro-batch, and let
+    ``streaming/jobs.py::foreach_batch_band_append`` sign + append
+    each batch to the bucketed ``table``. Scratch (landing + stream
+    checkpoint) lives under the local warehouse dir and is reset per
+    ingest — the per-(session, sf_dir) guard in ``_persisted_table``
+    means this runs once, exactly like the one-shot writers."""
+    import shutil
+    from urllib.parse import urlparse
+
+    from ..streaming import jobs
+
+    root = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path
+    scratch = os.path.join(root, f"stream_ingest_{_sf_tag(sf_dir)}")
+    shutil.rmtree(scratch, ignore_errors=True)
+    landing = os.path.join(scratch, "landing")
+    _mutated(spark, sf_dir).repartition(INGEST_BATCHES).write.parquet(landing)
+    stream = (
+        spark.readStream.schema("id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    q = jobs.foreach_batch_band_append(
+        stream, table, checkpoint_dir=os.path.join(scratch, "cp")
+    )
+    try:
+        if not q.awaitTermination(300):
+            raise TimeoutError("q185: streaming band ingest did not finish in 300s")
+    finally:
+        if q.isActive:
+            q.stop()
+
+
+@query("q185_streaming_band_ingest", oracle=_lsh_sql())
+def q185_streaming_band_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q24's candidate stage fed by STREAMING ingest — the third layer
+    of the persisted-band-table story under the same shared-by-
+    reference oracle: q24 verifies the in-process operator, q179 the
+    write-once persistence layer, and this row the CONTINUOUS ingest
+    path (file-stream source -> foreachBatch MinHash sign ->
+    ``write_signatures_bucketed(mode="append")`` per micro-batch ->
+    Exchange-free candidate read off the accumulated history). Signing
+    is per-doc and stateless, so batch boundaries cannot change the
+    final table; a hash mismatch here isolates the streaming append
+    layer itself (batch routing into the bucket hash space, append-
+    mode schema round-trip) — which neither q24 nor q179 can see."""
+    table = _persisted_table(
+        spark,
+        sf_dir,
+        "stream_bands",
+        lambda t: _stream_ingest_bands(spark, sf_dir, t),
+    )
+    return T.lsh_candidate_pairs_from_bands(spark.table(table), "id")
+
+
 @query("q180_persisted_top_terms", oracle=_TOP_TERMS_SQL)
 def q180_persisted_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q47's TF-IDF-flavored ranking off the PERSISTED exploded token

@@ -370,6 +370,55 @@ def write_stream_parquet(
     return writer.start()
 
 
+def foreach_batch_band_append(
+    stream_df: DataFrame,
+    table: str,
+    checkpoint_dir: str,
+    id_col: str = "id",
+    n_bands: int = 4,
+    n_buckets: int = 64,
+) -> "object":
+    """Continuous-ingest sink for the persisted LSH band table: each
+    micro-batch of ``(id, text)`` documents is MinHash-signed and its
+    melted band rows APPENDED to the bucketed history table
+    (``operators/text.py::write_signatures_bucketed(mode="append")``).
+
+    This is the 100 TB shape the band table's docstring promises: the
+    ingestion job signs documents as they arrive (signing is per-doc
+    and stateless, so batch boundaries cannot change the union), the
+    history table grows in place batch by batch, and every dedup pass
+    reads it back Exchange-free via ``lsh_candidate_pairs_from_bands``
+    / ``lsh_probe_pairs_from_bands``. The checkpoint makes redelivery
+    safe only together with the per-batch idempotence the caller
+    owns: a REPLAYED batch re-appends its band rows, and the candidate
+    join re-distincts pairs, so duplicate (id, band_id, bucket) rows
+    inflate bucket sizes against the hot-bucket cap but never the pair
+    set — exactly-once sinks on a cluster would land each batch as a
+    transactional append instead. Returns the StreamingQuery handle.
+    """
+    from ..operators import text as T  # noqa: PLC0415 — avoid module cycle
+
+    def _append(batch_df: DataFrame, batch_id: int) -> None:
+        T.write_signatures_bucketed(
+            T.minhash_signatures(batch_df, "text", id_col),
+            table,
+            id_col=id_col,
+            n_bands=n_bands,
+            n_buckets=n_buckets,
+            mode="append",
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(_append)
+        # namespaced per target table (see foreach_batch_upsert)
+        .option(
+            "checkpointLocation", os.path.join(checkpoint_dir, f"cp_bands_{table}")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def _streaming_app_id(checkpoint_path: str) -> str | None:
     """The durable identity of the streaming query owning a checkpoint.
 

@@ -434,3 +434,68 @@ def test_winnow_index_append_reingest_dedup(spark):
         tuple(r) for r in T.winnowing_matches(docs, "text", "doc_id").collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_streaming_band_ingest_appends_per_batch(spark, tmp_path):
+    """The q185 ingest path (streaming/jobs.py
+    foreach_batch_band_append): a multi-file landing dir streamed one
+    file per trigger must (a) genuinely process multiple micro-batches,
+    (b) leave the appended band table's reader Exchange-free up to the
+    final pair distinct, and (c) produce the identical candidate pair
+    set to the in-process melt — including after a REPLAYED batch
+    re-appends its rows (at-least-once delivery: bucket sizes inflate,
+    the pair set must not)."""
+    from _multi_source_retail_data_integration_hub_spark.operators import text as T
+    from _multi_source_retail_data_integration_hub_spark.streaming import jobs
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select(F.col("doc_id").alias("id"), "text")
+    )
+    landing = str(tmp_path / "landing")
+    docs.repartition(3).write.parquet(landing)
+
+    stream = (
+        spark.readStream.schema("id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    q = jobs.foreach_batch_band_append(
+        stream, "bkt_db.stream_bands", checkpoint_dir=str(tmp_path / "cp")
+    )
+    try:
+        assert q.awaitTermination(300), "ingest drain timed out"
+    finally:
+        if q.isActive:
+            q.stop()
+    # (a) one micro-batch per landing file, not one bulk batch
+    n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+    assert n_batches == 3, f"expected 3 micro-batches, saw {n_batches}"
+
+    tbl = spark.table("bkt_db.stream_bands")
+    assert tbl.count() == docs.count() * 4  # one row per (doc, band)
+
+    sig = T.minhash_signatures(docs, "text", "id")
+    want = {(r.id_a, r.id_b) for r in T.lsh_candidate_pairs(sig, "id").collect()}
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        pairs = T.lsh_candidate_pairs_from_bands(tbl, "id")
+        # (b) appended bucket files keep the scan's bucketing: still
+        # exactly ONE Exchange (the final pair distinct)
+        plan = pairs._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1, plan[:3000]
+        got = {(r.id_a, r.id_b) for r in pairs.collect()}
+        assert got == want and len(got) > 0
+
+        # (c) replay: re-append one batch's signatures; pair set unchanged
+        T.write_signatures_bucketed(
+            sig.limit(40), "bkt_db.stream_bands", mode="append"
+        )
+        spark.catalog.refreshTable("bkt_db.stream_bands")
+        replayed = T.lsh_candidate_pairs_from_bands(
+            spark.table("bkt_db.stream_bands"), "id"
+        )
+        got2 = {(r.id_a, r.id_b) for r in replayed.collect()}
+        assert got2 == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64MB")
