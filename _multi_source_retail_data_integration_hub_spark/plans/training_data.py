@@ -4353,16 +4353,22 @@ def q179_persisted_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 #: micro-batches the streaming ingest splits the corpus into (q185):
-#: the landing zone is written as this many part files and the file
-#: stream reads one file per trigger, so the band table accumulates
-#: across genuinely separate foreachBatch appends.
+#: the file stream admits FILES_PER_TRIGGER files per trigger, so the
+#: band table accumulates across genuinely separate foreachBatch
+#: appends. Landing parallelism is deliberately decoupled from batch
+#: count — the landing dir holds BATCHES x FILES_PER_TRIGGER part
+#: files, so the landing write and each batch's scan stay many-way
+#: parallel however few micro-batches the trigger carves (the first
+#: x64 rehearsal tied both to 4 and paid a 4-task corpus shuffle).
 INGEST_BATCHES = 4
+INGEST_FILES_PER_TRIGGER = 8
 
 
 def _stream_ingest_bands(spark: SparkSession, sf_dir: str, table: str) -> None:
     """Build the persisted band table via STREAMING ingest: land the
-    mutated corpus as ``INGEST_BATCHES`` parquet part files, stream
-    them one file per micro-batch, and let
+    mutated corpus as ``INGEST_BATCHES x INGEST_FILES_PER_TRIGGER``
+    parquet part files, stream them ``INGEST_FILES_PER_TRIGGER`` files
+    per micro-batch, and let
     ``streaming/jobs.py::foreach_batch_band_append`` sign + append
     each batch to the bucketed ``table``. Scratch (landing + stream
     checkpoint) lives under the local warehouse dir and is reset per
@@ -4377,18 +4383,26 @@ def _stream_ingest_bands(spark: SparkSession, sf_dir: str, table: str) -> None:
     scratch = os.path.join(root, f"stream_ingest_{_sf_tag(sf_dir)}")
     shutil.rmtree(scratch, ignore_errors=True)
     landing = os.path.join(scratch, "landing")
-    _mutated(spark, sf_dir).repartition(INGEST_BATCHES).write.parquet(landing)
+    _mutated(spark, sf_dir).repartition(
+        INGEST_BATCHES * INGEST_FILES_PER_TRIGGER
+    ).write.parquet(landing)
     stream = (
         spark.readStream.schema("id BIGINT, text STRING")
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", INGEST_FILES_PER_TRIGGER)
         .parquet(landing)
     )
     q = jobs.foreach_batch_band_append(
         stream, table, checkpoint_dir=os.path.join(scratch, "cp")
     )
+    # local-harness hang guard, not a correctness bound: 300s covers
+    # every driver SF with 10x headroom; the scale rehearsals
+    # (tools/scale_rehearsal.py, x64+ corpora) raise it via env
+    timeout_s = int(os.environ.get("SPARK_GRAFT_INGEST_TIMEOUT_S", "300"))
     try:
-        if not q.awaitTermination(300):
-            raise TimeoutError("q185: streaming band ingest did not finish in 300s")
+        if not q.awaitTermination(timeout_s):
+            raise TimeoutError(
+                f"q185: streaming band ingest did not finish in {timeout_s}s"
+            )
     finally:
         if q.isActive:
             q.stop()
