@@ -299,6 +299,7 @@ _BACKFILL = [
     "q183_persisted_simhash_pairs",
     "q184_persisted_ivf_topk",
     "q185_streaming_band_ingest",
+    "q186_streaming_dedup_on_arrival",
 ]
 
 

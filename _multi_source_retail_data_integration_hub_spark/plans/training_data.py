@@ -4364,23 +4364,20 @@ INGEST_BATCHES = 4
 INGEST_FILES_PER_TRIGGER = 8
 
 
-def _stream_ingest_bands(spark: SparkSession, sf_dir: str, table: str) -> None:
-    """Build the persisted band table via STREAMING ingest: land the
-    mutated corpus as ``INGEST_BATCHES x INGEST_FILES_PER_TRIGGER``
-    parquet part files, stream them ``INGEST_FILES_PER_TRIGGER`` files
-    per micro-batch, and let
-    ``streaming/jobs.py::foreach_batch_band_append`` sign + append
-    each batch to the bucketed ``table``. Scratch (landing + stream
-    checkpoint) lives under the local warehouse dir and is reset per
-    ingest — the per-(session, sf_dir) guard in ``_persisted_table``
-    means this runs once, exactly like the one-shot writers."""
+def _landing_stream(spark: SparkSession, sf_dir: str, scratch_name: str):
+    """Land the mutated corpus as ``INGEST_BATCHES x
+    INGEST_FILES_PER_TRIGGER`` parquet part files under a fresh
+    warehouse scratch dir and return ``(stream_df, scratch_dir)`` — a
+    file stream admitting ``INGEST_FILES_PER_TRIGGER`` files per
+    trigger, i.e. ``INGEST_BATCHES`` genuine micro-batches. Scratch
+    (landing + stream checkpoint) is reset per ingest; the
+    per-(session, sf_dir) guard in ``_persisted_table`` means each
+    ingest runs once, exactly like the one-shot writers."""
     import shutil
     from urllib.parse import urlparse
 
-    from ..streaming import jobs
-
     root = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path
-    scratch = os.path.join(root, f"stream_ingest_{_sf_tag(sf_dir)}")
+    scratch = os.path.join(root, f"{scratch_name}_{_sf_tag(sf_dir)}")
     shutil.rmtree(scratch, ignore_errors=True)
     landing = os.path.join(scratch, "landing")
     _mutated(spark, sf_dir).repartition(
@@ -4391,21 +4388,36 @@ def _stream_ingest_bands(spark: SparkSession, sf_dir: str, table: str) -> None:
         .option("maxFilesPerTrigger", INGEST_FILES_PER_TRIGGER)
         .parquet(landing)
     )
-    q = jobs.foreach_batch_band_append(
-        stream, table, checkpoint_dir=os.path.join(scratch, "cp")
-    )
-    # local-harness hang guard, not a correctness bound: 300s covers
-    # every driver SF with 10x headroom; the scale rehearsals
-    # (tools/scale_rehearsal.py, x64+ corpora) raise it via env
+    return stream, scratch
+
+
+def _drain_ingest(q, label: str) -> None:
+    """Await an ingest stream's availableNow drain. The timeout is a
+    local-harness hang guard, not a correctness bound: 300s covers
+    every driver SF with 10x headroom; the scale rehearsals
+    (tools/scale_rehearsal.py, x64+ corpora) raise it via env."""
     timeout_s = int(os.environ.get("SPARK_GRAFT_INGEST_TIMEOUT_S", "300"))
     try:
         if not q.awaitTermination(timeout_s):
             raise TimeoutError(
-                f"q185: streaming band ingest did not finish in {timeout_s}s"
+                f"{label}: streaming ingest did not finish in {timeout_s}s"
             )
     finally:
         if q.isActive:
             q.stop()
+
+
+def _stream_ingest_bands(spark: SparkSession, sf_dir: str, table: str) -> None:
+    """Build the persisted band table via STREAMING ingest:
+    ``streaming/jobs.py::foreach_batch_band_append`` signs + appends
+    each landing micro-batch to the bucketed ``table``."""
+    from ..streaming import jobs
+
+    stream, scratch = _landing_stream(spark, sf_dir, "stream_ingest")
+    q = jobs.foreach_batch_band_append(
+        stream, table, checkpoint_dir=os.path.join(scratch, "cp")
+    )
+    _drain_ingest(q, "q185")
 
 
 @query("q185_streaming_band_ingest", oracle=_lsh_sql())
@@ -4428,6 +4440,52 @@ def q185_streaming_band_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda t: _stream_ingest_bands(spark, sf_dir, t),
     )
     return T.lsh_candidate_pairs_from_bands(spark.table(table), "id")
+
+
+def _stream_dedup_on_arrival(spark: SparkSession, sf_dir: str, pairs_table: str) -> None:
+    """Run the continuous-dedup loop over the landing stream
+    (``streaming/jobs.py::foreach_batch_dedup_on_arrival``): per
+    micro-batch, append bands to a fresh history table, probe the
+    batch against all arrivals so far, log normalized verdicts into
+    ``pairs_table``."""
+    from ..sources.sinks import ensure_table_writable
+    from ..streaming import jobs
+
+    bands_table = f"persisted_arrival_bands_{_sf_tag(sf_dir)}"
+    ensure_table_writable(spark, bands_table)
+    stream, scratch = _landing_stream(spark, sf_dir, "stream_arrival")
+    q = jobs.foreach_batch_dedup_on_arrival(
+        stream,
+        bands_table,
+        pairs_table,
+        checkpoint_dir=os.path.join(scratch, "cp"),
+    )
+    _drain_ingest(q, "q186")
+
+
+@query("q186_streaming_dedup_on_arrival", oracle=_lsh_sql())
+def q186_streaming_dedup_on_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEDUP ON ARRIVAL under the oracle gate — the complete
+    continuous-dedup loop (the production job q125's in-process probe
+    models): each micro-batch appends its bands to the history table,
+    probes itself against everything that has ever arrived, and logs
+    its verdicts append-only. The registered result is the DISTINCT of
+    the verdict log, and the oracle is q24's batch candidate SQL
+    shared by reference — the driver row therefore pins the
+    ARRIVAL-ORDER INDEPENDENCE invariant: an unordered pair is logged
+    exactly when its later member's batch probes, so with the
+    hot-bucket cap unengaged on the full corpus (true at every driver
+    SF; prefix buckets are only ever smaller) the union over batches
+    equals the batch path's pair set no matter how ingest batched the
+    corpus. q185 verifies the append layer; this row verifies the
+    probe-vs-prefix loop and the verdict log on top of it."""
+    table = _persisted_table(
+        spark,
+        sf_dir,
+        "arrival_pairs",
+        lambda t: _stream_dedup_on_arrival(spark, sf_dir, t),
+    )
+    return spark.table(table).distinct()
 
 
 @query("q180_persisted_top_terms", oracle=_TOP_TERMS_SQL)

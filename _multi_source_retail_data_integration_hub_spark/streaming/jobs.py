@@ -419,6 +419,78 @@ def foreach_batch_band_append(
     )
 
 
+def foreach_batch_dedup_on_arrival(
+    stream_df: DataFrame,
+    bands_table: str,
+    pairs_table: str,
+    checkpoint_dir: str,
+    id_col: str = "id",
+    n_bands: int = 4,
+    n_buckets: int = 64,
+) -> "object":
+    """The full continuous-dedup loop, one micro-batch at a time: the
+    batch's MinHash bands are APPENDED to the history table FIRST (so
+    within-batch duplicates surface too), the batch is then PROBED
+    against everything that has ever arrived
+    (``lsh_probe_pairs_from_bands`` — history side Exchange-free off
+    its bucketing), and the batch's verdicts land in an append-only
+    pairs log normalized to the ``id_a < id_b`` convention.
+
+    Arrival-order independence: an unordered pair is logged exactly
+    when its LATER member's batch probes (the earlier member is
+    already history), so as long as the hot-bucket cap never engages
+    on the FULL corpus — prefix buckets are only ever smaller — the
+    distinct of the pairs log equals ``lsh_candidate_pairs`` over the
+    whole corpus regardless of how ingest batched it. When the cap
+    does engage mid-stream, arrival-time recall is >= the batch
+    path's (early probes saw the bucket before it went hot).
+
+    At-least-once caveat (same as ``foreach_batch_band_append``): a
+    replayed batch re-appends band rows and re-logs its verdicts —
+    the read-side distinct absorbs duplicate verdicts, but duplicate
+    band rows inflate bucket sizes against the cap, so exactly-once
+    sinks on a cluster would land both appends transactionally.
+    Returns the StreamingQuery handle.
+    """
+    from ..operators import text as T  # noqa: PLC0415 — avoid module cycle
+
+    def _step(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        # materialized once: the batch signature feeds both the append
+        # and the probe (without this the shingle pipeline runs twice)
+        sig = T.minhash_signatures(batch_df, "text", id_col).localCheckpoint()
+        T.write_signatures_bucketed(
+            sig, bands_table,
+            id_col=id_col, n_bands=n_bands, n_buckets=n_buckets, mode="append",
+        )
+        spark.catalog.refreshTable(bands_table)
+        pairs = T.lsh_probe_pairs_from_bands(
+            T._melt_bands(sig, id_col, n_bands),
+            spark.table(bands_table),
+            id_col,
+        )
+        (
+            pairs.where(F.col("id_new") != F.col("id_hist"))
+            .select(
+                F.least("id_new", "id_hist").alias("id_a"),
+                F.greatest("id_new", "id_hist").alias("id_b"),
+            )
+            .write.mode("append")
+            .saveAsTable(pairs_table)
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(_step)
+        # namespaced per verdict log (see foreach_batch_upsert)
+        .option(
+            "checkpointLocation",
+            os.path.join(checkpoint_dir, f"cp_arrival_{pairs_table}"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def _streaming_app_id(checkpoint_path: str) -> str | None:
     """The durable identity of the streaming query owning a checkpoint.
 

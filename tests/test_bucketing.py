@@ -499,3 +499,50 @@ def test_streaming_band_ingest_appends_per_batch(spark, tmp_path):
         assert got2 == want
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64MB")
+
+
+def test_dedup_on_arrival_matches_batch_candidates(spark, tmp_path):
+    """The q186 loop (streaming/jobs.py foreach_batch_dedup_on_arrival):
+    per micro-batch append-then-probe must (a) process multiple
+    genuine micro-batches, and (b) leave a verdict log whose distinct
+    equals the BATCH candidate set over the full corpus — the
+    arrival-order-independence invariant (each unordered pair logged
+    when its later member probes; cap unengaged at this SF)."""
+    from _multi_source_retail_data_integration_hub_spark.operators import text as T
+    from _multi_source_retail_data_integration_hub_spark.streaming import jobs
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select(F.col("doc_id").alias("id"), "text")
+    )
+    landing = str(tmp_path / "landing")
+    docs.repartition(3).write.parquet(landing)
+
+    stream = (
+        spark.readStream.schema("id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    q = jobs.foreach_batch_dedup_on_arrival(
+        stream,
+        "bkt_db.arr_bands",
+        "bkt_db.arr_pairs",
+        checkpoint_dir=str(tmp_path / "cp"),
+    )
+    try:
+        assert q.awaitTermination(300), "arrival drain timed out"
+    finally:
+        if q.isActive:
+            q.stop()
+    n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+    assert n_batches == 3, f"expected 3 micro-batches, saw {n_batches}"
+
+    got = {
+        (r.id_a, r.id_b)
+        for r in spark.table("bkt_db.arr_pairs").distinct().collect()
+    }
+    sig = T.minhash_signatures(docs, "text", "id")
+    want = {(r.id_a, r.id_b) for r in T.lsh_candidate_pairs(sig, "id").collect()}
+    assert got == want and len(got) > 0
+    # every logged pair respects the id_a < id_b normalization
+    assert all(a < b for a, b in got)

@@ -81,18 +81,18 @@ def test_window_protocol_layout():
         assert names.index(q) < 49, f"{q} must land in the r13 window"
     # the r13 registrations (persisted-path queries) are NEW — the
     # is-new rule slots them right after the guard for their first
-    # driver row, displacing the last 3 backfill names to next round
+    # driver row, displacing the last 4 backfill names to next round
     for q in ("q179_persisted_lsh_candidates", "q180_persisted_top_terms",
               "q181_lsh_cap_recall", "q182_persisted_winnow_matches",
               "q183_persisted_simhash_pairs", "q184_persisted_ivf_topk",
-              "q185_streaming_band_ingest"):
+              "q185_streaming_band_ingest", "q186_streaming_dedup_on_arrival"):
         assert names.index(q) < 49, f"{q} must land in the r13 window"
     # the leading stale block fits in this window — STRICT: every one
-    # of the 41 leading backfill names must be a registered query (a
+    # of the 40 leading backfill names must be a registered query (a
     # typo or deregistration must fail here, not silently admit a
-    # different 41st query into the recorded window; 41 = 48 minus the
-    # 7 window slots the new q179-q185 registrations take)
-    stale = entry._BACKFILL[:41]
+    # different 40th query into the recorded window; 40 = 48 minus the
+    # 8 window slots the new q179-q186 registrations take)
+    stale = entry._BACKFILL[:40]
     unregistered = [q for q in stale if q not in names]
     assert not unregistered, f"unregistered backfill names: {unregistered}"
     assert all(names.index(q) < 49 for q in stale)
