@@ -156,23 +156,37 @@ def pagerank_fixed_point(
     # MB replicated per round (r5 ADVICE).
     small = nodes.count() <= broadcast_node_limit  # count on materialized nodes: cheap
     _b = F.broadcast if small else (lambda df: df)
-    for _ in range(iterations):
+    # Per-round materialization policy (r13, guide §1.2/§5): with a
+    # reliable ``checkpoint_dir`` every round is durably checkpointed —
+    # that durability (resume from the last round after executor loss)
+    # is the caller's explicit request and stays. WITHOUT one, the old
+    # per-round eager localCheckpoint bought no durability and cost one
+    # blocking driver round-trip + block write per iteration; the
+    # iterations now CHAIN LAZILY (each rank table feeds exactly one
+    # consumer — the next round's join — so nothing is recomputed) and
+    # the whole fixpoint executes as one job on top of the three
+    # materialized static tables. Lineage is truncated every
+    # ``_TRUNCATE_EVERY`` rounds so a large ``iterations`` cannot grow
+    # an unbounded plan.
+    _TRUNCATE_EVERY = 4
+    for it in range(1, iterations + 1):
         incoming = (
             contrib_edges.join(_b(ranks), contrib_edges.src == ranks.node)
             .select("dst", F.expr("rank_fp div deg").alias("share"))
             .groupBy("dst")
             .agg(F.sum("share").alias("in_fp"))
         )
-        ranks = materialize(
-            nodes.join(_b(incoming), nodes.node == incoming.dst, "left").select(
-                "node",
-                (
-                    F.lit(base)
-                    + F.expr(f"({damping_pct} * coalesce(in_fp, 0)) div 100")
-                )
-                .cast("bigint")
-                .alias("rank_fp"),
-            ),
-            checkpoint_dir,
+        ranks = nodes.join(_b(incoming), nodes.node == incoming.dst, "left").select(
+            "node",
+            (
+                F.lit(base)
+                + F.expr(f"({damping_pct} * coalesce(in_fp, 0)) div 100")
+            )
+            .cast("bigint")
+            .alias("rank_fp"),
         )
+        if checkpoint_dir is not None or (
+            it % _TRUNCATE_EVERY == 0 and it < iterations
+        ):
+            ranks = materialize(ranks, checkpoint_dir)
     return ranks

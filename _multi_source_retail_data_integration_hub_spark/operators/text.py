@@ -608,10 +608,22 @@ def winnow_span_trim(
     The property tests pin this: post-trim, no w + k - 1-token run of
     a planted duplicate passage survives contiguously.
 
-    Scale shape: spans explode to covered positions (bounded by Σ doc
-    length), one anti equi-join against the position-exploded corpus,
-    one per-doc reassembly aggregate. No pairwise work, no window over
-    the corpus population.
+    Scale shape (r13 restructure, guide §2.3/§2.4): the span table is
+    aggregated to ONE row per document — (span array, n_spans) in a
+    single aggregation whose grouping key (id) is a superset of the
+    islands window's partitioning, so it adds no Exchange — and joined
+    back to the corpus once. Token removal then runs entirely per-row
+    with array higher-order functions (filter over the positioned
+    token array against the doc's span intervals): no covered-position
+    explode, no (id, tpos)-keyed anti-join shuffle, no collect_list
+    reassembly aggregate. The prior shape paid all three AND computed
+    the span pipeline twice (once for covered positions, once for
+    per-doc span counts — r13 plan capture: 17 Exchanges, every
+    selection consumer duplicated); this one computes it once and
+    keeps ~5. Per-row cost is O(tokens x spans-in-doc) with tiny
+    constant factors — spans per doc are bounded by the doc's own
+    fingerprint count. No pairwise work, no window over the corpus
+    population.
     """
     span_df = (
         spans
@@ -620,50 +632,36 @@ def winnow_span_trim(
             df, text_col, id_col, k, w, max_fp_df, selection=selection
         )
     )
-    covered = span_df.select(
+    per_doc = span_df.groupBy(id_col).agg(
+        F.collect_list(
+            F.struct(F.col("span_start").alias("s"), F.col("span_end").alias("e"))
+        ).alias("_spans"),
+        F.count("*").cast("bigint").alias("n_spans"),
+    )
+    toks = tokens(F.col(text_col))
+    joined = df.select(F.col(id_col), toks.alias("_toks")).join(
+        per_doc, id_col, "left"
+    )
+    spans_arr = F.coalesce(
+        F.col("_spans"), F.array().cast("array<struct<s:bigint,e:bigint>>")
+    )
+    positioned = F.transform(
+        F.col("_toks"), lambda t, i: F.struct(i.alias("p"), t.alias("t"))
+    )
+    kept = F.filter(
+        positioned,
+        lambda x: ~F.exists(
+            spans_arr, lambda sp: (x["p"] >= sp["s"]) & (x["p"] <= sp["e"])
+        ),
+    )
+    return joined.select(
         F.col(id_col),
-        F.explode(
-            F.sequence(F.col("span_start"), F.col("span_end"))
-        ).alias("tpos"),
-    ).distinct()
-    span_stats = span_df.groupBy(id_col).agg(
-        F.count("*").cast("bigint").alias("n_spans")
-    )
-    toks = df.select(
-        F.col(id_col),
-        F.posexplode(tokens(F.col(text_col))).alias("tpos", "tok"),
-    )
-    kept = toks.join(covered, [id_col, "tpos"], "left_anti")
-    rebuilt = kept.groupBy(id_col).agg(
-        F.count("*").cast("bigint").alias("n_kept"),
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct(F.col("tpos"), F.col("tok")))
-                ),
-                lambda s: s.getField("tok"),
-            ),
-        ).alias("trimmed_text"),
-    )
-    base = df.select(
-        F.col(id_col),
-        F.size(tokens(F.col(text_col))).cast("bigint").alias("n_before"),
-    )
-    return (
-        base.join(rebuilt, id_col, "left")
-        .join(span_stats, id_col, "left")
-        .select(
-            F.col(id_col),
-            "n_before",
-            (F.col("n_before") - F.coalesce(F.col("n_kept"), F.lit(0)))
-            .cast("bigint")
-            .alias("n_removed"),
-            F.coalesce(F.col("n_spans"), F.lit(0)).cast("bigint").alias("n_spans"),
-            F.md5(F.coalesce(F.col("trimmed_text"), F.lit(""))).alias(
-                "trimmed_md5"
-            ),
-        )
+        F.size("_toks").cast("bigint").alias("n_before"),
+        (F.size("_toks") - F.size(kept)).cast("bigint").alias("n_removed"),
+        F.coalesce(F.col("n_spans"), F.lit(0)).cast("bigint").alias("n_spans"),
+        F.md5(F.concat_ws(" ", F.transform(kept, lambda x: x["t"]))).alias(
+            "trimmed_md5"
+        ),
     )
 
 
@@ -985,20 +983,26 @@ def ngram_jaccard_pairs(
     ``max_docs`` to additionally fail fast (same count job) when the
     input exceeds an explicit document budget.
     """
-    if max_shingle_df is None or max_docs is not None:
-        n = df.count()
-        if max_docs is not None and n > max_docs:
+    if max_docs is not None:
+        n_docs = df.count()
+        if n_docs > max_docs:
             raise ValueError(
-                f"ngram_jaccard_pairs: input has {n} documents, over the "
+                f"ngram_jaccard_pairs: input has {n_docs} documents, over the "
                 f"max_docs budget of {max_docs}. Sample the corpus or use "
                 "the LSH candidate path (lsh_candidate_pairs)."
             )
         if max_shingle_df is None:
-            max_shingle_df = default_shingle_df_cap(n)
+            # the budget check paid for the count — reuse it
+            max_shingle_df = default_shingle_df_cap(n_docs)
     warnings.warn(
         "ngram_jaccard_pairs computes EXACT all-pairs Jaccard: cost grows "
         f"~quadratically with co-shingling documents (stop-shingle DF cap: "
-        f"{max_shingle_df}). For full corpora use minhash_signatures + "
+        + (
+            f"{max_shingle_df}"
+            if max_shingle_df is not None
+            else "max(50, ceil(sqrt(n))), derived in-plan"
+        )
+        + "). For full corpora use minhash_signatures + "
         "lsh_candidate_pairs and exact-verify only the candidates.",
         stacklevel=2,
     )
@@ -1009,6 +1013,28 @@ def ngram_jaccard_pairs(
         F.explode(F.array_distinct(shingles(tokens(F.col(text_col)), shingle_k))).alias("shingle"),
     )
     df_counts = sh.groupBy("shingle").agg(F.count("*").alias("doc_freq"))
+    if max_shingle_df is not None:
+        keep = df_counts.where(F.col("doc_freq") <= max_shingle_df)
+    else:
+        # Corpus-derived cap WITHOUT a separate count job (r13, guide
+        # §1.2/§2.4): f <= max(50, ceil(sqrt(n))) <=> f <= 50 OR
+        # (f-1)^2 < n in exact integers — the same formulation the
+        # DuckDB oracle replays as a scalar subquery. A 1-row count
+        # broadcast-crossed into the DF filter keeps the whole
+        # derivation inside ONE job instead of a blocking driver
+        # action + a second corpus pass.
+        n = df.agg(F.count(F.lit(1)).alias("_n_docs"))
+        keep = (
+            df_counts.crossJoin(F.broadcast(n))
+            .where(
+                (F.col("doc_freq") <= F.lit(SHINGLE_DF_CAP_FLOOR))
+                | (
+                    (F.col("doc_freq") - 1) * (F.col("doc_freq") - 1)
+                    < F.col("_n_docs")
+                )
+            )
+            .select("shingle", "doc_freq")
+        )
     # `filtered` feeds three consumers (both self-join sides and the
     # set-size aggregate); an eager localCheckpoint materializes the
     # shingle pipeline once instead of per consumer. Unlike persist()
@@ -1016,7 +1042,7 @@ def ngram_jaccard_pairs(
     # checkpoint blocks are reclaimed by the ContextCleaner as soon as
     # the returned DataFrame is garbage-collected.
     filtered = (
-        sh.join(df_counts.where(F.col("doc_freq") <= max_shingle_df), "shingle")
+        sh.join(keep.select("shingle"), "shingle")
         .select(id_col, "shingle")
         .localCheckpoint(eager=True)
     )
@@ -1159,7 +1185,19 @@ def simhash_pairs(
             f"hamming_max={hamming_max} needs n_bands > hamming_max "
             f"(got {n_bands}) for the pigeonhole recall guarantee"
         )
-    melted = _melt_simhash_bands(sig, id_col, hash_col, bits, n_bands)
+    # The melted band table feeds THREE consumers downstream (the
+    # bucket-size counts and both self-join sides); left lazy, Catalyst
+    # plans the whole signature pipeline (scan -> token explode -> md5
+    # -> vote aggregate -> melt) once PER CONSUMER — r13 plan capture
+    # showed 4 full corpus scans per simhash_pairs call. One eager
+    # localCheckpoint materializes it once (same discipline as
+    # ngram_jaccard_pairs' `filtered`); at 100 TB this is 1 corpus
+    # scan + 1 signature aggregation instead of 4 (guide §2.4). The
+    # persisted-table path (simhash_pairs_from_bands over a bucketed
+    # table) is untouched: its scan is already a materialized table.
+    melted = _melt_simhash_bands(
+        sig, id_col, hash_col, bits, n_bands
+    ).localCheckpoint(eager=True)
     return simhash_pairs_from_bands(
         melted,
         id_col,
@@ -2196,10 +2234,16 @@ def source_kl_drift(df: DataFrame, text_col: str, group_col: str) -> DataFrame:
     broadcast of a corpus-cardinality table), then a |groups|-row agg.
     """
     bit_len = lambda c: F.length(F.bin(c))  # noqa: E731  floor_log2(x) + 1
+    # (group, token) counts feed FOUR consumers (corpus re-agg, per-
+    # group totals, the 1-row grand total, and the final join) —
+    # materialized once instead of re-running the corpus explode+agg
+    # per consumer (r13 plan capture: 4 identical scan->agg subtrees;
+    # guide §2.4). At scale this is the persisted term-stats table.
     st = (
         df.select(F.col(group_col), F.explode(tokens(F.col(text_col))).alias("tok"))
         .groupBy(group_col, "tok")
         .agg(F.count("*").cast("bigint").alias("c_st"))
+        .localCheckpoint(eager=True)
     )
     ct = st.groupBy("tok").agg(F.sum("c_st").cast("bigint").alias("c_t"))
     ns = st.groupBy(group_col).agg(

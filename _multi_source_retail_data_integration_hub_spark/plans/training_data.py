@@ -60,14 +60,35 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fan_out(load_table(spark, sf_dir, "documents"))
 
 
-def _guard_offset(d: DataFrame, offset: int = OFFSET, label: str = "OFFSET") -> None:
+def _docs_max_id(spark: SparkSession, sf_dir: str) -> int:
+    """Max doc_id of the raw documents table, computed ONCE per
+    (session, sf_dir) and memoized (r13 optimization, guide §1.2:
+    don't recompute what can't change). Every ``_guard_offset``
+    consumer guards the same immutable scan, so one max-aggregate job
+    per session replaces one per query build (~13 call sites). The
+    scan is the un-fanned ``load_table`` frame: a max over one column
+    needs no repartition Exchange."""
+    key = _sig_cache_key(spark, sf_dir, "max_doc_id")
+    v = _SIG_CACHE.get(key)
+    if v is None:
+        v = (
+            load_table(spark, sf_dir, "documents").agg(F.max("doc_id")).first()[0]
+            or 0
+        )
+        _SIG_CACHE[key] = v
+    return v
+
+
+def _guard_offset(
+    spark: SparkSession, sf_dir: str, offset: int = OFFSET, label: str = "OFFSET"
+) -> None:
     """A synthetic id offset must not collide with real doc ids —
     fail loudly instead of corrupting dedup/probe results. Shared by
     the doubled/mutated corpora and q125's ingest batch. The
     supported growth path is the SPARK_GRAFT_DOC_OFFSET env override
     (validated at import: positive multiple of 5, which q22's 1-in-5
     sample relies on), set before the module is imported."""
-    max_id = d.agg(F.max("doc_id")).first()[0] or 0
+    max_id = _docs_max_id(spark, sf_dir)
     if max_id >= offset:
         raise ValueError(
             f"documents corpus max doc_id {max_id} >= synthetic {label} "
@@ -79,7 +100,7 @@ def _guard_offset(d: DataFrame, offset: int = OFFSET, label: str = "OFFSET") -> 
 def _doubled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two identical crawl snapshots: every text appears twice."""
     d = _docs(spark, sf_dir).select("doc_id", "text")
-    _guard_offset(d)
+    _guard_offset(spark, sf_dir)
     return d.unionByName(d.select((F.col("doc_id") + OFFSET).alias("doc_id"), "text"))
 
 
@@ -87,7 +108,7 @@ def _mutated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Originals plus a near-duplicate mutation (last 5 tokens dropped)
     of every doc longer than 15 tokens — guaranteed high-Jaccard pairs."""
     d0 = _docs(spark, sf_dir)
-    _guard_offset(d0)
+    _guard_offset(spark, sf_dir)
     d = d0.select(F.col("doc_id").alias("id"), "text")
     toks = T.tokens(F.col("text"))
     n = F.size(toks)
@@ -847,22 +868,46 @@ def q56_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("canonical_id").alias("doc_id")
     )
     kept = docs.join(canon, "doc_id")
-    quality = T.quality_score(kept, "text", "doc_id").select(
-        "doc_id", "quality_band"
+    # ONE tokenize pass (r13, guide §2.3/§2.4): quality_score and
+    # token_stats are row-wise projections of the same token split, so
+    # the previous quality ⋈ stats ⋈ lang three-way self-join on
+    # doc_id re-planned the dedup-survivor pipeline once per branch —
+    # 9 corpus scans and 3 join Exchanges in the captured plan for
+    # what is a single map over kept rows. The expressions below are
+    # the operators' own (T.quality_score band / T.token_stats counts)
+    # inlined over one staged select; the DuckDB oracle pins
+    # equivalence.
+    staged = kept.select(
+        "doc_id",
+        "lang",
+        F.length("text").cast("bigint").alias("_len"),
+        T.tokens(F.col("text")).alias("_t"),
+    ).select(
+        "doc_id",
+        "lang",
+        "_len",
+        F.size("_t").alias("_n"),
+        F.size(F.array_distinct("_t")).alias("_nd"),
+        T._count_in(F.col("_t"), T.STOPWORDS["en"]).alias("_stop"),
     )
-    stats = T.token_stats(kept, "text", "doc_id").select(
-        "doc_id", "n_tokens", "n_chars"
-    )
-    joined = (
-        kept.select("doc_id", "lang").join(quality, "doc_id").join(stats, "doc_id")
+    score = (
+        F.least(F.col("_len") / F.lit(500.0), F.lit(1.0))
+        + F.col("_nd") / F.nullif(F.col("_n"), F.lit(0))
+        + F.least(
+            F.col("_stop") / F.nullif(F.col("_n"), F.lit(0)) * 5, F.lit(1.0)
+        )
+    ) / 3
+    band = (
+        F.when(score >= 0.75, "high").when(score >= 0.5, "medium").otherwise("low")
     )
     return (
-        joined.where(F.col("quality_band") != "low")
+        staged.withColumn("quality_band", band)
+        .where(F.col("quality_band") != "low")
         .groupBy("lang", "quality_band")
         .agg(
             F.count("*").alias("n_docs"),
-            F.sum("n_tokens").alias("total_tokens"),
-            F.sum("n_chars").alias("total_chars"),
+            F.sum(F.col("_n").cast("bigint")).alias("total_tokens"),
+            F.sum("_len").alias("total_chars"),
         )
     )
 
@@ -1553,7 +1598,7 @@ _NEW_SNAPSHOT_SQL = f"""
 )
 def q108_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev = _docs(spark, sf_dir).select("doc_id", "text")
-    _guard_offset(prev)
+    _guard_offset(spark, sf_dir)
     nxt = (
         prev.where(F.col("doc_id") % 10 != 0)
         .select(
@@ -2655,7 +2700,7 @@ def q125_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     # synthetic batch ids must not alias real history ids or the pair
     # list silently corrupts
-    _guard_offset(d, offset=PROBE_OFFSET, label="PROBE_OFFSET")
+    _guard_offset(spark, sf_dir, offset=PROBE_OFFSET, label="PROBE_OFFSET")
     # d is already fanned out by _docs(); no second exchange (r5 ADVICE)
     hist = d.select(F.col("doc_id").alias("id"), "text")
     toks = T.tokens(F.col("text"))
@@ -3845,6 +3890,10 @@ XSOURCE_MAX_SOURCES = 10
     """,
 )
 def q163_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # (source, gram) feeds THREE consumers (the source-frequency
+    # aggregate and both self-join sides) — materialized once instead
+    # of re-tokenizing the corpus per consumer (r13, guide §2.4; same
+    # discipline as ngram_jaccard_pairs' `filtered`)
     g = (
         _docs(spark, sf_dir)
         .select(
@@ -3852,6 +3901,7 @@ def q163_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(T.shingles(T.tokens(F.col("text")), 3)).alias("gram"),
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
     sdf = g.groupBy("gram").agg(F.count("*").alias("ns"))
     f = (
@@ -4143,11 +4193,22 @@ def q170_source_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q171_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    corpus = _doubled(spark, sf_dir)
-    clusters = T.exact_dup_clusters(corpus, "text", "doc_id").select(
-        "text_hash", "canonical_id"
-    )
-    g = T.gopher_rules(corpus, "text", "doc_id").select(
+    # r13 restructure (guide §2.3 "shuffle fewer bytes", §8 "decide
+    # with small rows"): the doubled corpus repeats every TEXT
+    # verbatim (ids offset), so every row-wise metric — text_hash,
+    # gopher features, quality band — is identical between a doc and
+    # its +OFFSET twin. Compute them ONCE over the half corpus, then
+    # union the re-keyed metric rows: half the per-row CPU at any
+    # scale, and the doubling union carries ~5 small columns instead
+    # of full text. The captured before-plan evaluated gopher+quality
+    # +hash over the full doubled corpus once per join branch (8
+    # corpus scans); the metric joins now run over text-free half-
+    # corpus rows. The cluster aggregate keys on text_hash exactly as
+    # exact_dup_clusters does; canonical_id = min(doc_id) over the
+    # doubled ids = min over the original ids (OFFSET > 0), unchanged.
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    _guard_offset(spark, sf_dir)
+    g = T.gopher_rules(docs, "text", "doc_id").select(
         "doc_id",
         "f_word_count",
         (
@@ -4155,25 +4216,37 @@ def q171_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             * F.col("f_bullet") * F.col("f_ellipsis")
         ).alias("fmt"),
     )
-    q = T.quality_score(corpus, "text", "doc_id").select(
+    q = T.quality_score(docs, "text", "doc_id").select(
         "doc_id",
         F.when(F.col("quality_band") != "low", F.lit(1))
         .otherwise(F.lit(0))
         .alias("q_ok"),
     )
-    flags = (
-        corpus.withColumn("text_hash", F.md5("text"))
-        .join(clusters, "text_hash")
+    half = (
+        docs.select("doc_id", F.md5("text").alias("text_hash"))
         .join(g, "doc_id")
         .join(q, "doc_id")
-        .select(
-            F.when(F.col("doc_id") == F.col("canonical_id"), F.lit(1))
-            .otherwise(F.lit(0))
-            .alias("is_canon"),
-            "f_word_count",
-            "fmt",
-            "q_ok",
-        )
+    )
+    metric_cols = ["text_hash", "f_word_count", "fmt", "q_ok"]
+    # doubling via explode (one pass — a self-union would re-plan the
+    # metric joins once per branch); materialized once because both
+    # the cluster aggregate and the funnel join consume it
+    corpus_m = half.select(
+        F.explode(F.array(F.col("doc_id"), F.col("doc_id") + OFFSET)).alias(
+            "doc_id"
+        ),
+        *metric_cols,
+    ).localCheckpoint(eager=True)
+    clusters = corpus_m.groupBy("text_hash").agg(
+        F.min("doc_id").alias("canonical_id")
+    )
+    flags = corpus_m.join(clusters, "text_hash").select(
+        F.when(F.col("doc_id") == F.col("canonical_id"), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("is_canon"),
+        "f_word_count",
+        "fmt",
+        "q_ok",
     )
     agg = flags.agg(
         F.count("*").cast("bigint").alias("n0"),

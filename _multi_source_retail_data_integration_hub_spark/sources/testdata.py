@@ -163,8 +163,22 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     per-row CPU dominates scan+exchange cost: the round-robin exchange
     moves each row exactly once, and AQE does not coalesce an explicit
     numPartitions, so the fan-out survives adaptive re-planning.
+
+    SCALE-ADAPTIVE (r13, guide §2.4 "remove shuffles outright"): when
+    the input already plans to at least ``min_partitions`` splits (the
+    100 TB case — many files / row groups), the repartition is a pure
+    round-robin shuffle of every byte for no parallelism gain, so it
+    is SKIPPED and the plan carries no Exchange at all. The partition
+    probe is metadata-only (physical planning, no job). Results are
+    partitioning-independent by the registry's invariance contract,
+    so the conditional cannot change any query's output.
     """
     n = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    try:
+        if df.rdd.getNumPartitions() >= n:
+            return df
+    except Exception:  # noqa: BLE001 — fall back to the unconditional shuffle
+        pass
     return df.repartition(n)
 
 
