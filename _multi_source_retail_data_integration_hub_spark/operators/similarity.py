@@ -115,12 +115,18 @@ def brute_force_topk(
     (cos desc, id asc) order as the final ranking), then a tiny global
     window takes the true top-k of <= k * n_partitions candidates.
     """
-    q = with_quantized(queries, emb_col, id_col).collect()
+    # collect only (id, qe) and derive the query norms in numpy on the
+    # driver (r13, guide §4): the nsq pandas-UDF column cost one
+    # ArrowEvalPython round-trip over the query set for a value one
+    # exact int64 matmul reproduces from qe. Same math, same values.
+    q = queries.select(
+        F.col(id_col), quantized(F.col(emb_col)).alias("qe")
+    ).collect()
     if not q:
         raise ValueError("empty query set")
     q_ids = np.array([r[0] for r in q], dtype=np.int64)
     Qm = np.stack([np.asarray(r["qe"], dtype=np.int64) for r in q])  # (nq, dim)
-    q_norms = np.array([r["nsq"] for r in q], dtype=np.int64)
+    q_norms = (Qm * Qm).sum(axis=1)
 
     out_schema = "query_id long, neighbor_id long, dot long, cn long, qn long"
 
@@ -156,7 +162,15 @@ def brute_force_topk(
             if rows:
                 yield pd.concat(rows, ignore_index=True)
 
-    candidates = with_quantized(corpus, emb_col, id_col).mapInPandas(local_topk, out_schema)
+    # pass ONLY (id, qe) into the opaque mapInPandas (r13, guide §4.1/
+    # §2.3: Spark cannot see which columns the function touches, so
+    # every input column is computed and shipped). The previous
+    # with_quantized input also carried nsq — a full ArrowEvalPython
+    # pass over the corpus whose value local_topk recomputes as
+    # c_norms anyway. One Python crossing per corpus row, not two.
+    candidates = corpus.select(
+        F.col(id_col), quantized(F.col(emb_col)).alias("qe")
+    ).mapInPandas(local_topk, out_schema)
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
         candidates.withColumn(

@@ -2030,38 +2030,70 @@ def cdc_chunks(
     many chunks corpus-wide share that hash (the dedup-storage
     signal: bytes stored once = sum over distinct hashes).
 
-    Scale shape: posexplode, a PER-DOCUMENT cumulative window (hash-
-    partitioned by doc id — parallel across docs, never a global
-    sort), one (doc, chunk) aggregate with in-group sorted reassembly,
-    and a chunk-hash-keyed count join. All corpus-linear.
+    Scale shape (r13 restructure, guide §2.3/§2.4): chunking is a
+    per-document computation, so it now runs entirely per-row with
+    array higher-order functions — boundary positions via one filter
+    over the positioned token array, then one chunk struct per
+    boundary interval (slice + md5). The chunk rows are emitted by a
+    map-side explode: NO corpus-wide token explode shuffle, NO per-doc
+    cumulative window, NO collect_list reassembly aggregate (the prior
+    shape paid all three). What crosses the wire afterwards is one row
+    per CHUNK (expected |tokens| / mod), not one per token — the only
+    remaining Exchanges are the chunk_df count aggregate and its join.
+    Per-token md5 work is unchanged.
     """
-    from pyspark.sql import Window  # noqa: PLC0415
-
-    toks = df.select(
-        F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("pos", "tok")
+    base = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+    ).where(F.size("_toks") > 0)
+    # a token STARTS a chunk when its hash is in the boundary class;
+    # position 0 additionally starts chunk 0 when it is not itself a
+    # boundary (the window formulation's cumulative-sum semantics)
+    is_b = lambda t: (  # noqa: E731
+        F.pmod(
+            F.conv(F.md5(t).substr(1, 8), 16, 10).cast("bigint"), F.lit(mod)
+        )
+        == 0
     )
-    h = F.conv(F.md5(F.col("tok")).substr(1, 8), 16, 10).cast("bigint")
-    marked = toks.withColumn(
-        "is_b", F.when(F.pmod(h, F.lit(mod)) == 0, F.lit(1)).otherwise(F.lit(0))
+    starts = F.filter(
+        F.transform(
+            F.col("_toks"), lambda t, i: F.struct(i.alias("p"), is_b(t).alias("b"))
+        ),
+        lambda x: (x["p"] == 0) | x["b"],
     )
-    w = (
-        Window.partitionBy(id_col)
-        .orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base = base.select(F.col(id_col), "_toks", starts.alias("_starts"))
+    # chunk_id = cumulative boundary count at the chunk's start: with a
+    # boundary first token the starts array is all boundaries (ids
+    # 1..n); otherwise starts[0] is the synthetic chunk 0 (ids 0..n-1)
+    first_b = F.element_at(F.col("_starts"), 1)["b"]
+    _next = lambda j: F.coalesce(  # noqa: E731  next chunk's start (or doc end)
+        # try_: ANSI mode makes a past-the-end element_at THROW; the
+        # last chunk's "next start" is deliberately out of bounds
+        F.try_element_at(F.col("_starts"), j + F.lit(2))["p"],
+        F.size("_toks"),
     )
-    chunked = marked.withColumn("chunk_id", F.sum("is_b").over(w).cast("bigint"))
-    per_chunk = chunked.groupBy(id_col, "chunk_id").agg(
-        F.min("pos").cast("bigint").alias("chunk_start"),
-        F.count("*").cast("bigint").alias("n_tokens"),
-        F.md5(
-            F.concat_ws(
-                " ",
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                    lambda s: s.getField("tok"),
-                ),
-            )
-        ).alias("chunk_md5"),
+    chunk_structs = F.transform(
+        F.col("_starts"),
+        lambda s, j: F.struct(
+            (j + F.when(first_b, F.lit(1)).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("chunk_id"),
+            s["p"].cast("bigint").alias("chunk_start"),
+            (_next(j) - s["p"]).cast("bigint").alias("n_tokens"),
+            F.md5(
+                F.concat_ws(
+                    " ", F.slice(F.col("_toks"), s["p"] + 1, _next(j) - s["p"])
+                )
+            ).alias("chunk_md5"),
+        ),
+    )
+    per_chunk = base.select(
+        F.col(id_col), F.explode(chunk_structs).alias("_c")
+    ).select(
+        id_col,
+        F.col("_c.chunk_id").alias("chunk_id"),
+        F.col("_c.chunk_start").alias("chunk_start"),
+        F.col("_c.n_tokens").alias("n_tokens"),
+        F.col("_c.chunk_md5").alias("chunk_md5"),
     )
     counts = per_chunk.groupBy("chunk_md5").agg(
         F.count("*").cast("bigint").alias("chunk_df")

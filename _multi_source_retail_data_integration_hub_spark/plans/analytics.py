@@ -1610,14 +1610,38 @@ BASKET_TOPK = 50
 )
 def q131_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct().localCheckpoint()
-    n = items.agg(F.countDistinct("l_orderkey").alias("n_orders"))
-    item_cnt = items.groupBy("l_partkey").agg(F.count("*").alias("cnt"))
-    a = items.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
-    b = items.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_b"))
+    # r13 restructure (guide §2.3/§2.4): ONE shuffle on the order key
+    # builds the per-order distinct basket as a sorted array; the
+    # within-order pair enumeration (part_a < part_b, exactly the old
+    # self-join's output) then runs per-row with array functions and a
+    # map-side explode. Replaces the (orderkey, partkey) distinct
+    # shuffle + the orderkey self-join shuffle — and basket sizes are
+    # bounded (few items per order), so per-row pair fan-out is tiny
+    # at any corpus size. Materialized once: three consumers (order
+    # count, per-part counts, pair counts).
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
+        .localCheckpoint(eager=True)
+    )
+    n = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
+    item_cnt = baskets.select(
+        F.explode("parts").alias("l_partkey")
+    ).groupBy("l_partkey").agg(F.count("*").alias("cnt"))
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("parts"),
+            lambda x, i: F.transform(
+                F.slice(
+                    F.col("parts"), i + F.lit(2), F.size("parts")
+                ),
+                lambda y: F.struct(x.alias("part_a"), y.alias("part_b")),
+            ),
+        )
+    )
     pairs = (
-        a.join(b, "l_orderkey")
-        .where(F.col("part_a") < F.col("part_b"))
+        baskets.select(F.explode(pair_structs).alias("_p"))
+        .select("_p.part_a", "_p.part_b")
         .groupBy("part_a", "part_b")
         .agg(F.count("*").alias("pair_cnt"))
     )
@@ -1960,7 +1984,13 @@ def q176_feature_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("l_orderkey").cast("bigint").alias("n_orders"),
         )
     )
-    melt = m.selectExpr("mk", _Q176_MELT)
+    # melt feeds BOTH self-join sides; left lazy the whole lineitem
+    # scan + monthly aggregation re-plans per side (r13 capture: 2
+    # parquet scans, 6 Exchanges). One eager localCheckpoint of the
+    # ~|months| x 4-row melt runs the corpus aggregation once; the
+    # self-join then happens over a few hundred checkpointed rows
+    # (guide §2.4).
+    melt = m.selectExpr("mk", _Q176_MELT).localCheckpoint(eager=True)
     a = melt.select("mk", F.col("metric").alias("metric_a"), F.col("v").alias("va"))
     b = melt.select("mk", F.col("metric").alias("metric_b"), F.col("v").alias("vb"))
     moments = (

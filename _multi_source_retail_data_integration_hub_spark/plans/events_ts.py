@@ -700,6 +700,14 @@ def q119_purchase_streaks(
         events.where(F.col("event_type") == "purchase")
         .select("user_id", F.to_date(F.date_trunc("day", "ts")).alias("day"))
         .distinct()
+        # materialized ONCE (r13, guide §2.4/§5): the frame feeds the
+        # guard's islands window AND three references inside the
+        # recursive CTE — and the recursion re-executes its join input
+        # EVERY round, so without this each of the N sequential rounds
+        # re-scanned events and re-ran the distinct. Checkpoint blocks
+        # make each round an in-memory hash join against ~|users x
+        # active days| rows.
+        .localCheckpoint(eager=True)
     )
     if max_depth is not None:
         # guard pass: ONE gaps-and-islands window shuffle (q30 shape)

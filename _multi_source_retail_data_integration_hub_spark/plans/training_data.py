@@ -4714,7 +4714,18 @@ def q181_lsh_cap_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (the exact-verify side reads it twice)
     sh_all = _mutated_shingles(spark, sf_dir)
     sig = _mutated_sig(spark, sf_dir)
-    melted = T._melt_bands(sig, "id", 4)
+    # ONE melted band table for all FIVE consumers (r13, guide §2.4):
+    # the audit's bucket-size counts + both hot-member self-join sides
+    # AND both capped candidate passes (drop + subsplit, via the
+    # from_bands readers the persisted path already uses — value-
+    # identical to lsh_candidate_pairs by construction). The before-
+    # plan re-planned the melt subtree 8x (8 Generates). No
+    # pre-repartition by the join keys: AQE's coalescing drops the
+    # preserved outputPartitioning at the checkpoint boundary, so it
+    # would be a pure extra shuffle (A/B confirmed no win); the
+    # Exchange-free layout belongs to the PERSISTED bucketed table
+    # (q179), not this in-session audit.
+    melted = T._melt_bands(sig, "id", 4).localCheckpoint(eager=True)
     counts = melted.groupBy("band_id", "bucket").agg(
         F.count("*").alias("bucket_size")
     )
@@ -4770,11 +4781,11 @@ def q181_lsh_cap_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("id_a", "id_b")
     )
-    dropc = T.lsh_candidate_pairs(
-        sig, "id", max_bucket_size=_SUBSPLIT_CAP, hot_bucket_mode="drop"
+    dropc = T.lsh_candidate_pairs_from_bands(
+        melted, "id", max_bucket_size=_SUBSPLIT_CAP, hot_bucket_mode="drop"
     ).withColumn("in_drop", F.lit(True))
-    subc = T.lsh_candidate_pairs(
-        sig, "id", max_bucket_size=_SUBSPLIT_CAP, hot_bucket_mode="subsplit"
+    subc = T.lsh_candidate_pairs_from_bands(
+        melted, "id", max_bucket_size=_SUBSPLIT_CAP, hot_bucket_mode="subsplit"
     ).withColumn("in_sub", F.lit(True))
     flags = (
         truep.join(dropc, ["id_a", "id_b"], "left")
