@@ -1868,53 +1868,32 @@ def bpe_symbolize(words: DataFrame, word_col: str = "word") -> DataFrame:
     )
 
 
-def _bpe_merge_pair(state: DataFrame, a: str, b: str, carry: tuple[str, ...]) -> DataFrame:
-    """Apply ONE merge rule (a, b) leftmost-non-overlapping to a
-    symbolized vocabulary table (``word``, ``syms`` + ``carry``
-    columns). Shared by the learning loop (carry=("freq",)) and
-    corpus-wide application (bpe_apply_merges); the run-parity
-    predicate handles equal-symbol runs positionally (see
-    bpe_learn_merges docstring)."""
-    from pyspark.sql import Window
+def _bpe_merge_syms(syms_arr: Column, a: str, b: str) -> Column:
+    """Apply ONE merge rule (a, b) LEFTMOST-NON-OVERLAPPING to a symbol
+    array — a per-row fold (``aggregate``), entirely map work. Shared
+    by the learning loop and corpus-wide application (bpe_apply_merges).
 
-    e = state.select(
-        "word", *carry, F.posexplode(F.split("syms", " ")).alias("pos0", "sym")
-    ).withColumn("pos", F.col("pos0") + 1)
-    w_word = Window.partitionBy("word").orderBy("pos")
-    w_sym = Window.partitionBy("word", "sym").orderBy("pos")
-    e = e.select(
-        "word", *carry, "pos", "sym",
-        F.lead("sym").over(w_word).alias("nxt"),
-        (F.col("pos") - F.row_number().over(w_sym)).alias("grp"),
-    )
-    e = e.withColumn(
-        "run_start", F.min("pos").over(Window.partitionBy("word", "sym", "grp"))
-    )
-    mstart = (
-        (F.col("sym") == F.lit(a))
-        & (F.col("nxt") == F.lit(b))
-        & (F.lit(a != b) | ((F.col("pos") - F.col("run_start")) % 2 == 0))
-    )
-    e = e.withColumn("mstart", mstart).withColumn(
-        "consumed",
-        F.coalesce(F.lag("mstart").over(w_word), F.lit(False)),
-    )
-    return (
-        e.where(~F.col("consumed"))
-        .withColumn(
-            "new_sym",
-            F.when(F.col("mstart"), F.lit(a + b)).otherwise(F.col("sym")),
-        )
-        .groupBy("word", *carry)
-        .agg(
-            F.concat_ws(
-                " ",
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "new_sym"))),
-                    lambda x: x["new_sym"],
-                ),
-            ).alias("syms")
-        )
+    Scanning left to right, a merge fires when the accumulator's last
+    symbol equals ``a`` and the current symbol equals ``b``; the fired
+    merge rewrites the accumulator tail to ``a+b``. Because ``b`` is
+    non-empty, len(a+b) > len(a), so a just-merged symbol can never
+    itself equal ``a`` — the fold can never re-consume it, which IS the
+    non-overlap rule. For a == b this yields merges at even offsets
+    from each equal-symbol run start — exactly the run-parity predicate
+    of the windowed formulation the DuckDB twins replay (the two forms
+    are pinned equal by tests/test_properties.py's pure-Python
+    reference and the q137/q141/q174 oracle rows). try_element_at
+    returns NULL on the empty accumulator (first element), which makes
+    the merge predicate null -> the otherwise-branch appends."""
+    return F.aggregate(
+        syms_arr,
+        F.slice(syms_arr, F.lit(1), F.lit(0)),  # empty array<string>
+        lambda acc, x: F.when(
+            (F.try_element_at(acc, F.lit(-1)) == F.lit(a)) & (x == F.lit(b)),
+            F.concat(
+                F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(F.lit(a + b))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
     )
 
 
@@ -1926,17 +1905,20 @@ def bpe_apply_merges(
     (encode with the trained vocab, the step every serving/data
     pipeline runs per corpus). Returns (word, syms).
 
-    Scale: like learning, every round runs over the DISTINCT-word
-    table (the corpus is reduced to per-doc word counts upstream and
-    joined back afterwards), so cost is K passes over the vocabulary
-    regardless of corpus size; the rule list is a tiny constant that
-    lives in the plan itself — nothing is collected here."""
-    state = bpe_symbolize(words, word_col).select(
-        F.col(word_col).alias("word"), "syms"
-    ).localCheckpoint()
+    Scale: the whole K-rule application is ONE per-row projection over
+    the DISTINCT-word table (the corpus is reduced to per-doc word
+    counts upstream and joined back afterwards) — the K merge folds
+    chain inside the row, so there is no shuffle, no per-rule pass,
+    and no materialized intermediate at any corpus size; the rule list
+    is a tiny constant that lives in the plan itself — nothing is
+    collected here."""
+    state = bpe_symbolize(words, word_col)
+    syms = F.split(F.col("syms"), " ")
     for a, b in rules:
-        state = _bpe_merge_pair(state, a, b, carry=()).localCheckpoint()
-    return state
+        syms = _bpe_merge_syms(syms, a, b)
+    return state.select(
+        F.col(word_col).alias("word"), F.concat_ws(" ", syms).alias("syms")
+    )
 
 
 def bpe_learn_merges(words: DataFrame, n_merges: int) -> DataFrame:
@@ -1952,20 +1934,22 @@ def bpe_learn_merges(words: DataFrame, n_merges: int) -> DataFrame:
     partitionings), then apply the merge LEFTMOST-NON-OVERLAPPING.
     The subtlety is equal-symbol runs: merging pair (a,a) in
     "a a a a" must produce "aa aa", not depend on scan direction —
-    handled positionally: within each maximal run of the same symbol,
-    merge starts are the even offsets (gaps-and-islands grouping +
-    run-start window). For a != b overlaps are impossible, so every
-    matching position merges.
+    handled by the left-to-right merge fold (``_bpe_merge_syms``):
+    within each maximal run of the same symbol, merges land at the
+    even offsets from the run start — the same positions the DuckDB
+    twin's gaps-and-islands/run-parity windows select. For a != b
+    overlaps are impossible, so every matching position merges.
 
     Returns one row per learned rule: (merge_rank, pair_a, pair_b,
     pair_count, n_symbols_after) — all integer/string, so the DuckDB
     twin (a generated chain of per-iteration CTEs) is hash-exact.
 
-    Scale: each iteration is one explode + two windowed passes over
+    Scale: each iteration is one pair-count aggregate (explode +
+    partial-agg shuffle) plus a PER-ROW merge-fold projection over
     the VOCABULARY table (|distinct words|, not corpus tokens — the
-    corpus is reduced to (word, freq) once upstream), partitioned by
-    word; per-iteration state is localCheckpoint-truncated like the
-    other fixpoint operators (graph.py). The two 1-row collects per
+    corpus is reduced to (word, freq) once upstream); per-iteration
+    state is localCheckpoint-truncated like the other fixpoint
+    operators (graph.py). The two 1-row collects per
     iteration (argmax + symbol count) are scalars — the same bounded
     contract as the centroid/snapshot collects. Production vocab
     sizes (1e5-1e6 types) hold in one executor's partition shard
@@ -1996,7 +1980,9 @@ def bpe_learn_merges(words: DataFrame, n_merges: int) -> DataFrame:
             break  # vocabulary fully merged
         a, b, cnt = best_rows[0]["a"], best_rows[0]["b"], int(best_rows[0]["cnt"])
 
-        state = _bpe_merge_pair(state, a, b, carry=("freq",)).localCheckpoint()
+        state = state.withColumn(
+            "syms", F.concat_ws(" ", _bpe_merge_syms(F.split("syms", " "), a, b))
+        ).localCheckpoint()
         n_after = int(
             state.agg(
                 F.sum(F.col("freq") * F.size(F.split("syms", " ")))

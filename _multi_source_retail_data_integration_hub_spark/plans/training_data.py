@@ -1597,34 +1597,40 @@ _NEW_SNAPSHOT_SQL = f"""
     """,
 )
 def q108_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    prev = _docs(spark, sf_dir).select("doc_id", "text")
+    # ONE corpus scan (r13, guide §2.3/§6): the synthetic new snapshot
+    # is derived row-wise from the previous one, so the full-outer
+    # join's classification is decidable per PREV row — %10 rows have
+    # no nxt match ('deleted'), the rest compare md5(prev) to
+    # md5(next-revision) in place, and each %13 row additionally
+    # yields its offset copy, which can never match a prev id because
+    # _guard_offset pins max(doc_id) < OFFSET (the same guard the
+    # join form's 'added' classification relied on). The md5 content
+    # compare — the thing the diff semantically IS — still runs for
+    # every surviving row; what's gone are two extra corpus scans and
+    # the full-outer-join shuffle of two md5'd snapshots.
     _guard_offset(spark, sf_dir)
-    nxt = (
-        prev.where(F.col("doc_id") % 10 != 0)
-        .select(
-            "doc_id",
-            F.when(
-                F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" [rev2]"))
-            )
-            .otherwise(F.col("text"))
-            .alias("text"),
-        )
-        .unionByName(
-            prev.where(F.col("doc_id") % 13 == 0).select(
-                (F.col("doc_id") + OFFSET).alias("doc_id"), "text"
-            )
-        )
-    )
-    p = prev.select("doc_id", F.md5("text").alias("ph"))
-    n = nxt.select(F.col("doc_id").alias("n_doc_id"), F.md5("text").alias("nh"))
-    d = p.join(n, p["doc_id"] == n["n_doc_id"], "full_outer").select(
-        F.coalesce("doc_id", "n_doc_id").alias("doc_id"),
-        F.when(F.col("doc_id").isNull(), "added")
-        .when(F.col("n_doc_id").isNull(), "deleted")
-        .when(F.col("ph") != F.col("nh"), "changed")
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    ph = F.md5("text")
+    nh = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.md5(F.concat(F.col("text"), F.lit(" [rev2]"))),
+    ).otherwise(ph)
+    status = (
+        F.when(F.col("doc_id") % 10 == 0, "deleted")
+        .when(ph != nh, "changed")
         .otherwise("unchanged")
-        .alias("status"),
     )
+    own = F.struct(F.col("doc_id").alias("doc_id"), status.alias("status"))
+    added = F.struct(
+        (F.col("doc_id") + OFFSET).alias("doc_id"), F.lit("added").alias("status")
+    )
+    d = docs.select(
+        F.explode(
+            F.when(F.col("doc_id") % 13 == 0, F.array(own, added)).otherwise(
+                F.array(own)
+            )
+        ).alias("r")
+    ).select("r.doc_id", "r.status")
     return (
         d.groupBy("status")
         .agg(

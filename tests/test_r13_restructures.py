@@ -144,3 +144,86 @@ def test_fan_out_skips_when_already_parallel(spark):
     assert fanned.rdd.getNumPartitions() == 4
     # values survive either path
     assert fanned.agg(F.sum("id")).first()[0] == wide.agg(F.sum("id")).first()[0]
+
+
+# ---------------------------------------------------------------------------
+# BPE merge application: per-row fold (_bpe_merge_syms) vs the pre-r13
+# windowed gaps-and-islands/run-parity form — the formulation the
+# DuckDB oracle twins (q137/q141/q174) replay CTE-for-CTE. The
+# property tests already pin fold == pure-Python sequential encoder;
+# this pins fold == windowed on the adversarial shapes: equal-symbol
+# runs of every parity, runs interrupted mid-word, rules whose left
+# side is itself a product of an earlier merge, and multi-char rule
+# sides that overlap lexically.
+# ---------------------------------------------------------------------------
+def _bpe_apply_windowed_reference(state, rules):
+    """Verbatim pre-r13 _bpe_merge_pair loop (carry=())."""
+    for a, b in rules:
+        e = state.select(
+            "word", F.posexplode(F.split("syms", " ")).alias("pos0", "sym")
+        ).withColumn("pos", F.col("pos0") + 1)
+        w_word = Window.partitionBy("word").orderBy("pos")
+        w_sym = Window.partitionBy("word", "sym").orderBy("pos")
+        e = e.select(
+            "word", "pos", "sym",
+            F.lead("sym").over(w_word).alias("nxt"),
+            (F.col("pos") - F.row_number().over(w_sym)).alias("grp"),
+        )
+        e = e.withColumn(
+            "run_start",
+            F.min("pos").over(Window.partitionBy("word", "sym", "grp")),
+        )
+        mstart = (
+            (F.col("sym") == F.lit(a))
+            & (F.col("nxt") == F.lit(b))
+            & (F.lit(a != b) | ((F.col("pos") - F.col("run_start")) % 2 == 0))
+        )
+        e = e.withColumn("mstart", mstart).withColumn(
+            "consumed", F.coalesce(F.lag("mstart").over(w_word), F.lit(False))
+        )
+        state = (
+            e.where(~F.col("consumed"))
+            .withColumn(
+                "new_sym",
+                F.when(F.col("mstart"), F.lit(a + b)).otherwise(F.col("sym")),
+            )
+            .groupBy("word")
+            .agg(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "new_sym"))),
+                        lambda x: x["new_sym"],
+                    ),
+                ).alias("syms")
+            )
+        )
+    return state
+
+
+def test_bpe_fold_matches_windowed_reference(spark):
+    words = [
+        "aaaa", "aaaaa", "aa", "a",            # run parity, both parities
+        "baaab", "aabaa", "ababab", "abba",    # interrupted runs, a!=b chains
+        "cabbage", "bbbbbb", "abcabc",
+    ]
+    rule_sets = [
+        [("a", "a")],                          # pure run-parity
+        [("a", "a"), ("aa", "aa")],            # merged symbol feeds next rule
+        [("a", "b"), ("ab", "ab")],            # left side from earlier merge
+        [("a", "b"), ("ab", "c"), ("b", "a")],
+        [("b", "b"), ("a", "bb")],             # multi-char right side
+    ]
+    df = spark.createDataFrame([(w,) for w in words], "word string")
+    for rules in rule_sets:
+        got = {
+            r["word"]: r["syms"]
+            for r in T.bpe_apply_merges(df, rules).collect()
+        }
+        want = {
+            r["word"]: r["syms"]
+            for r in _bpe_apply_windowed_reference(
+                T.bpe_symbolize(df).select("word", "syms"), rules
+            ).collect()
+        }
+        assert got == want, rules
