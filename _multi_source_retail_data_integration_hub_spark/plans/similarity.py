@@ -357,7 +357,7 @@ def _bucket_pair_cands_uncached(
     pairs = (
         a_side.join(b_side, keys)
         .where(F.col("id_a") < F.col("id_b"))
-        .withColumn("dot", S.dot_long_vec(F.col("qa"), F.col("qb")))
+        .withColumn("dot", S.dot_long(F.col("qa"), F.col("qb")))
         .withColumn("cos_sim", S.cosine_from_ints(F.col("dot"), F.col("na"), F.col("nb")))
     )
     return pairs.select(
@@ -680,7 +680,7 @@ def q158_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     negs = (
         neg.join(a_side, "id_a")
         .join(b_side, "id_b")
-        .withColumn("dot", S.dot_long_vec(F.col("qa"), F.col("qb")))
+        .withColumn("dot", S.dot_long(F.col("qa"), F.col("qb")))
         .withColumn(
             "cos_sim", S.cosine_from_ints(F.col("dot"), F.col("na"), F.col("nb"))
         )
@@ -1094,7 +1094,7 @@ def q178_semdedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hits = (
         bassign.join(members, "list_id")
-        .withColumn("dot", S.dot_long_vec(F.col("qe"), F.col("me")))
+        .withColumn("dot", S.dot_long(F.col("qe"), F.col("me")))
         .withColumn(
             "cos_sim", S.cosine_from_ints(F.col("dot"), F.col("nsq"), F.col("mn"))
         )
