@@ -510,6 +510,8 @@ def _q123_sql() -> str:
 def q123_supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import pagerank_fixed_point
 
+    from ..operators.checkpointing import materialize
+
     orders = load_table(spark, sf_dir, "orders")
     lineitem = load_table(spark, sf_dir, "lineitem")
     pairs = (
@@ -520,6 +522,12 @@ def q123_supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # materialize once (r13, guide §2.4): the bidirectional union
+    # below references ``pairs`` twice, so left lazy the
+    # orders x lineitem join + distinct re-planned and re-executed PER
+    # DIRECTION inside the operator's own edge materialization — the
+    # fact-table join ran twice for one edge list.
+    pairs = materialize(pairs)
     edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
         pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
     )
