@@ -414,7 +414,18 @@ def lsh_bucket(qe: Column, planes: list[list[int]]) -> Column:
     The hyperplane constants are sliced to the vector's dimension — an
     EXPLICIT projection onto the leading dims for smaller embeddings.
     Embeddings WIDER than the hyperplanes raise with a message naming
-    the limit (instead of a generic dimension error downstream)."""
+    the limit (instead of a generic dimension error downstream).
+
+    The UDF is marked non-deterministic (r13, guide §4.4) although its
+    math is fully deterministic: every consumer equi-joins on the
+    bucket column, Catalyst infers ``isnotnull(bucket)`` from the join
+    and pushes it below the projection, and the push DUPLICATES the
+    UDF — the q28/q37-family plans carried two ArrowEvalPython nodes
+    per side (one feeding only the pushed null-filter, one recomputed
+    for the real column), i.e. every corpus row crossed the Python
+    boundary twice per bucketing. The flag forbids the copy; the
+    null-filter simply runs above the single evaluation — identical
+    rows, identical results, half the Python crossings."""
     P = np.array(planes, dtype=np.int64)
     weights = 1 << np.arange(P.shape[0], dtype=np.int64)
 
@@ -453,7 +464,7 @@ def lsh_bucket(qe: Column, planes: list[list[int]]) -> Column:
             out[idx] = ((dots >= 0).astype(np.int64) * weights).sum(axis=1)
         return pd.Series(out)
 
-    return pandas_udf(_bucket_impl, "bigint")(qe)
+    return pandas_udf(_bucket_impl, "bigint").asNondeterministic()(qe)
 
 
 def lsh_buckets(
