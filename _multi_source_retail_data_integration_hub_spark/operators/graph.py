@@ -33,8 +33,17 @@ def connected_components(
     dst: str = "id_b",
     max_iter: int = 25,
     checkpoint_dir: str | None = None,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """(node, cluster_id) for every node appearing in ``pairs``.
+
+    ``assume_distinct``: the caller guarantees ``pairs`` rows are
+    unique and canonically oriented (src < dst) — the symmetric union
+    is then duplicate-free by construction and the operator skips its
+    dedup pass (a full 2|E| shuffle). Unlike pagerank, duplicates can
+    never change THIS result (min-label propagation is idempotent over
+    repeated neighbors); they only inflate every round's join — so the
+    flag is a pure performance contract.
 
     ``cluster_id`` = min node id in the connected component. Nodes with
     no edges don't appear (callers union singletons back if they need
@@ -51,7 +60,9 @@ def connected_components(
     """
     e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    sym = materialize(sym.distinct(), checkpoint_dir)
+    if not assume_distinct:
+        sym = sym.distinct()
+    sym = materialize(sym, checkpoint_dir)
 
     labels = materialize(
         sym.select(F.col("a").alias("node"))
@@ -107,9 +118,25 @@ def pagerank_fixed_point(
     scale: int = 1_000_000,
     checkpoint_dir: str | None = None,
     broadcast_node_limit: int = 1_000_000,
+    assume_distinct: bool = False,
+    assume_symmetric: bool = False,
 ) -> DataFrame:
     """PageRank in FIXED-POINT integer arithmetic: (node, rank_fp)
     after ``iterations`` rounds, rank_fp in units of 1/``scale``.
+
+    ``assume_distinct``: the caller guarantees (src, dst) rows are
+    already unique — skips the operator's dedup pass (a full edge-list
+    shuffle) and its materialization, so the caller should hand over an
+    edge frame that is cheap to re-execute (e.g. a projection of a
+    checkpointed table): it feeds the out-degree aggregation, the node
+    derivation and the contribution join. Ranks would silently double-
+    count duplicated edges, hence opt-in only.
+
+    ``assume_symmetric``: the caller guarantees every node appears in
+    the ``src`` column (true for any symmetrized edge list) — the node
+    set then falls out of the out-degree aggregation's keys instead of
+    a 2|E|-row src∪dst union+distinct pass. A node appearing only as
+    ``dst`` would vanish from the ranking, hence opt-in only.
 
     Why integers: PageRank's update is a float SUM over incoming
     contributions, and float summation order is engine- and
@@ -130,15 +157,26 @@ def pagerank_fixed_point(
     per round via ``materialize``. Unnormalized start: every node
     begins at ``scale`` (rank mass 1.0).
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
-    e = materialize(e, checkpoint_dir)
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if not assume_distinct:
+        e = materialize(e.distinct(), checkpoint_dir)
     outdeg = e.groupBy("src").agg(F.count("*").alias("deg"))
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .unionByName(e.select(F.col("dst").alias("node")))
-        .distinct()
-    )
-    nodes = materialize(nodes, checkpoint_dir)
+    if assume_symmetric:
+        # every node is a src, so the out-degree table's key set IS the
+        # node set: one |E|->|V| aggregation replaces the union+distinct
+        # (and outdeg is materialized since nodes projects off it per
+        # round; the non-symmetric path leaves it lazy — one consumer)
+        outdeg = materialize(outdeg, checkpoint_dir)
+        nodes = outdeg.select(F.col("src").alias("node"))
+        n_nodes = outdeg.count()  # on the materialized table: cheap
+    else:
+        nodes = materialize(
+            e.select(F.col("src").alias("node"))
+            .unionByName(e.select(F.col("dst").alias("node")))
+            .distinct(),
+            checkpoint_dir,
+        )
+        n_nodes = nodes.count()
     base = (100 - damping_pct) * scale // 100
     ranks = nodes.withColumn("rank_fp", F.lit(scale).cast("bigint"))
     # (src, dst, deg) is static across iterations — materialize once or
@@ -154,7 +192,7 @@ def pagerank_fixed_point(
     # — sized to stay well under executor/driver broadcast budgets; a
     # 10M-node broadcast re-sent every iteration would be hundreds of
     # MB replicated per round (r5 ADVICE).
-    small = nodes.count() <= broadcast_node_limit  # count on materialized nodes: cheap
+    small = n_nodes <= broadcast_node_limit
     _b = F.broadcast if small else (lambda df: df)
     # Per-round materialization policy (r13, guide §1.2/§5): with a
     # reliable ``checkpoint_dir`` every round is durably checkpointed —

@@ -531,8 +531,20 @@ def q123_supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
         pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
     )
+    # assume_distinct: ``pairs`` is distinct and the 'c'/'s' prefixes
+    # make the two union legs disjoint, so ``edges`` carries no
+    # duplicate rows — the operator's dedup pass (a full |E| shuffle +
+    # materialization) is provably redundant here. assume_symmetric:
+    # the union emits every node as src, so the node set falls out of
+    # the out-degree aggregation instead of a 2|E| union+distinct
+    # (r13 session 3, guide §2.4: remove shuffles outright).
     ranks = pagerank_fixed_point(
-        edges, iterations=PR_ITER, damping_pct=PR_DAMPING_PCT, scale=PR_SCALE
+        edges,
+        iterations=PR_ITER,
+        damping_pct=PR_DAMPING_PCT,
+        scale=PR_SCALE,
+        assume_distinct=True,
+        assume_symmetric=True,
     )
     from ..operators.ranking import ranked_topk
 

@@ -402,7 +402,12 @@ def q37_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q53_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _neardup_pairs(spark, sf_dir)
-    comps = connected_components(pairs, src="id_a", dst="id_b")
+    # assume_distinct: each vector lives in exactly ONE (bucket, salt)
+    # group, and the candidate join keeps id_a < id_b — a pair can't
+    # appear twice, so the operator skips its dedup shuffle (r13 s3)
+    comps = connected_components(
+        pairs, src="id_a", dst="id_b", assume_distinct=True
+    )
     return comps.select(F.col("node").alias("vec_id"), "cluster_id")
 
 

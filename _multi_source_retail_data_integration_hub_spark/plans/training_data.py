@@ -256,8 +256,12 @@ def _mutated_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = _sig_cache_key(spark, sf_dir, "labels")
     labels = _SIG_CACHE.get(key)
     if labels is None:
+        # assume_distinct: lsh_candidate_pairs ends in id_a < id_b +
+        # .distinct(), so the operator's symmetric union is duplicate-
+        # free by construction — skip its 2|E| dedup shuffle (r13 s3)
         labels = connected_components(
-            _mutated_lsh_pairs(spark, sf_dir), "id_a", "id_b"
+            _mutated_lsh_pairs(spark, sf_dir), "id_a", "id_b",
+            assume_distinct=True,
         ).localCheckpoint()
         _SIG_CACHE[key] = labels
     return labels

@@ -227,3 +227,60 @@ def test_bpe_fold_matches_windowed_reference(spark):
             ).collect()
         }
         assert got == want, rules
+
+
+# ---------------------------------------------------------------------------
+# pagerank_fixed_point: the assume_distinct/assume_symmetric fast path
+# (r13 session 3) vs the default dedup + src-union-dst node derivation
+# on the same symmetrized edge list — identical exact fixed-point ranks
+# ---------------------------------------------------------------------------
+def test_pagerank_assume_flags_match_default(spark):
+    from _multi_source_retail_data_integration_hub_spark.operators.graph import (
+        pagerank_fixed_point,
+    )
+
+    # a deliberately lumpy little graph: a hub, a chain, a triangle,
+    # an isolated pair — symmetrize and dedup exactly like q123 does
+    raw = [
+        ("c1", "s1"), ("c2", "s1"), ("c3", "s1"), ("c4", "s1"),  # hub s1
+        ("c1", "s2"), ("c2", "s2"),                              # shared
+        ("c5", "s3"), ("c5", "s4"),                              # chain
+        ("c6", "s5"),                                            # leaf pair
+        ("c1", "s1"),                                            # dup row
+    ]
+    pairs = spark.createDataFrame(raw, "c string, s string").distinct()
+    edges = pairs.select(
+        F.col("c").alias("src"), F.col("s").alias("dst")
+    ).unionByName(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+
+    for iters in (1, 3):
+        want = _rows(
+            pagerank_fixed_point(edges, iterations=iters), ["node", "rank_fp"]
+        )
+        got = _rows(
+            pagerank_fixed_point(
+                edges,
+                iterations=iters,
+                assume_distinct=True,
+                assume_symmetric=True,
+            ),
+            ["node", "rank_fp"],
+        )
+        assert got == want, iters
+
+
+def test_connected_components_assume_distinct_matches_default(spark):
+    from _multi_source_retail_data_integration_hub_spark.operators.graph import (
+        connected_components,
+    )
+
+    # canonical a < b pairs: two chained components + an isolated edge
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 9), (4, 5), (7, 8)], "id_a long, id_b long"
+    )
+    want = _rows(connected_components(pairs), ["node", "cluster_id"])
+    got = _rows(
+        connected_components(pairs, assume_distinct=True),
+        ["node", "cluster_id"],
+    )
+    assert got == want
