@@ -1722,9 +1722,16 @@ def q132_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"div {DECILE_BIN_CENTS}"
         ).alias("m_bin"),
     )
-    # three tiny bin->quintile maps off the SAME per_cust aggregate
-    # (exchange-reused), assigned via broadcast hash joins — never a
-    # window or sort over the per-customer table
+    # three tiny bin->quintile maps off the SAME per_cust aggregate,
+    # assigned via broadcast hash joins — never a window or sort over
+    # the per-customer table. materialize ONCE (r13 s3, guide §2.4):
+    # exchange reuse does NOT deduplicate the four per_cust subtrees —
+    # column pruning narrows each map's aggregate to its own bin column,
+    # so the exchanges canonicalize differently and the executed plan
+    # ran the orders scan + per-customer aggregation 4x (0 ReusedExchange
+    # observed). One localCheckpoint = one fact scan, one aggregation;
+    # the three bin maps read the ~|customers|-row block instead.
+    per_cust = per_cust.localCheckpoint()
     scored = per_cust
     for bin_col, out_col in (
         ("r_bin", "r_score"),

@@ -1090,9 +1090,16 @@ def q177_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     vals = events.where(F.col("value").isNotNull()).select(
         "event_type", F.col("value").cast("double").alias("v")
     )
+    # materialize the tiny per-type median ONCE (r13 s3, guide §2.4):
+    # ``dev`` feeds two consumers (mad + the outlier aggregate) and each
+    # re-planned the median's full events pass — the executed plan ran
+    # 4 corpus scans and the percentile aggregation twice. The median
+    # table is |event_type| rows; checkpointing it leaves the 3 corpus
+    # passes the algorithm fundamentally needs (median, median-of-
+    # deviations, outlier count) and nothing corpus-sized in memory.
     med = vals.groupBy("event_type").agg(
         F.expr("percentile(v, 0.5)").alias("med")
-    )
+    ).localCheckpoint()
     dev = vals.join(med, "event_type").withColumn(
         "ad", F.abs(F.col("v") - F.col("med"))
     )

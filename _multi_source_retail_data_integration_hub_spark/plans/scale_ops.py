@@ -1108,11 +1108,15 @@ def q143_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day", "bin")
         .agg(F.count("*").alias("cnt"))
     )
-    # stage 2: merge any range by summing bins (facts never rescanned)
+    # stage 2: merge any range by summing bins (facts never rescanned).
+    # materialized ONCE (r13 s3, guide §2.4): yearly feeds cum + tot
+    # (and tot two consumers), and pruning made the three subtrees
+    # canonicalize differently — the executed plan scanned orders 3x.
+    # The histogram is |years x bins| rows, a trivial checkpoint.
     yearly = (
         daily.groupBy(F.year("day").cast("bigint").alias("order_year"), "bin")
         .agg(F.sum("cnt").cast("bigint").alias("cnt"))
-    )
+    ).localCheckpoint()
     # stage 3: quantiles from the merged cumulative histogram
     wcum = (
         Window.partitionBy("order_year")

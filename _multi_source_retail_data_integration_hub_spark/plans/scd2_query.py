@@ -63,7 +63,14 @@ def q77_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", F.col("c_acctbal").cast("decimal(18,2)").alias("bal")
     )
     snap1 = cust.withColumn("row_hash", _hash(F.col("bal")))
-    dim = scd2_initial(snap1, T1)
+    # materialize both merge inputs (r13 s3, guide §2.4): scd2_merge
+    # references ``current`` 3x and ``incoming`` 2x (active alone 4x),
+    # and with both derived from transforms here the executed plan
+    # scanned customer 13 TIMES. In production they are stored tables;
+    # the two checkpoints make that contract true in-process — the
+    # merge's joins then read materialized blocks, and customer is
+    # scanned 3x total (dim once, snap2's bump+arrivals legs).
+    dim = scd2_initial(snap1, T1).localCheckpoint()
 
     bumped = cust.withColumn(
         "bal",
@@ -75,7 +82,9 @@ def q77_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("c_custkey") + 1_000_000).alias("c_custkey"),
         F.lit(0).cast("decimal(18,2)").alias("bal"),
     )
-    snap2 = bumped.unionByName(arrivals).withColumn("row_hash", _hash(F.col("bal")))
+    snap2 = bumped.unionByName(arrivals).withColumn(
+        "row_hash", _hash(F.col("bal"))
+    ).localCheckpoint()
 
     merged = scd2_merge(dim, snap2, "c_custkey", T2)
     # validity bounds as formatted strings: the 9999-12-31 open-end

@@ -1456,9 +1456,14 @@ _MIX_CASE = "CASE lang " + " ".join(
 def q106_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sampling import in_sample, mixture_sampling_rates
 
+    # decide with small rows (r13 s3, guide §8): the rate derivation and
+    # the kept-aggregate both need (doc_id, lang, n_toks) — left lazy,
+    # the corpus was tokenized twice (two full text scans). One
+    # checkpoint of the 3-narrow-column projection replaces the second
+    # tokenize pass; nothing text-sized is materialized.
     d = _docs(spark, sf_dir).select(
         "doc_id", "lang", F.size(T.tokens(F.col("text"))).alias("n_toks")
-    )
+    ).localCheckpoint()
     totals = d.groupBy("lang").agg(F.sum("n_toks").alias("lang_tokens"))
     rates = mixture_sampling_rates(
         totals, "lang", "lang_tokens", MIXTURE_WEIGHTS_PCT, MIXTURE_BUDGET_PCT
