@@ -109,48 +109,7 @@ _DEFER_TO_NEXT_WINDOW: list[str] = []
 # unchanged — the list only needs regenerating when a round's artifact
 # lands (the leading stale block rotates to the back).
 _BACKFILL = [
-    # -- newest driver row: round 9 --
-    "q121_cdc_mart",
-    "q122_bm25_search",
-    "q123_supplier_pagerank",
-    "q124_priority_sample",
-    "q125_incremental_neardup",
-    "q126_streaming_tumbling",
-    "q127_golden_record",
-    "q130_ab_test",
-    "q131_market_basket",
-    "q132_rfm_segments",
-    "q133_pseudonymize",
-    "q151_simhash_neardup_wide",
-    "q152_winnow_dup_spans",
-    "q153_winnow_span_trim",
-    "q154_boilerplate_spans",
-    "q155_dsir_importance",
-    "q156_dsir_select",
-    "q157_hybrid_rrf",
-    "q158_contrastive_pairs",
-    "q159_length_buckets",
-    "q160_dsir_calibration",
-    "q161_temperature_mixture",
-    "q162_cdc_chunks",
-    "q163_source_overlap",
-    "q164_hard_negatives",
-    "q165_image_dhash_neardup",
-    "q166_user_sequences",
-    "q167_semdedup",
-    "q168_gopher_rules",
-    "q169_epoch_shuffle",
-    "q170_source_kl_drift",
-    "q171_curation_funnel",
-    "q172_k_anonymity",
-    "q173_centroid_drift",
     # -- newest driver row: round 10 --
-    "q14_quantiles",
-    "q15_name_union",
-    "q16_pareto",
-    "q20_lang_id_confusion",
-    "q21_fingerprint_dedup",
-    "q22_ngram_jaccard",
     "q23_minhash_signatures",
     "q24_lsh_candidates",
     "q25_simhash",
@@ -291,7 +250,47 @@ _BACKFILL = [
     "q148_bigram_surprisal",
     "q149_winnowing_fingerprints",
     "q150_winnowing_matches",
-    # -- newest driver row: never driver-scored --
+    # -- newest driver row: round 13 --
+    "q14_quantiles",
+    "q15_name_union",
+    "q16_pareto",
+    "q20_lang_id_confusion",
+    "q21_fingerprint_dedup",
+    "q22_ngram_jaccard",
+    "q121_cdc_mart",
+    "q122_bm25_search",
+    "q123_supplier_pagerank",
+    "q124_priority_sample",
+    "q125_incremental_neardup",
+    "q126_streaming_tumbling",
+    "q127_golden_record",
+    "q130_ab_test",
+    "q131_market_basket",
+    "q132_rfm_segments",
+    "q133_pseudonymize",
+    "q151_simhash_neardup_wide",
+    "q152_winnow_dup_spans",
+    "q153_winnow_span_trim",
+    "q154_boilerplate_spans",
+    "q155_dsir_importance",
+    "q156_dsir_select",
+    "q157_hybrid_rrf",
+    "q158_contrastive_pairs",
+    "q159_length_buckets",
+    "q160_dsir_calibration",
+    "q161_temperature_mixture",
+    "q162_cdc_chunks",
+    "q163_source_overlap",
+    "q164_hard_negatives",
+    "q165_image_dhash_neardup",
+    "q166_user_sequences",
+    "q167_semdedup",
+    "q168_gopher_rules",
+    "q169_epoch_shuffle",
+    "q170_source_kl_drift",
+    "q171_curation_funnel",
+    "q172_k_anonymity",
+    "q173_centroid_drift",
     "q179_persisted_lsh_candidates",
     "q180_persisted_top_terms",
     "q181_lsh_cap_recall",
@@ -305,10 +304,12 @@ _BACKFILL = [
 
 def _ordered(mapping: dict) -> dict:
     head = [k for k in _GUARD_HEAD if k in mapping]
-    # Queries NEW this round (q179+) have no prior driver row; they slot
-    # in right after the guard block so their first row lands now.
+    # Queries NEW this round (q187+) have no prior driver row; they slot
+    # in right after the guard block so their first row lands now
+    # (q179-q186 gained their first driver rows in CORRECTNESS_r13 and
+    # rotate via _BACKFILL like everything else).
     covered_prior = {"q000"} | {f"q{i:02d}" for i in range(1, 100)} | {
-        f"q{i}" for i in range(100, 179)
+        f"q{i}" for i in range(100, 187)
     }
     never_new = (
         set(_GUARD_HEAD)

@@ -58,41 +58,30 @@ def test_window_protocol_layout():
     fingerprint twin pinned at exactly position 50 — a refactor of
     _ordered() that silently moves either breaks the bracket
     inference. Round-11 rotation (r10 verdict ask #1): the per-table
-    guards stay retired PAST the window; round-13 rotation (r12
-    verdict asks #1/#2): the r9 block (q121..q173, last scored r9 —
-    now the oldest rows after CORRECTNESS_r12 landed) leads the
-    backfill, followed by the head of the r10 block."""
+    guards stay retired PAST the window; round-14 rotation (after
+    CORRECTNESS_r13 scored the r9 block + q179-q186): the remainder of
+    the r10 block (q23_minhash_signatures onward — now the oldest
+    driver rows) leads the backfill; no new registrations this round,
+    so the window is guard + 48 backfill names + tail guard."""
     names = list(entry.queries())
     assert names[0] == "q000_generation_fingerprint"
     assert names[49] == "q997_generation_fingerprint_tail"
     # retired guards stay registered but OUTSIDE the recorded window
     for g in entry._RETIRED_GUARDS:
         assert names.index(g) > 49, f"{g} must sit past the window"
-    # the r9 block leads the backfill and lands in the window
-    # (structural, so adding a new query never silently displaces the
-    # oldest rows)
-    carries = ["q121_cdc_mart", "q122_bm25_search", "q123_supplier_pagerank"]
+    # the r10 block remainder leads the backfill and lands in the
+    # window (structural, so adding a new query never silently
+    # displaces the oldest rows)
+    carries = ["q23_minhash_signatures", "q24_lsh_candidates", "q25_simhash"]
     assert entry._BACKFILL[:3] == carries
     for q in carries:
-        assert names.index(q) < 49, f"{q} must land in the r13 window"
-    # spot-check the tail of the r9 block also makes the window
-    for q in ("q171_curation_funnel", "q172_k_anonymity",
-              "q173_centroid_drift"):
-        assert names.index(q) < 49, f"{q} must land in the r13 window"
-    # the r13 registrations (persisted-path queries) are NEW — the
-    # is-new rule slots them right after the guard for their first
-    # driver row, displacing the last 4 backfill names to next round
-    for q in ("q179_persisted_lsh_candidates", "q180_persisted_top_terms",
-              "q181_lsh_cap_recall", "q182_persisted_winnow_matches",
-              "q183_persisted_simhash_pairs", "q184_persisted_ivf_topk",
-              "q185_streaming_band_ingest", "q186_streaming_dedup_on_arrival"):
-        assert names.index(q) < 49, f"{q} must land in the r13 window"
+        assert names.index(q) < 49, f"{q} must land in the r14 window"
     # the leading stale block fits in this window — STRICT: every one
-    # of the 40 leading backfill names must be a registered query (a
+    # of the 48 leading backfill names must be a registered query (a
     # typo or deregistration must fail here, not silently admit a
-    # different 40th query into the recorded window; 40 = 48 minus the
-    # 8 window slots the new q179-q186 registrations take)
-    stale = entry._BACKFILL[:40]
+    # different 48th query into the recorded window; 48 = the full
+    # non-guard window, no new registrations take slots this round)
+    stale = entry._BACKFILL[:48]
     unregistered = [q for q in stale if q not in names]
     assert not unregistered, f"unregistered backfill names: {unregistered}"
     assert all(names.index(q) < 49 for q in stale)
@@ -120,7 +109,7 @@ def test_window_protocol_layout():
     }
     assert not unparseable, f"non-numeric query id outside guard sets: {unparseable}"
     never_rotates = {
-        q for q in never_rotates if int(q.split("_", 1)[0][1:]) < 179
+        q for q in never_rotates if int(q.split("_", 1)[0][1:]) < 187
     }
     assert not never_rotates, f"registered but never rotates: {never_rotates}"
     stale_names = backfill - set(names)
